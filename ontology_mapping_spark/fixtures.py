@@ -1,0 +1,239 @@
+"""Deterministic synthetic fixtures (FIXTURES.md contract, seed=42).
+
+Generates, in pure Python (shared verbatim with the pytest oracle):
+
+* ``triples``    — two ontology sides (src/tgt) flattened to (subject,
+                   predicate, object, lang) rows: prefLabels, synonyms,
+                   subClassOf tree (+ a multi-parent DAG slice), exactMatch
+                   links. Mirrors what the reference parses from OWL
+                   (thesis/main.py:37-46).
+* ``alignments`` — true (SrcEntity, TgtEntity, Score) pairs split
+                   train/test (thesis/main.py:53-62 TSV shape).
+* ``web_pages``  — Common-Crawl-style pages (BASELINE.json input_hint
+                   shape) whose html embeds the ground-truth text inside
+                   boilerplate; text plants 0-5 concept labels per page with
+                   known gold (url, concept) mentions.
+
+Everything is derived from ``random.Random(seed)`` — no uuid4, no
+wall-clock, no numpy RNG — so the same call always yields byte-identical
+rows (FIXTURES.md §5 determinism rules).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+from dataclasses import dataclass, field
+
+P_LABEL = "rdfs:label"
+P_SYNONYM = "obo:hasExactSynonym"
+P_SUBCLASS = "rdfs:subClassOf"
+P_EXACT = "skos:exactMatch"
+
+_VOCAB_STEMS = [
+    "gland", "tissue", "membrane", "nerve", "artery", "vein", "muscle",
+    "bone", "joint", "cortex", "lobe", "duct", "node", "cell", "fiber",
+    "tract", "plexus", "fossa", "canal", "sinus", "valve", "chamber",
+    "vessel", "organ", "capsule", "ligament", "tendon", "cartilage",
+    "marrow", "follicle", "mucosa", "serosa", "ganglion", "nucleus",
+    "segment", "branch", "trunk", "root", "apex", "base", "body", "head",
+    "neck", "surface", "border", "margin", "process", "ridge", "groove",
+    "notch",
+]
+_MODIFIERS = [
+    "anterior", "posterior", "superior", "inferior", "medial", "lateral",
+    "proximal", "distal", "left", "right", "deep", "superficial", "upper",
+    "lower", "central", "peripheral", "primary", "secondary", "internal",
+    "external", "thoracic", "lumbar", "cervical", "cranial", "caudal",
+    "dorsal", "ventral", "axial", "radial", "ulnar", "femoral", "tibial",
+]
+# sprinkled to exercise normalization ops (thesis/normalization.py:190-359)
+_DECOR = ["α", "β", "γ", "–", "’", "é"]
+
+_EPOCH = _dt.datetime(2020, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+@dataclass
+class Fixture:
+    triples: list[dict] = field(default_factory=list)
+    alignments_train: list[dict] = field(default_factory=list)
+    alignments_test: list[dict] = field(default_factory=list)
+    web_pages: list[dict] = field(default_factory=list)
+    # gold: exact (url, uri) mention pairs planted into pages
+    gold_mentions: list[tuple[str, str]] = field(default_factory=list)
+    # concept uri -> prefLabel (for oracles)
+    pref_labels: dict[str, str] = field(default_factory=dict)
+
+
+def _concept_phrase(rng: random.Random, core: list[str]) -> str:
+    """A label phrase around shared core tokens."""
+    words = list(core)
+    if rng.random() < 0.5:
+        words.insert(0, rng.choice(_MODIFIERS))
+    return " ".join(words)
+
+
+def make_fixture(
+    n_pairs: int = 100,
+    n_extra_per_side: int = 50,
+    n_pages: int = 1000,
+    seed: int = 42,
+    branching: int = 3,
+    dag_fraction: float = 0.15,
+    mentions_per_page: tuple[int, int] = (0, 5),
+) -> Fixture:
+    rng = random.Random(seed)
+    fx = Fixture()
+
+    n_side = n_pairs + n_extra_per_side
+
+    def uri(side: str, i: int) -> str:
+        return f"{side}:C{i:04d}"
+
+    # --- labels -----------------------------------------------------------
+    for i in range(n_side):
+        core = rng.sample(_VOCAB_STEMS, k=rng.randint(1, 2)) + [
+            rng.choice(_MODIFIERS)
+        ]
+        matched = i < n_pairs
+        for side in ("src", "tgt"):
+            u = uri(side, i)
+            if matched:
+                # matching pair shares core tokens; target may reorder or
+                # swap the modifier (hard-ish positives)
+                words = list(core)
+                if side == "tgt":
+                    if rng.random() < 0.3:
+                        words[-1] = rng.choice(_MODIFIERS)
+                    if rng.random() < 0.3:
+                        words = list(reversed(words))
+                pref = " ".join(words)
+            else:
+                pref = _concept_phrase(
+                    rng, rng.sample(_VOCAB_STEMS, k=2)
+                )
+            # decorate a few labels with greek/typographic chars
+            if rng.random() < 0.08:
+                pref = pref + " " + rng.choice(_DECOR)
+            fx.triples.append(
+                {"subject": u, "predicate": P_LABEL, "object": pref, "lang": "en"}
+            )
+            fx.pref_labels[u] = pref
+            for _ in range(rng.randint(0, 3)):
+                syn = _concept_phrase(rng, [rng.choice(_VOCAB_STEMS)])
+                fx.triples.append(
+                    {
+                        "subject": u,
+                        "predicate": P_SYNONYM,
+                        "object": syn,
+                        "lang": "en",
+                    }
+                )
+
+    # --- hierarchy: tree with parent (i-1)//branching, root i=0 ------------
+    for side in ("src", "tgt"):
+        for i in range(1, n_side):
+            parent = (i - 1) // branching
+            fx.triples.append(
+                {
+                    "subject": uri(side, i),
+                    "predicate": P_SUBCLASS,
+                    "object": uri(side, parent),
+                    "lang": None,
+                }
+            )
+        # DAG slice: extra second parents for a deterministic subset
+        for i in range(2, n_side):
+            if rng.random() < dag_fraction:
+                extra = rng.randrange(0, max(1, (i - 1) // branching))
+                if extra != (i - 1) // branching:
+                    fx.triples.append(
+                        {
+                            "subject": uri(side, i),
+                            "predicate": P_SUBCLASS,
+                            "object": uri(side, extra),
+                            "lang": None,
+                        }
+                    )
+
+    # --- exactMatch links within sides (cross-reference / CC fixture) ------
+    for side in ("src", "tgt"):
+        for i in range(0, n_side - 1, 17):
+            a, b = uri(side, i), uri(side, i + 1)
+            fx.triples.append(
+                {"subject": a, "predicate": P_EXACT, "object": b, "lang": None}
+            )
+            fx.triples.append(
+                {"subject": b, "predicate": P_EXACT, "object": a, "lang": None}
+            )
+
+    # --- alignments (70/30 train/test) --------------------------------------
+    for i in range(n_pairs):
+        row = {
+            "SrcEntity": uri("src", i),
+            "TgtEntity": uri("tgt", i),
+            "Score": 1.0,
+        }
+        (fx.alignments_train if i % 10 < 7 else fx.alignments_test).append(row)
+
+    # --- web pages -----------------------------------------------------------
+    all_uris = [uri(s, i) for s in ("src", "tgt") for i in range(n_side)]
+    templates = [
+        "The study of {m} has advanced considerably in recent years.",
+        "Researchers described the {m} in detail.",
+        "A new atlas covers the {m} and adjacent structures.",
+        "Clinical notes often reference the {m}.",
+        "This section reviews anatomy of the {m}.",
+    ]
+    filler = [
+        "General methods are described elsewhere.",
+        "Results were consistent across cohorts.",
+        "See the appendix for protocols.",
+        "The dataset was collected over two years.",
+    ]
+    for p in range(n_pages):
+        url = f"https://example.org/p/{p:08d}"
+        lang = "en" if rng.random() >= 0.05 else "de"
+        k = rng.randint(*mentions_per_page) if lang == "en" else 0
+        sentences: list[str] = []
+        mentioned = rng.sample(all_uris, k=k) if k else []
+        for u in mentioned:
+            t = rng.choice(templates)
+            sentences.append(t.format(m=fx.pref_labels[u]))
+            fx.gold_mentions.append((url, u))
+        for _ in range(rng.randint(1, 3)):
+            sentences.append(rng.choice(filler))
+        rng.shuffle(sentences)
+        if lang != "en":
+            sentences = ["Dieser Text ist nicht englisch."] + sentences
+        text = " ".join(sentences)
+        html = (
+            "<html><head><title>Page {p}</title>"
+            "<script>var x = {p};</script>"
+            "<style>body {{ margin: 0 }}</style></head>"
+            "<body><nav><a href='/'>home</a> | <a href='/about'>about</a></nav>"
+            "<!-- tracking -->"
+            "<main><p>{text}</p></main>"
+            "<footer>© example.org</footer></body></html>"
+        ).format(p=p, text=text)
+        fx.web_pages.append(
+            {
+                "url": url,
+                "warc_ts": _EPOCH + _dt.timedelta(seconds=p),
+                "html": html.encode("utf-8"),
+                "text": text,
+                "lang": lang,
+            }
+        )
+    return fx
+
+
+def fixture_dataframes(spark, fx: Fixture):
+    """Fixture lists -> Spark DataFrames with the fixed schemas."""
+    from ontology_mapping_spark import schemas
+
+    triples = spark.createDataFrame(fx.triples, schema=schemas.TRIPLES)
+    align_train = spark.createDataFrame(fx.alignments_train, schema=schemas.ALIGNMENTS)
+    align_test = spark.createDataFrame(fx.alignments_test, schema=schemas.ALIGNMENTS)
+    pages = spark.createDataFrame(fx.web_pages, schema=schemas.WEB_PAGES)
+    return triples, align_train, align_test, pages

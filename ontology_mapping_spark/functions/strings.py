@@ -1,0 +1,157 @@
+"""String-operator library: token stats + the normalization op suite.
+
+Re-expresses (a) the token-set features of thesis/process_data_features.py
+(token_jaccard :107-109, shared-token stats :156-166) and (b) the
+normalization service of thesis/normalization.py:190-359 as pure Catalyst
+column expressions — no Python in the hot path. Python ``set`` semantics are
+matched by ``array_distinct`` before set algebra.
+
+Each op also has a pure-Python twin (suffix ``_py``) used by the pytest
+oracle, pinned together by property tests.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------------------
+# token-set features (over already-normalized, space-joined label strings)
+# ---------------------------------------------------------------------------
+
+def tokens_col(c: Column | str) -> Column:
+    """Whitespace tokens as a distinct array (Python set semantics);
+    empty string -> empty array (``split('') == ['']`` is filtered out)."""
+    return F.array_distinct(
+        F.filter(F.split(_c(c), r"\s+"), lambda t: t != F.lit(""))
+    )
+
+
+def token_jaccard_col(l1: Column | str, l2: Column | str) -> Column:
+    """|A∩B| / |A∪B| over whitespace tokens; 0.0 when both empty
+    (thesis/process_data_features.py:107-109)."""
+    a, b = tokens_col(l1), tokens_col(l2)
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_intersect(a, b)).cast("double") / union
+    )
+
+
+def token_jaccard_py(a: str, b: str) -> float:
+    sa, sb = set(a.split()), set(b.split())
+    return len(sa & sb) / len(sa | sb) if (sa | sb) else 0.0
+
+
+def shared_token_stats(l1: Column | str, l2: Column | str) -> dict[str, Column]:
+    """shared count + per-side ratios (thesis/process_data_features.py:156-166)."""
+    a, b = tokens_col(l1), tokens_col(l2)
+    shared = F.size(F.array_intersect(a, b))
+    n1, n2 = F.size(a), F.size(b)
+    return {
+        "shared_tokens_count": shared.cast("double"),
+        "token_ratio_c1": F.when(n1 > 0, shared.cast("double") / n1).otherwise(F.lit(0.0)),
+        "token_ratio_c2": F.when(n2 > 0, shared.cast("double") / n2).otherwise(F.lit(0.0)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# normalization op suite (thesis/normalization.py — operator spec)
+# ---------------------------------------------------------------------------
+
+GREEK_MAP = {
+    # upper (thesis/normalization.py:193-216 semantics)
+    "Α": "Alpha", "Β": "Beta", "Γ": "Gamma", "Δ": "Delta",
+    "Ε": "Epsilon", "Ζ": "Zeta", "Η": "Eta", "Θ": "Theta",
+    "Ι": "Iota", "Κ": "Kappa", "Λ": "Lambda", "Μ": "Mu",
+    "Ν": "Nu", "Ξ": "Xi", "Ο": "Omicron", "Π": "Pi",
+    "Ρ": "Rho", "Σ": "Sigma", "Τ": "Tau", "Υ": "Ypsilon",
+    "Φ": "Phi", "Χ": "Chi", "Ψ": "Psi", "Ω": "Omega",
+    # lower (:217-241); both sigma forms -> "sigma"
+    "α": "alpha", "β": "beta", "γ": "gamma", "δ": "delta",
+    "ε": "epsilon", "ζ": "zeta", "η": "eta", "θ": "theta",
+    "ι": "iota", "κ": "kappa", "λ": "lambda", "μ": "mu",
+    "ν": "nu", "ξ": "xi", "ο": "omicron", "π": "pi",
+    "ρ": "rho", "ς": "sigma", "σ": "sigma", "τ": "tau",
+    "υ": "ypsilon", "φ": "phi", "χ": "chi", "ψ": "psi",
+    "ω": "omega",
+}
+
+TYPOGRAPHIC_MAP = {
+    "−": "-", "–": "-", "—": "-", "“": '"', "”": '"',
+    "‘": "'", "’": "'",
+}
+
+_PUNCT_PATTERN = (
+    r"[_\.,;:!?\*‐\-–—#<>\(\)\[\]„“”‘’'\"/\\\|%\^~`$=\+\{\}@&′″、]"
+)
+
+
+def replace_greek_col(c: Column | str) -> Column:
+    """Greek letters -> Latin names (thesis/normalization.py:190-246)."""
+    out = _c(c)
+    for ch, name in GREEK_MAP.items():
+        out = F.regexp_replace(out, ch, name)
+    return out
+
+
+def replace_greek_py(s: str) -> str:
+    for ch, name in GREEK_MAP.items():
+        s = s.replace(ch, name)
+    return s
+
+
+def replace_typographic_col(c: Column | str) -> Column:
+    """Curly quotes/dashes -> ASCII (thesis/normalization.py:248-258)."""
+    src = "".join(TYPOGRAPHIC_MAP.keys())
+    dst = "".join(TYPOGRAPHIC_MAP.values())
+    return F.translate(_c(c), src, dst)
+
+
+def replace_typographic_py(s: str) -> str:
+    return s.translate(str.maketrans(TYPOGRAPHIC_MAP))
+
+
+def remove_qualifiers_col(c: Column | str, end_only: bool = True) -> Column:
+    """Strip "(...)" qualifiers (thesis/normalization.py:260-272)."""
+    pattern = r"\s*?\(.*?\)\s*?$" if end_only else r"\s*?\(.*?\)\s*?"
+    return F.regexp_replace(_c(c), pattern, "")
+
+
+def remove_qualifiers_py(s: str, end_only: bool = True) -> str:
+    pattern = r"\s*?\(.*?\)\s*?$" if end_only else r"\s*?\(.*?\)\s*?"
+    return re.sub(pattern, "", s)
+
+
+def remove_whitespace_col(c: Column | str) -> Column:
+    """Trim + collapse runs of whitespace (thesis/normalization.py:274-283)."""
+    return F.trim(F.regexp_replace(_c(c), r"\s{2,}", " "))
+
+
+def remove_punctuation_col(c: Column | str, replace_with_space: bool = False) -> Column:
+    """Strip punctuation incl. some non-ASCII (thesis/normalization.py:285-294)."""
+    return F.regexp_replace(_c(c), _PUNCT_PATTERN, " " if replace_with_space else "")
+
+
+def remove_punctuation_py(s: str, replace_with_space: bool = False) -> str:
+    return re.sub(_PUNCT_PATTERN, " " if replace_with_space else "", s)
+
+
+def natural_word_order_col(c: Column | str) -> Column:
+    """Split on commas, reverse segment order, rejoin with spaces
+    (thesis/normalization.py:333-348)."""
+    return F.array_join(F.reverse(F.split(_c(c), r"\s?,\s?")), " ")
+
+
+def natural_word_order_py(s: str) -> str:
+    parts = re.split(r"\s?,\s?", s)
+    if " " in parts:
+        parts.remove(" ")
+    parts.reverse()
+    return " ".join(parts)

@@ -1,0 +1,311 @@
+"""Candidate-pair generation: token blocking, top-k retrieval, negatives.
+
+Re-expresses thesis/generate_candidates.py as DataFrame dataflow:
+
+* inverted token index (:99-103)  -> flat (token, uri) posting DataFrame;
+  "lookup" is an equi-join. Hot tokens (stop-word-like) are the skew risk at
+  web scale: tokens above a document-frequency cap are dropped (the
+  reference only survives without this because ontologies are tiny) and the
+  join runs under AQE skew-join; an explicit salting variant is provided.
+* generate_candidate_pairs (:57-77)     -> cosine + partial-ratio thresholds
+  with per-source top-k (window group-limit).
+* generate_candidate_pairs_with_negatives_manual (:79-154) -> positives ∪
+  IDF negatives (token-blocking join) ∪ neighbour negatives (2-hop sibling
+  self-join), exclusions as anti-joins, deterministic per-positive sampling.
+* label_candidate_pairs (:13-31), generate_all_possible_pairs (:216-220),
+  select_training_pairs (:223-232).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.config import PipelineConfig
+from ontology_mapping_spark.functions.fuzzy import partial_ratio_udf
+from ontology_mapping_spark.functions.vectors import cosine_pairs_udf
+from ontology_mapping_spark.operators.sampling import sample_per_group
+from ontology_mapping_spark.textnorm import normalize_col
+
+
+def posting_lists(
+    label_text_df: DataFrame, max_token_df: int | None = None
+) -> DataFrame:
+    """(uri, text) -> flat (token, uri) posting list.
+
+    Reference builds ``defaultdict(token -> set(uri))``
+    (thesis/generate_candidates.py:99-103); the engine keeps it flat — giant
+    arrays on hot tokens would skew, flat rows shuffle evenly. Tokens with
+    document frequency above ``max_token_df`` are dropped (df-cap, SURVEY §4).
+    """
+    tok = (
+        label_text_df.select(
+            "uri", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    if max_token_df:
+        hot = (
+            tok.groupBy("token")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_token_df)
+            .select("token")
+        )
+        tok = tok.join(F.broadcast(hot), "token", "left_anti")
+    return tok
+
+
+def blocking_join(
+    src_text: DataFrame, tgt_text: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Token-blocking candidate retrieval: distinct (src, tgt) pairs sharing
+    >= 1 normalized label token (the union-of-posting-lists probe,
+    thesis/generate_candidates.py:119-124)."""
+    cfg = cfg or PipelineConfig()
+    s = posting_lists(
+        src_text.select(F.col("uri").alias("src"), "text"), cfg.max_token_df
+    ).withColumnRenamed("uri", "src")
+    t = posting_lists(
+        tgt_text.select(F.col("uri").alias("tgt"), "text"), cfg.max_token_df
+    ).withColumnRenamed("uri", "tgt")
+    return s.join(t, "token").select("src", "tgt").distinct()
+
+
+def salted_blocking_join(
+    src_text: DataFrame, tgt_text: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Skew-hardened blocking join: replicate the (smaller) target postings
+    across ``salt_buckets`` and route source probes by hash-salt, so a hot
+    token's pairs spread over S reducers instead of one (north rule's
+    "skew-key salting on hot entities"). Semantics identical to
+    :func:`blocking_join`."""
+    cfg = cfg or PipelineConfig()
+    S = cfg.salt_buckets
+    s = posting_lists(
+        src_text.select(F.col("uri").alias("src"), "text"), cfg.max_token_df
+    ).withColumn("salt", F.pmod(F.xxhash64("src"), F.lit(S)).cast("int"))
+    t = (
+        posting_lists(
+            tgt_text.select(F.col("uri").alias("tgt"), "text"), cfg.max_token_df
+        )
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1))))
+    )
+    return (
+        s.join(t, ["token", "salt"]).select("src", "tgt").distinct()
+    )
+
+
+def scored_pairs(
+    pairs: DataFrame,
+    src_text: DataFrame,
+    tgt_text: DataFrame,
+    src_emb: DataFrame,
+    tgt_emb: DataFrame,
+) -> DataFrame:
+    """Attach (cos, ratio) scores to (src, tgt) pairs via broadcast lookups
+    (the dict .get()s of thesis/generate_candidates.py:48-49,72-73,229)."""
+    out = (
+        pairs.join(
+            F.broadcast(src_text.select(F.col("uri").alias("src"), F.col("text").alias("src_txt"))),
+            "src",
+        )
+        .join(
+            F.broadcast(tgt_text.select(F.col("uri").alias("tgt"), F.col("text").alias("tgt_txt"))),
+            "tgt",
+        )
+        .join(
+            F.broadcast(src_emb.select(F.col("uri").alias("src"), F.col("vec").alias("src_vec"))),
+            "src",
+        )
+        .join(
+            F.broadcast(tgt_emb.select(F.col("uri").alias("tgt"), F.col("vec").alias("tgt_vec"))),
+            "tgt",
+        )
+    )
+    return out.withColumn(
+        "cos", cosine_pairs_udf(F.col("src_vec"), F.col("tgt_vec"))
+    ).withColumn("ratio", partial_ratio_udf(F.col("src_txt"), F.col("tgt_txt")))
+
+
+def generate_candidate_pairs(
+    src_text: DataFrame,
+    tgt_text: DataFrame,
+    src_emb: DataFrame,
+    tgt_emb: DataFrame,
+    cfg: PipelineConfig | None = None,
+    exhaustive: bool = False,
+) -> DataFrame:
+    """Threshold + per-source-top-k candidate generator
+    (thesis/generate_candidates.py:57-77).
+
+    The reference materializes the dense n×m cosine matrix (:60-62); the
+    engine never does — candidates come from the token-blocking join
+    (``exhaustive=False``, the scale path) or a cross join (parity path for
+    small fixtures, semantics of the reference's all-pairs matrix).
+    Top-k per source by cosine desc (tie-break tgt asc, deterministic), then
+    thresholds — matching the reference's order: top-k first, then filters
+    (:64-75).
+    """
+    cfg = cfg or PipelineConfig()
+    if exhaustive:
+        cand = (
+            src_text.select(F.col("uri").alias("src"))
+            .crossJoin(tgt_text.select(F.col("uri").alias("tgt")))
+        )
+    else:
+        cand = blocking_join(src_text, tgt_text, cfg)
+    scored = scored_pairs(cand, src_text, tgt_text, src_emb, tgt_emb)
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("tgt").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cfg.top_k)
+        .filter(F.col("cos") >= cfg.min_cosine_sim)
+        .filter(F.col("ratio") >= cfg.min_lexical_sim)
+        .select("src", "tgt", "cos", "ratio")
+    )
+
+
+def generate_all_possible_pairs(src_text: DataFrame, tgt_text: DataFrame) -> DataFrame:
+    """Cartesian src × tgt (thesis/generate_candidates.py:216-220).
+    Fixture-scale only — O(n·m) by construction."""
+    return src_text.select(F.col("uri").alias("src")).crossJoin(
+        tgt_text.select(F.col("uri").alias("tgt"))
+    )
+
+
+def label_pairs(pairs: DataFrame, alignments: DataFrame) -> DataFrame:
+    """Label (src, tgt) pairs 1/0 by symmetric membership in the alignment
+    set (thesis/process_data_features.py:26-33 & generate_candidates.py:13-24):
+    canonical least/greatest ordering, then a left join + flag."""
+    lo, hi = (
+        F.least(F.col("src"), F.col("tgt")),
+        F.greatest(F.col("src"), F.col("tgt")),
+    )
+    ref = alignments.select(
+        F.least(F.col("SrcEntity"), F.col("TgtEntity")).alias("lo"),
+        F.greatest(F.col("SrcEntity"), F.col("TgtEntity")).alias("hi"),
+        F.lit(1).alias("label"),
+    ).distinct()
+    return (
+        pairs.withColumn("lo", lo)
+        .withColumn("hi", hi)
+        .join(F.broadcast(ref), ["lo", "hi"], "left")
+        .select("src", "tgt", F.coalesce(F.col("label"), F.lit(0)).alias("label"))
+    )
+
+
+def cap_negatives(
+    labeled: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Cap negatives at round(max_neg_per_pos × #positives) via the
+    deterministic global sampler (thesis/generate_candidates.py:25-27's
+    ``random.sample``, made reproducible)."""
+    cfg = cfg or PipelineConfig()
+    from ontology_mapping_spark.operators.sampling import sample_global
+
+    n_pos = labeled.filter(F.col("label") == 1).count()
+    n_neg = labeled.filter(F.col("label") == 0).count()
+    cap = int(round(min(n_neg, cfg.max_neg_per_pos * float(n_pos))))
+    negs = sample_global(
+        labeled.filter(F.col("label") == 0), ["src", "tgt"], cap, cfg.sample_seed
+    )
+    return labeled.filter(F.col("label") == 1).unionByName(negs)
+
+
+def generate_candidates_with_negatives(
+    ref_alignments: DataFrame,
+    src_text: DataFrame,
+    tgt_text: DataFrame,
+    edges: DataFrame,
+    closure: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """The manual negative generator
+    (thesis/generate_candidates.py:79-154) as one dataflow:
+
+    positives (label 1)
+    ∪ IDF negatives: targets sharing >=1 source-label token
+      (inverted-index probe :118-124), minus the true match, minus any
+      reference pair (anti-join :130-131), <= idf_negatives per positive
+      (deterministic sample for :127).
+    ∪ neighbour negatives: siblings of the true target (2-hop self-join
+      :137-139), minus the target's ancestors (anti-join vs closure :141),
+      minus reference pairs (:147-148), <= neighbour_negatives per positive.
+
+    Duplicates across samplers are dropped (the reference may append the
+    same negative twice; canonicalized to distinct — documented divergence).
+    """
+    cfg = cfg or PipelineConfig()
+    pos = ref_alignments.select(
+        F.col("SrcEntity").alias("src"), F.col("TgtEntity").alias("tgt")
+    ).distinct()
+    ref_pairs = pos  # exclusion set (:106)
+
+    # --- IDF negatives ------------------------------------------------------
+    src_tok = (
+        src_text.join(pos.select(F.col("src").alias("uri"), F.col("tgt").alias("true_tgt")), "uri")
+        .select(F.col("uri").alias("src"), "true_tgt", F.explode(F.split("text", r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    tgt_tok = posting_lists(tgt_text, cfg.max_token_df).withColumnRenamed("uri", "tgt")
+    idf_cand = (
+        src_tok.join(tgt_tok, "token")
+        .filter(F.col("tgt") != F.col("true_tgt"))  # discard true match (:124)
+        .select("src", "tgt")
+        .distinct()
+        .join(ref_pairs, ["src", "tgt"], "left_anti")  # skip ref pairs (:130)
+    )
+    idf_neg = sample_per_group(
+        idf_cand, ["src"], ["src", "tgt"], cfg.idf_negatives, cfg.sample_seed
+    )
+
+    # --- neighbour negatives -------------------------------------------------
+    e1 = edges.select(F.col("child").alias("true_tgt"), F.col("parent"))
+    e2 = edges.select(F.col("child").alias("sib"), F.col("parent"))
+    sib = (
+        pos.join(e1, pos["tgt"] == e1["true_tgt"])
+        .join(e2, "parent")
+        .filter(F.col("sib") != F.col("tgt"))  # discard true match (:140)
+        .select("src", "tgt", F.col("sib"))
+        .distinct()
+    )
+    # exclude ancestors of the true target (:141)
+    anc = closure.select(F.col("node").alias("tgt"), F.col("ancestor").alias("sib"))
+    sib = sib.join(anc, ["tgt", "sib"], "left_anti")
+    sib = (
+        sib.select("src", F.col("sib").alias("tgt"))
+        .join(ref_pairs, ["src", "tgt"], "left_anti")  # :147-148
+        .distinct()
+    )
+    nb_neg = sample_per_group(
+        sib, ["src"], ["src", "tgt"], cfg.neighbour_negatives, cfg.sample_seed
+    )
+
+    out = (
+        pos.withColumn("label", F.lit(1))
+        .unionByName(idf_neg.withColumn("label", F.lit(0)))
+        .unionByName(nb_neg.withColumn("label", F.lit(0)))
+        .dropDuplicates(["src", "tgt", "label"])
+    )
+    return out
+
+
+def select_training_pairs(
+    pairs: DataFrame,
+    src_text: DataFrame,
+    tgt_text: DataFrame,
+    src_emb: DataFrame,
+    tgt_emb: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Post-hoc threshold filter over labeled pairs
+    (thesis/generate_candidates.py:223-232)."""
+    cfg = cfg or PipelineConfig()
+    scored = scored_pairs(
+        pairs.select("src", "tgt", "label"), src_text, tgt_text, src_emb, tgt_emb
+    )
+    return scored.filter(
+        (F.col("ratio") >= cfg.min_lexical_sim) & (F.col("cos") >= cfg.min_cosine_sim)
+    ).select("src", "tgt", "label")

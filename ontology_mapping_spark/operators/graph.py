@@ -1,0 +1,244 @@
+"""Distributed graph operators over the (child, parent) edge DataFrame.
+
+The reference does per-call ``networkx`` traversals (nx.ancestors,
+nx.topological_sort, G.predecessors/successors — thesis/
+process_data_features.py:112-143, generate_candidates.py:88-141). At 10^12
+rows, per-row traversal is impossible; the engine materializes *once*:
+
+* :func:`transitive_closure` — ancestor table (node, ancestor, dist) via
+  **path-doubling iterative self-joins** (O(log diameter) rounds, each a
+  shuffle join + max-aggregate), lineage cut with localCheckpoint per round.
+  This is the north rule's "precomputed transitive-closure ancestor table
+  materialized once via iterative self-joins".
+* :func:`depths` — longest-path depth per node derived from the closure
+  (max dist over ancestors). ⚠ The reference's topological depth overwrites
+  a multi-parent child once per parent — *last parent in iteration order
+  wins*, which is order-dependent (thesis/process_data_features.py:116-120).
+  The engine canonicalizes to max-over-parents (longest path), which
+  coincides exactly on tree-shaped slices (FIXTURES.md §2).
+* :func:`siblings` — 2-hop self-join (predecessors -> successors,
+  thesis/generate_candidates.py:137-139).
+* :func:`connected_components` — alternating large-star / small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond") for
+  mention canonicalization; generalizes the reference's 1-hop exactMatch
+  overlap check (thesis/pre_processing_data.py:337-341) to transitive
+  clusters.
+* :func:`bounded_bfs` — depth-limited shortest path (reference:
+  nx.shortest_path_length with ∞ sentinel, thesis/pre_processing_data.py:216-223).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cut(df: DataFrame) -> DataFrame:
+    """Truncate lineage between fixpoint iterations (Spark re-plans the
+    whole iteration chain otherwise; localCheckpoint materializes to
+    executor storage without an external checkpoint dir)."""
+    return df.localCheckpoint(eager=True)
+
+
+def transitive_closure(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(child, parent) -> (node, ancestor, dist) with dist = longest path.
+
+    Path doubling: after round k the table holds every ancestor reachable
+    within <= 2^k hops, so rounds = ceil(log2(diameter)) — a DAG 2^20 deep
+    would need 20 shuffle rounds, vs 10^6 for naive one-hop expansion.
+    """
+    anc = _cut(
+        edges.select(
+            F.col("child").alias("node"),
+            F.col("parent").alias("ancestor"),
+            F.lit(1).alias("dist"),
+        ).distinct()
+    )
+    stats = anc.agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("dist"), F.lit(0)).alias("s")
+    ).first()
+    for _ in range(max_iters):
+        hop = (
+            anc.alias("a")
+            .join(anc.alias("b"), F.col("a.ancestor") == F.col("b.node"))
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("b.ancestor").alias("ancestor"),
+                (F.col("a.dist") + F.col("b.dist")).alias("dist"),
+            )
+        )
+        merged = (
+            anc.unionByName(hop)
+            .groupBy("node", "ancestor")
+            .agg(F.max("dist").alias("dist"))
+        )
+        merged = _cut(merged)
+        new_stats = merged.agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("dist"), F.lit(0)).alias("s")
+        ).first()
+        anc = merged
+        if (new_stats["n"], new_stats["s"]) == (stats["n"], stats["s"]):
+            break
+        stats = new_stats
+    return anc
+
+
+def node_universe(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("child").alias("node"))
+        .unionByName(edges.select(F.col("parent").alias("node")))
+        .distinct()
+    )
+
+
+def depths(edges: DataFrame, closure: DataFrame | None = None) -> DataFrame:
+    """(node, depth): longest path from a root; roots get 0.
+
+    depth(n) = max over ancestors of dist(n, ancestor) — the longest upward
+    path necessarily ends at a root. Canonical max-parent semantics (see
+    module docstring for the divergence from the reference's
+    order-dependent definition).
+    """
+    closure = closure if closure is not None else transitive_closure(edges)
+    per_node = closure.groupBy("node").agg(F.max("dist").alias("depth"))
+    return (
+        node_universe(edges)
+        .join(per_node, "node", "left")
+        .select("node", F.coalesce(F.col("depth"), F.lit(0)).alias("depth"))
+    )
+
+
+def siblings(edges: DataFrame) -> DataFrame:
+    """(a, b) distinct pairs sharing >=1 parent, a != b (both directions).
+
+    Reference: parents = G.predecessors(tgt); siblings = union of
+    G.successors(parent) minus tgt (thesis/generate_candidates.py:137-140).
+    """
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    return (
+        e1.join(e2, F.col("e1.parent") == F.col("e2.parent"))
+        .filter(F.col("e1.child") != F.col("e2.child"))
+        .select(F.col("e1.child").alias("a"), F.col("e2.child").alias("b"))
+        .distinct()
+    )
+
+
+def symmetrize(edges: DataFrame, a: str = "child", b: str = "parent") -> DataFrame:
+    """Undirected view: both orientations, self-loops dropped.
+    (Reference adds exactMatch in both directions explicitly,
+    thesis/pre_processing_data.py:124-125.)"""
+    fwd = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    return (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ {u})."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges large->small; connect all smaller neighbors (and u) to
+    the minimum of the neighborhood."""
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct()
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    out1 = (
+        oriented.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    out2 = m.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        out1.unionByName(out2).filter(F.col("u") != F.col("v")).distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, vertices: DataFrame | None = None, max_iters: int = 50
+) -> DataFrame:
+    """Undirected connected components -> (node, component) with component =
+    min node id in the component. Alternating large-star/small-star; each
+    round is two shuffle joins; converges in O(log n) rounds.
+
+    ``edges`` uses columns (u, v) — pass any edge list through
+    :func:`symmetrize` or rename first. ``vertices`` (optional, column
+    ``node``) adds isolated nodes as singleton components.
+    """
+    e = _cut(
+        edges.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v")).distinct()
+    )
+    for _ in range(max_iters):
+        new_e = _cut(_small_star(_large_star(e)))
+        if new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty():
+            e = new_e
+            break
+        e = new_e
+    # after convergence e is a star: (member, root)
+    comp = (
+        e.select(F.greatest("u", "v").alias("node"), F.least("u", "v").alias("component"))
+        .unionByName(
+            e.select(F.least("u", "v").alias("node"), F.least("u", "v").alias("component"))
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    if vertices is not None:
+        comp = (
+            vertices.select("node")
+            .distinct()
+            .join(comp, "node", "left")
+            .select(
+                "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
+            )
+        )
+    return comp
+
+
+def bounded_bfs(edges: DataFrame, max_hops: int = 6) -> DataFrame:
+    """All-pairs directed shortest-path within ``max_hops``:
+    (src, dst, dist). Unreachable pairs are absent (the reference returns
+    np.inf, thesis/pre_processing_data.py:223 — callers coalesce)."""
+    frontier = edges.select(
+        F.col("child").alias("src"), F.col("parent").alias("dst"), F.lit(1).alias("dist")
+    ).distinct()
+    best = _cut(frontier)
+    for _ in range(max_hops - 1):
+        step = (
+            best.alias("a")
+            .join(
+                edges.select(
+                    F.col("child").alias("dst"), F.col("parent").alias("nxt")
+                ).alias("b"),
+                "dst",
+            )
+            .select(
+                F.col("src"), F.col("nxt").alias("dst"), (F.col("dist") + 1).alias("dist")
+            )
+        )
+        merged = (
+            best.unionByName(step).groupBy("src", "dst").agg(F.min("dist").alias("dist"))
+        )
+        merged = _cut(merged)
+        if merged.count() == best.count():
+            best = merged
+            break
+        best = merged
+    return best

@@ -1,0 +1,66 @@
+"""Deterministic sampling + canonical pair ordering.
+
+The reference's negative sampling uses ``random.sample`` over Python sets
+(thesis/generate_candidates.py:27,127,144) — order depends on the process
+hash seed, so exact negative sets are not reproducible across runs. The
+engine's canonical sampler orders candidates by a salted 64-bit hash and
+takes the first n per group (SURVEY.md §2.5): same inputs + same seed ->
+byte-identical sample, on any cluster size. The pytest oracle implements
+the identical rule in pure Python (xxhash64 is Spark-side; the oracle uses
+the Spark-computed hashes via the engine itself for cross-checks, and
+md5-ordered variants are used where an external oracle must agree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def canonical_pair(a: Column | str, b: Column | str) -> tuple[Column, Column]:
+    """Symmetric pair canonicalization (reference: tuple(sorted([c1, c2])),
+    thesis/generate_candidates.py:14-15,19)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.least(a, b), F.greatest(a, b)
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    hash_cols: list[str],
+    n: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-group sample of up to ``n`` rows.
+
+    Orders rows within each group by md5(concat_ws('|', *hash_cols, seed))
+    — md5 rather than xxhash64 so an external (DuckDB/pure-Python) oracle
+    can reproduce the exact sample. Spark >=3.5 rewrites the row_number
+    filter into a per-partition group-limit (InferWindowGroupLimit): no full
+    sort of each group.
+    """
+    order = F.md5(F.concat_ws("|", *[F.col(c) for c in hash_cols], F.lit(str(seed))))
+    w = Window.partitionBy(*group_cols).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def sample_global(df: DataFrame, hash_cols: list[str], n: int, seed: int = 42) -> DataFrame:
+    """Deterministic global cap: order by salted md5, take first n
+    (TakeOrderedAndProject — distributed top-n, no single-partition sort).
+    Re-expresses ``random.sample(negatives, k=max_negatives)``
+    (thesis/generate_candidates.py:26-27) deterministically.
+    """
+    order = F.md5(F.concat_ws("|", *[F.col(c) for c in hash_cols], F.lit(str(seed))))
+    return df.orderBy(order).limit(n)
+
+
+def md5_sample_key_py(parts: list[str], seed: int = 42) -> str:
+    """Pure-Python twin of the sampler's ordering key."""
+    import hashlib
+
+    return hashlib.md5(("|".join(list(parts) + [str(seed)])).encode()).hexdigest()

@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local mode is a stand-in for a multi-executor cluster: we still size shuffle
+partitions explicitly, enable AQE (runtime coalescing + skew-join splitting)
+and Arrow (vectorized pandas-UDF transfer), because those are the knobs that
+matter at 100 TB. ``parallelism`` is overridable so the same job can be run
+at two parallelism levels (local[8] vs local[32]) to evidence scaling
+efficiency (BASELINE.json north rule).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ontology_mapping_spark",
+    parallelism: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    parallelism: int N -> master local[N]; "*" -> local[*]; None -> env
+    SPARK_GRAFT_CPUS or "*".
+    """
+    if parallelism is None:
+        parallelism = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{parallelism}]"
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8 if parallelism == "*" else int(parallelism)
+        shuffle_partitions = max(int(n), 4)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # files.maxPartitionBytes kept at default 128m: right-sizes scan tasks
+        # for the 100 TB pages table; small fixtures coalesce via AQE anyway.
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

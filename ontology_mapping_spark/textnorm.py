@@ -1,0 +1,105 @@
+"""Text normalization + boilerplate-stripping extraction: the golden-hash contract.
+
+``normalize`` re-expresses thesis/process_data_features.py:183-187 —
+lowercase, replace non-[a-z0-9 whitespace] with space, collapse whitespace,
+strip. It exists in two byte-identical forms:
+
+* :func:`normalize_py` — pure Python, used by the pytest oracle and inside
+  pandas UDFs;
+* :func:`normalize_col` — a Catalyst column expression (JVM-side, codegen'd),
+  the hot-path implementation.
+
+The golden-hash test suite pins the two together via SHA-256 per row
+(BASELINE.json input_hint: "byte-identical extracted text per url").
+
+Note on regex dialects: Python ``\\s`` (unicode) is a superset of Java
+``\\s`` (ASCII), but the composition of the two substitutions maps any
+unicode-space either to a kept-then-collapsed space (Python) or a
+replaced-space (Java) — identical output. Verified by tests over the full
+fixture corpus.
+
+``extract_text`` strips HTML boilerplate deterministically (script/style/
+nav/header/footer/aside removal, tag strip, entity decode). It likewise has
+a pure form and a vectorized pandas-UDF form; the UDF calls the pure
+function so the invariant holds trivially by construction.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# normalize (thesis/process_data_features.py:183-187 semantics)
+# ---------------------------------------------------------------------------
+
+_NON_ALNUM = re.compile(r"[^a-z0-9\s]")
+_WS = re.compile(r"\s+")
+
+
+def normalize_py(text: str | None) -> str:
+    """Pure-Python golden normalizer. None-safe (None -> '')."""
+    if text is None:
+        return ""
+    text = text.lower()
+    text = _NON_ALNUM.sub(" ", text)
+    text = _WS.sub(" ", text)
+    return text.strip()
+
+
+def normalize_col(c: Column | str) -> Column:
+    """Catalyst-expression twin of :func:`normalize_py` (JVM, codegen'd)."""
+    col = F.col(c) if isinstance(c, str) else c
+    out = F.lower(col)
+    out = F.regexp_replace(out, r"[^a-z0-9\s]", " ")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+# SQL-string twin (same expression, for spark.sql and for the DuckDB oracle;
+# both engines' regexp_replace support these patterns; DuckDB needs the 'g'
+# flag which Spark applies implicitly).
+def normalize_sql(expr: str, dialect: str = "spark") -> str:
+    if dialect == "duckdb":
+        return (
+            "trim(regexp_replace(regexp_replace(lower(" + expr + "), "
+            "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+        )
+    return (
+        "trim(regexp_replace(regexp_replace(lower(" + expr + "), "
+        "'[^a-z0-9\\\\s]', ' '), '\\\\s+', ' '))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (north-star stage S1; no counterpart in the
+# reference, whose inputs are OWL files — semantics defined here and pinned
+# by golden hashes)
+# ---------------------------------------------------------------------------
+
+_BOILER = re.compile(
+    r"<(script|style|nav|header|footer|aside|noscript|title)\b[^>]*>.*?</\1\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+_TAG = re.compile(r"<[^>]+>")
+
+
+def extract_text_py(html: bytes | str | None) -> str:
+    """Deterministic boilerplate-stripped text from raw HTML bytes.
+
+    Order: decode utf-8 (replace) -> drop comments -> drop boilerplate
+    containers -> strip tags -> unescape entities -> collapse whitespace.
+    """
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    text = _COMMENT.sub(" ", html)
+    text = _BOILER.sub(" ", text)
+    text = _TAG.sub(" ", text)
+    text = _htmlmod.unescape(text)
+    return _WS.sub(" ", text).strip()

@@ -1,0 +1,92 @@
+"""Graph operators vs networkx oracle: closure, depths, siblings, CC, BFS."""
+
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.operators import graph as G
+from ontology_mapping_spark.operators.labels import extract_hierarchy
+from tests import oracle
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "child string, parent string")
+
+
+def test_transitive_closure_small(spark):
+    #      r
+    #     / \
+    #    a   b
+    #    |  / |
+    #    c-+  d   (c has parents a and b -> DAG)
+    edges = [("a", "r"), ("b", "r"), ("c", "a"), ("c", "b"), ("d", "b")]
+    df = _edges_df(spark, edges)
+    got = {
+        (r["node"], r["ancestor"]): r["dist"]
+        for r in G.transitive_closure(df).collect()
+    }
+    g = oracle.build_graph(edges)
+    want = oracle.closure_with_dist(g)
+    assert got == want
+
+
+def test_closure_and_depths_on_fixture(spark, fx, fx_dfs):
+    edges_df = extract_hierarchy(fx_dfs["triples"])
+    edges = oracle.extract_edges(fx.triples)
+    assert sorted((r["child"], r["parent"]) for r in edges_df.collect()) == edges
+
+    closure_df = G.transitive_closure(edges_df)
+    got = {(r["node"], r["ancestor"]): r["dist"] for r in closure_df.collect()}
+    g = oracle.build_graph(edges)
+    want = oracle.closure_with_dist(g)
+    assert got == want
+
+    got_d = {r["node"]: r["depth"] for r in G.depths(edges_df, closure_df).collect()}
+    want_d = oracle.depths_longest_path(g)
+    assert got_d == want_d
+
+
+def test_siblings_on_fixture(spark, fx, fx_dfs):
+    edges_df = extract_hierarchy(fx_dfs["triples"])
+    edges = oracle.extract_edges(fx.triples)
+    g = oracle.build_graph(edges)
+    got = {(r["a"], r["b"]) for r in G.siblings(edges_df).collect()}
+    want = set()
+    for n in g.nodes:
+        for s in oracle.siblings(g, n):
+            want.add((n, s))
+    assert got == want
+
+
+def test_connected_components_chain_and_forest(spark):
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "s")]
+    df = spark.createDataFrame(edges, "u string, v string")
+    got = {r["node"]: r["component"] for r in G.connected_components(df).collect()}
+    want = oracle.connected_components_exact(edges)
+    assert got == want
+
+
+def test_connected_components_exactmatch_fixture(spark, fx, fx_dfs):
+    em = fx_dfs["triples"].filter(F.col("predicate") == "skos:exactMatch")
+    df = em.select(F.col("subject").alias("u"), F.col("object").alias("v"))
+    got = {r["node"]: r["component"] for r in G.connected_components(df).collect()}
+    want = oracle.connected_components_exact(oracle.exact_match_edges(fx.triples))
+    assert got == want
+
+
+def test_connected_components_isolated_vertices(spark):
+    edges = spark.createDataFrame([("a", "b")], "u string, v string")
+    verts = spark.createDataFrame([("a",), ("b",), ("z",)], "node string")
+    got = {
+        r["node"]: r["component"]
+        for r in G.connected_components(edges, vertices=verts).collect()
+    }
+    assert got == {"a": "a", "b": "a", "z": "z"}
+
+
+def test_bounded_bfs(spark):
+    edges = [("c", "a"), ("a", "r"), ("d", "c")]
+    df = _edges_df(spark, edges)
+    got = {(r["src"], r["dst"]): r["dist"] for r in G.bounded_bfs(df, 6).collect()}
+    assert got[("d", "r")] == 3
+    assert got[("c", "r")] == 2
+    assert got[("c", "a")] == 1
+    assert ("r", "d") not in got
