@@ -63,12 +63,12 @@ def blocking_join(
     >= 1 normalized label token (the union-of-posting-lists probe,
     thesis/generate_candidates.py:119-124)."""
     cfg = cfg or PipelineConfig()
-    s = posting_lists(
-        src_text.select(F.col("uri").alias("src"), "text"), cfg.max_token_df
-    ).withColumnRenamed("uri", "src")
-    t = posting_lists(
-        tgt_text.select(F.col("uri").alias("tgt"), "text"), cfg.max_token_df
-    ).withColumnRenamed("uri", "tgt")
+    s = posting_lists(src_text.select("uri", "text"), cfg.max_token_df).withColumnRenamed(
+        "uri", "src"
+    )
+    t = posting_lists(tgt_text.select("uri", "text"), cfg.max_token_df).withColumnRenamed(
+        "uri", "tgt"
+    )
     return s.join(t, "token").select("src", "tgt").distinct()
 
 
@@ -82,13 +82,14 @@ def salted_blocking_join(
     :func:`blocking_join`."""
     cfg = cfg or PipelineConfig()
     S = cfg.salt_buckets
-    s = posting_lists(
-        src_text.select(F.col("uri").alias("src"), "text"), cfg.max_token_df
-    ).withColumn("salt", F.pmod(F.xxhash64("src"), F.lit(S)).cast("int"))
+    s = (
+        posting_lists(src_text.select("uri", "text"), cfg.max_token_df)
+        .withColumnRenamed("uri", "src")
+        .withColumn("salt", F.pmod(F.xxhash64("src"), F.lit(S)).cast("int"))
+    )
     t = (
-        posting_lists(
-            tgt_text.select(F.col("uri").alias("tgt"), "text"), cfg.max_token_df
-        )
+        posting_lists(tgt_text.select("uri", "text"), cfg.max_token_df)
+        .withColumnRenamed("uri", "tgt")
         .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1))))
     )
     return (

@@ -1,0 +1,149 @@
+"""Mention detection: find ontology label phrases in page text.
+
+Two interchangeable implementations (tested equal):
+
+* :func:`mentions_via_join` — fully declarative: explode distinct page
+  tokens, broadcast-join against label first-tokens (the blocking trick,
+  pruning the pages × phrases cross product), then verify whole-phrase
+  containment with JVM string ops. n_hits = non-overlapping occurrence
+  count (Python ``str.count`` semantics, shared with the oracle).
+* :func:`mentions_via_trie` — the north-star path (BASELINE.json: "batched
+  mention detection ... with a broadcast ontology trie"): a token-trie of
+  all phrases broadcast to executors, scanned per Arrow batch inside
+  ``mapInPandas`` (longest-match-first per start token, still emitting
+  every distinct phrase match).
+
+Phrase matching is token-bounded: both text and phrases pass through the
+golden ``normalize`` and matching is on space-padded normalized strings, so
+"deep gland" never matches inside "deeper glands".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.schemas import MENTIONS
+from ontology_mapping_spark.textnorm import normalize_col, normalize_py
+
+
+def label_phrases(labels: DataFrame) -> DataFrame:
+    """(uri, labels array) -> distinct non-empty (uri, phrase), phrase
+    normalized. Each prefLabel/synonym matches independently (the
+    reference's label lists, thesis/process_data_features.py:12-24)."""
+    return (
+        labels.select("uri", F.explode("labels").alias("raw"))
+        .select("uri", normalize_col("raw").alias("phrase"))
+        .filter(F.col("phrase") != "")
+        .distinct()
+    )
+
+
+def mentions_via_join(pages_text: DataFrame, phrases: DataFrame) -> DataFrame:
+    """(url, text) × (uri, phrase) -> (url, uri, surface, n_hits).
+
+    Blocking: a page can only contain a phrase if it contains the phrase's
+    first token, so join exploded distinct page tokens to phrase first
+    tokens (broadcast — the ontology is the small side), then verify
+    containment on the padded normalized text. Everything is JVM built-ins;
+    the phrase list never leaves the JVM.
+    """
+    norm_pages = pages_text.select(
+        "url", F.split(normalize_col("text"), " ").alias("toks")
+    )
+    page_tokens = norm_pages.select(
+        "url", "toks", F.explode(F.array_distinct("toks")).alias("token")
+    )
+    ph = phrases.select(
+        "uri",
+        "phrase",
+        F.split(F.col("phrase"), " ")[0].alias("token"),
+        F.split(F.col("phrase"), " ").alias("ptoks"),
+    )
+    joined = page_tokens.join(F.broadcast(ph), "token")
+    # n_hits = token start positions where the phrase matches (overlap-safe,
+    # identical to the trie scan's definition)
+    hits = joined.withColumn(
+        "n_hits",
+        F.expr(
+            "case when size(toks) >= size(ptoks) then "
+            "cast(size(filter(sequence(0, size(toks) - size(ptoks)), "
+            "i -> slice(toks, i + 1, size(ptoks)) == ptoks)) as int) "
+            "else 0 end"
+        ),
+    ).filter(F.col("n_hits") > 0)
+    return hits.select(
+        "url", "uri", F.col("phrase").alias("surface"), "n_hits"
+    ).distinct()
+
+
+def _build_trie(phrase_rows: list[tuple[str, str]]) -> dict:
+    """Token trie: token -> subtrie; terminal phrases under the '' key as
+    a list of (uri, phrase)."""
+    root: dict = {}
+    for uri, phrase in phrase_rows:
+        node = root
+        for tok in phrase.split():
+            node = node.setdefault(tok, {})
+        node.setdefault("", []).append((uri, phrase))
+    return root
+
+
+def scan_text_py(trie: dict, text: str) -> dict[tuple[str, str], int]:
+    """Count matches of every trie phrase in normalized text. At each token
+    position, walk the trie as far as tokens match, emitting every terminal
+    passed (so nested phrases all fire). Non-overlapping per phrase is NOT
+    enforced here; counts are per start position, which equals the
+    str.count semantics for space-separated token phrases."""
+    toks = normalize_py(text).split()
+    out: dict[tuple[str, str], int] = {}
+    n = len(toks)
+    for i in range(n):
+        node = trie
+        j = i
+        while j < n and toks[j] in node:
+            node = node[toks[j]]
+            j += 1
+            for hit in node.get("", []):
+                out[hit] = out.get(hit, 0) + 1
+    return out
+
+
+def mentions_via_trie(
+    pages_text: DataFrame, phrases: DataFrame, batch_hint: int | None = None
+) -> DataFrame:
+    """Broadcast-trie scan inside mapInPandas (Arrow-batched; the trie is
+    built once per executor from a broadcast variable, not per batch)."""
+    spark = pages_text.sparkSession
+    rows = [(r["uri"], r["phrase"]) for r in phrases.select("uri", "phrase").collect()]
+    trie_bc = spark.sparkContext.broadcast(_build_trie(rows))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        trie = trie_bc.value
+        for pdf in batches:
+            urls, uris, surfaces, counts = [], [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for (uri, phrase), c in scan_text_py(trie, text).items():
+                    urls.append(url)
+                    uris.append(uri)
+                    surfaces.append(phrase)
+                    counts.append(c)
+            yield pd.DataFrame(
+                {"url": urls, "uri": uris, "surface": surfaces, "n_hits": counts}
+            ).astype({"n_hits": "int32"})
+
+    return pages_text.select("url", "text").mapInPandas(scan, schema=MENTIONS)
+
+
+def mention_triples(mentions: DataFrame, predicate: str = "kg:mentionedIn") -> DataFrame:
+    """Mentions -> (subject=concept, predicate, object=url) triples in the
+    reference's Subject/Predicate/Object shape
+    (thesis/process_data_features.py:101)."""
+    return mentions.select(
+        F.col("uri").alias("subject"),
+        F.lit(predicate).alias("predicate"),
+        F.col("url").alias("object"),
+    ).distinct()

@@ -1,0 +1,98 @@
+"""Candidate generation + labeling + sampling vs oracle."""
+
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.config import PipelineConfig
+from ontology_mapping_spark.functions.vectors import make_embed_udf
+from ontology_mapping_spark.operators import graph as G
+from ontology_mapping_spark.operators.blocking import (
+    blocking_join,
+    cap_negatives,
+    generate_candidates_with_negatives,
+    label_pairs,
+    salted_blocking_join,
+)
+from ontology_mapping_spark.operators.labels import (
+    extract_hierarchy,
+    extract_labels,
+    label_text,
+)
+from tests import oracle
+
+
+def _sides(spark, fx_dfs):
+    labels_df = extract_labels(fx_dfs["triples"])
+    lt = label_text(labels_df).cache()
+    return lt, lt.filter("side = 'src'"), lt.filter("side = 'tgt'")
+
+
+def test_blocking_join_matches_oracle(spark, fx, fx_dfs):
+    _, src_t, tgt_t = _sides(spark, fx_dfs)
+    got = {(r["src"], r["tgt"]) for r in blocking_join(src_t, tgt_t).collect()}
+    labels = oracle.extract_labels(fx.triples)
+    src = {u: v for u, v in labels.items() if u.startswith("src:")}
+    tgt = {u: v for u, v in labels.items() if u.startswith("tgt:")}
+    st = oracle.label_text_map(src)
+    tt = oracle.label_text_map(tgt)
+    want = {
+        (s, t)
+        for s, sx in st.items()
+        for t, tx in tt.items()
+        if set(sx.split()) & set(tx.split())
+    }
+    assert got == want
+    # salted variant must be semantically identical
+    got_salted = {
+        (r["src"], r["tgt"]) for r in salted_blocking_join(src_t, tgt_t).collect()
+    }
+    assert got_salted == want
+
+
+def test_negatives_generation_matches_oracle(spark, fx, fx_dfs):
+    lt, src_t, tgt_t = _sides(spark, fx_dfs)
+    edges_df = extract_hierarchy(fx_dfs["triples"])
+    closure_df = G.transitive_closure(edges_df).cache()
+    cfg = PipelineConfig(idf_negatives=7, neighbour_negatives=3)
+    got = {
+        (r["src"], r["tgt"], r["label"])
+        for r in generate_candidates_with_negatives(
+            fx_dfs["align_train"], src_t, tgt_t, edges_df, closure_df, cfg
+        ).collect()
+    }
+    labels = oracle.extract_labels(fx.triples)
+    src = {u: v for u, v in labels.items() if u.startswith("src:")}
+    tgt = {u: v for u, v in labels.items() if u.startswith("tgt:")}
+    edges = oracle.extract_edges(fx.triples)
+    want = oracle.generate_candidates_with_negatives(
+        fx.alignments_train, src, tgt, edges, None,
+        idf_negatives=7, neighbour_negatives=3, seed=cfg.sample_seed,
+    )
+    assert got == want
+
+
+def test_label_pairs_symmetric(spark, fx_dfs):
+    pairs = spark.createDataFrame(
+        [("src:C0001", "tgt:C0001"), ("tgt:C0002", "src:C0002"), ("src:C0001", "tgt:C0099")],
+        "src string, tgt string",
+    )
+    got = {
+        (r["src"], r["tgt"]): r["label"]
+        for r in label_pairs(pairs, fx_dfs["align_train"]).collect()
+    }
+    # C0001/C0002 are train positives (i%10<7); symmetric order must match too
+    assert got[("src:C0001", "tgt:C0001")] == 1
+    assert got[("tgt:C0002", "src:C0002")] == 1
+    assert got[("src:C0001", "tgt:C0099")] == 0
+
+
+def test_cap_negatives_deterministic(spark):
+    rows = [("s%d" % i, "t%d" % i, 1 if i < 4 else 0) for i in range(30)]
+    df = spark.createDataFrame(rows, "src string, tgt string, label int")
+    cfg = PipelineConfig(max_neg_per_pos=2.0)
+    out1 = cap_negatives(df, cfg)
+    out2 = cap_negatives(df, cfg)
+    s1 = {(r["src"], r["tgt"], r["label"]) for r in out1.collect()}
+    s2 = {(r["src"], r["tgt"], r["label"]) for r in out2.collect()}
+    assert s1 == s2
+    assert sum(1 for x in s1 if x[2] == 1) == 4
+    assert sum(1 for x in s1 if x[2] == 0) == 8  # 2 × positives

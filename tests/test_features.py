@@ -1,0 +1,71 @@
+"""Pairwise feature computation vs pure-Python oracle (exact per-column)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.config import PipelineConfig
+from ontology_mapping_spark.functions.vectors import make_embed_udf
+from ontology_mapping_spark.operators import graph as G
+from ontology_mapping_spark.operators.blocking import generate_candidates_with_negatives
+from ontology_mapping_spark.operators.features import compute_features
+from ontology_mapping_spark.operators.labels import (
+    extract_hierarchy,
+    extract_labels,
+    label_text,
+)
+from ontology_mapping_spark.schemas import FEATURE_COLS
+from tests import oracle
+
+DIM = 32
+
+
+def _setup(spark, fx, fx_dfs):
+    labels_df = extract_labels(fx_dfs["triples"])
+    lt = label_text(labels_df).cache()
+    edges_df = extract_hierarchy(fx_dfs["triples"])
+    closure_df = G.transitive_closure(edges_df).cache()
+    depths_df = G.depths(edges_df, closure_df).cache()
+    emb_df = lt.select("uri", make_embed_udf(DIM)(F.col("text")).alias("vec")).cache()
+    cfg = PipelineConfig(idf_negatives=5, neighbour_negatives=3, embedding_dim=DIM)
+    pairs = generate_candidates_with_negatives(
+        fx_dfs["align_train"],
+        lt.filter("side = 'src'"),
+        lt.filter("side = 'tgt'"),
+        edges_df,
+        closure_df,
+        cfg,
+    ).cache()
+    return lt, edges_df, closure_df, depths_df, emb_df, pairs, cfg
+
+
+def test_features_match_oracle(spark, fx, fx_dfs):
+    lt, edges_df, closure_df, depths_df, emb_df, pairs, cfg = _setup(spark, fx, fx_dfs)
+    got_df = compute_features(pairs, lt, emb_df, depths_df, closure_df, cfg)
+    got = {(r["src"], r["tgt"]): r.asDict() for r in got_df.collect()}
+
+    labels = oracle.extract_labels(fx.triples)
+    src = {u: v for u, v in labels.items() if u.startswith("src:")}
+    tgt = {u: v for u, v in labels.items() if u.startswith("tgt:")}
+    edges = oracle.extract_edges(fx.triples)
+    emb = oracle.embeddings_map(labels, DIM)
+    pair_list = [(r["src"], r["tgt"], r["label"]) for r in pairs.collect()]
+    want_rows = oracle.compute_features(pair_list, labels, emb, edges, src, tgt)
+    want = {(r["src"], r["tgt"]): r for r in want_rows}
+
+    assert set(got) == set(want)
+    for key, w in want.items():
+        g = got[key]
+        for col in FEATURE_COLS + ["label"]:
+            # 1e-6: engine vectors round-trip through float32 parquet/arrow
+            assert math.isclose(
+                g[col], w[col], rel_tol=1e-6, abs_tol=1e-6
+            ), f"{key} {col}: got {g[col]} want {w[col]}"
+
+
+def test_features_ablation_drops_token_stats(spark, fx, fx_dfs):
+    lt, edges_df, closure_df, depths_df, emb_df, pairs, cfg = _setup(spark, fx, fx_dfs)
+    df = compute_features(pairs, lt, emb_df, depths_df, closure_df, cfg, ablation=True)
+    assert "shared_tokens_count" not in df.columns
+    assert "token_ratio_c1" not in df.columns
+    assert "weighted_jaccard" in df.columns
