@@ -96,22 +96,36 @@ def make_fixture(
             rng.choice(_MODIFIERS)
         ]
         matched = i < n_pairs
+        # matched pairs share synonym sets (real aligned concepts do); the
+        # target side gets mild noise: drop/add one, reorder the core
+        shared_syns = [
+            _concept_phrase(rng, [rng.choice(_VOCAB_STEMS)])
+            for _ in range(rng.randint(0, 3))
+        ]
         for side in ("src", "tgt"):
             u = uri(side, i)
             if matched:
-                # matching pair shares core tokens; target may reorder or
-                # swap the modifier (hard-ish positives)
                 words = list(core)
+                syns = list(shared_syns)
                 if side == "tgt":
-                    if rng.random() < 0.3:
+                    # exactly one noise op per matched target (hard-ish but
+                    # learnable positives)
+                    r = rng.random()
+                    if r < 0.2:
                         words[-1] = rng.choice(_MODIFIERS)
-                    if rng.random() < 0.3:
+                    elif r < 0.4:
                         words = list(reversed(words))
+                    elif r < 0.55 and syns:
+                        syns.pop(rng.randrange(len(syns)))
+                    elif r < 0.7:
+                        syns.append(_concept_phrase(rng, [rng.choice(_VOCAB_STEMS)]))
                 pref = " ".join(words)
             else:
-                pref = _concept_phrase(
-                    rng, rng.sample(_VOCAB_STEMS, k=2)
-                )
+                pref = _concept_phrase(rng, rng.sample(_VOCAB_STEMS, k=2))
+                syns = [
+                    _concept_phrase(rng, [rng.choice(_VOCAB_STEMS)])
+                    for _ in range(rng.randint(0, 3))
+                ]
             # decorate a few labels with greek/typographic chars
             if rng.random() < 0.08:
                 pref = pref + " " + rng.choice(_DECOR)
@@ -119,8 +133,7 @@ def make_fixture(
                 {"subject": u, "predicate": P_LABEL, "object": pref, "lang": "en"}
             )
             fx.pref_labels[u] = pref
-            for _ in range(rng.randint(0, 3)):
-                syn = _concept_phrase(rng, [rng.choice(_VOCAB_STEMS)])
+            for syn in syns:
                 fx.triples.append(
                     {
                         "subject": u,

@@ -1,0 +1,81 @@
+"""End-to-end pipeline: P/R gates + resume semantics (SURVEY.md §5 items 3-4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.config import PipelineConfig
+from ontology_mapping_spark.fixtures import fixture_dataframes, make_fixture
+from ontology_mapping_spark.ml.evaluate import triple_pr
+from ontology_mapping_spark.operators.mentions import label_phrases
+from ontology_mapping_spark.plans.pipeline import run_pipeline
+from tests import oracle
+from tests.test_mentions import naive_mentions, _phrase_rows
+
+
+@pytest.fixture(scope="module")
+def e2e(spark, tmp_path_factory):
+    fx = make_fixture(n_pairs=80, n_extra_per_side=30, n_pages=200, seed=42)
+    triples, train, test, pages = fixture_dataframes(spark, fx)
+    workdir = str(tmp_path_factory.mktemp("pipeline"))
+    cfg = PipelineConfig(idf_negatives=20, neighbour_negatives=10)
+    res = run_pipeline(
+        spark, triples, train, test, pages, workdir, cfg, n_estimators=20
+    )
+    return fx, res, (triples, train, test, pages), workdir, cfg
+
+
+def test_mention_triples_match_oracle_exactly(spark, e2e):
+    fx, res, _, _, cfg = e2e
+    pages_rows = [(p["url"], p["text"]) for p in fx.web_pages if p["lang"] == "en"]
+    want_rows = naive_mentions(pages_rows, _phrase_rows(fx))
+    want = spark.createDataFrame(
+        [(uri, "kg:mentionedIn", url) for (url, uri, _ph) in want_rows],
+        "subject string, predicate string, object string",
+    )
+    pr = triple_pr(res.mention_triples, want)
+    assert pr["precision"] == 1.0 and pr["recall"] == 1.0, pr
+
+
+def test_link_quality_meets_baseline(spark, e2e):
+    _, res, _, _, _ = e2e
+    rep = {r["class"]: r for r in res.report.collect()}
+    match = rep["1"]
+    assert match["precision"] >= 0.95, dict(match.asDict())
+    assert match["recall"] >= 0.95, dict(match.asDict())
+
+
+def test_emitted_triples_nonempty_and_canonical(spark, e2e):
+    fx, res, _, _, cfg = e2e
+    kinds = {
+        r["predicate"]
+        for r in res.triples.select("predicate").distinct().collect()
+    }
+    assert "kg:mentionedIn" in kinds and "kg:sameAs" in kinds
+    assert res.triples.count() > 0
+
+
+def test_resume_skips_stages_and_is_identical(spark, e2e):
+    fx, res, dfs, workdir, cfg = e2e
+    triples, train, test, pages = dfs
+    before = {
+        (r["subject"], r["predicate"], r["object"]) for r in res.triples.collect()
+    }
+    res2 = run_pipeline(
+        spark, triples, train, test, pages, workdir, cfg, n_estimators=20
+    )
+    # every stage skipped on the second run
+    assert all(ev == "skipped" for _, ev in res2.runner.events), res2.runner.events
+    assert res2.model is None  # training skipped too
+    after = {
+        (r["subject"], r["predicate"], r["object"]) for r in res2.triples.collect()
+    }
+    assert before == after
+
+
+def test_manifests_record_lineage_and_metrics(spark, e2e):
+    _, res, _, _, _ = e2e
+    m = res.runner.manifest("kg_triples")
+    assert m["rows"] > 0
+    assert m["inputs"] == ["mentions", "components", "predictions"]
+    assert sum(m["partition_metrics"].values()) == m["rows"]
+    assert res.runner.manifest("closure")["inputs"] == ["edges"]
