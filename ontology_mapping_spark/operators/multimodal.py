@@ -1,0 +1,118 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct;
+decode / feature-extraction / resize / frame-sampling run as Arrow-batched
+``mapInPandas`` operators. The decode kernels themselves are STUBS in this
+container (no image/audio libraries): :func:`decode_image_real` raises
+``NotImplementedError`` with the integration note, and the default is a
+clearly-marked deterministic fake (md5-seeded feature vector) so the
+Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
+is real and fully tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+    ]
+)
+
+
+def decode_image_real(payload: bytes):
+    """Real decoder slot. Plug Pillow/torchvision here when the executor
+    image ships those libs (load once per executor at module level)."""
+    raise NotImplementedError(
+        "image decoding requires an image library not present in this "
+        "container; the deterministic fake below exercises the identical "
+        "Spark plumbing"
+    )
+
+
+def fake_feature(payload: bytes | None, dim: int = 16) -> list[float]:
+    """DETERMINISTIC FAKE decode+embed: md5-seeded unit vector. Stands in
+    for decode->resize->model.forward; same signature, same batch shape."""
+    if payload is None:
+        return [0.0] * dim
+    h = hashlib.md5(bytes(payload)).digest()
+    rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+    v = rng.standard_normal(dim)
+    v /= np.linalg.norm(v)
+    return [float(x) for x in np.round(v, 6)]
+
+
+def extract_media_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """binary payload -> feature vector, one Arrow batch at a time."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_feature(p, dim) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                }
+            ).astype({"n_bytes": "int32"})
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=FEATURES_SCHEMA
+    )
+
+
+def sample_video_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling plumbing: emits (media_id, frame_idx, ts_ms) rows per
+    video from metadata (payload decode is the stubbed kernel). One input
+    row fans out to <= max_frames rows — the schema/partitioning shape a
+    real decoder would fill."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.least(
+                        F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / every_ms,
+                        F.lit(max_frames - 1),
+                    ).cast("int"),
+                )
+            ).alias("frame_idx"),
+        )
+        .withColumn("ts_ms", F.col("frame_idx") * every_ms)
+    )

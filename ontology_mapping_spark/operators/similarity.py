@@ -1,0 +1,159 @@
+"""Similarity search over an embedding column (array<float>).
+
+* :func:`cosine_topk_bruteforce` — exact baseline: query × corpus join with
+  a JVM-side cosine (zip_with/aggregate) and a per-query top-k window.
+  O(|Q|·|C|); correct at any scale where |Q| is small (the scoring join is
+  a broadcast of the queries, so the corpus is scanned once).
+* :func:`sign_lsh_buckets` / :func:`ann_lsh_topk` — random-hyperplane
+  (sign) LSH: deterministic hyperplanes drawn on the driver from a seeded
+  RNG, broadcast as literals; bucket = sign-bit string; candidates share a
+  bucket in >= 1 of ``tables`` independent tables; exact cosine re-rank.
+* :func:`ann_ivf_topk` — IVF: KMeans coarse quantizer, each corpus vector
+  assigned to its nearest centroid; a query probes its ``nprobe`` closest
+  centroids and re-ranks exactly within them. The scale path: the probe is
+  an equi-join on centroid id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.functions.vectors import cosine_col
+
+
+def _topk(scored: DataFrame, k: int, q: str = "q_id", score: str = "cos") -> DataFrame:
+    w = Window.partitionBy(q).orderBy(F.col(score).desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q, "c_id", score, "rank")
+    )
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,  # (q_id, vec)
+    corpus: DataFrame,   # (c_id, vec)
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine: (q_id, c_id, cos, rank)."""
+    q = queries.select(F.col("q_id"), F.col("vec").alias("qv"))
+    c = corpus.select(F.col("c_id"), F.col("vec").alias("cv"))
+    scored = F.broadcast(q).crossJoin(c).withColumn(
+        "cos", cosine_col(F.col("qv"), F.col("cv"))
+    )
+    return _topk(scored, k)
+
+
+def _hyperplanes(dim: int, nbits: int, tables: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables, nbits, dim))
+
+
+def sign_lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    dim: int,
+    nbits: int = 8,
+    tables: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, table, bucket): sign-bit bucket per hash table. Hyperplane dot
+    products are pure Catalyst (aggregate over zip_with against literal
+    arrays) — no Python in the hot path."""
+    planes = _hyperplanes(dim, nbits, tables, seed)
+    rows = []
+    for t in range(tables):
+        bits = []
+        for b in range(nbits):
+            lit_vec = F.array(*[F.lit(float(x)) for x in planes[t, b]])
+            dot = F.aggregate(
+                F.zip_with(F.col("vec"), lit_vec, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+        rows.append(
+            df.select(
+                F.col(id_col),
+                F.lit(t).alias("table"),
+                F.concat(*bits).alias("bucket"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    nbits: int = 8,
+    tables: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in any table, then
+    exact cosine re-rank. Recall < 1 by construction; raise ``tables`` or
+    lower ``nbits`` for higher recall."""
+    qb = sign_lsh_buckets(queries.select(F.col("q_id").alias("id"), "vec"), "id", dim, nbits, tables, seed)
+    cb = sign_lsh_buckets(corpus.select(F.col("c_id").alias("id"), "vec"), "id", dim, nbits, tables, seed)
+    cands = (
+        qb.select(F.col("id").alias("q_id"), "table", "bucket")
+        .join(cb.select(F.col("id").alias("c_id"), "table", "bucket"), ["table", "bucket"])
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    scored = (
+        cands.join(queries.select("q_id", F.col("vec").alias("qv")), "q_id")
+        .join(corpus.select("c_id", F.col("vec").alias("cv")), "c_id")
+        .withColumn("cos", cosine_col(F.col("qv"), F.col("cv")))
+    )
+    return _topk(scored, k)
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF: coarse-quantize the corpus with KMeans; a query scans only its
+    ``nprobe`` nearest inverted lists. Returns (q_id, c_id, cos, rank)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus_v = corpus.select(
+        "c_id", "vec", array_to_vector(F.col("vec")).alias("fv")
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="fv", predictionCol="list_id")
+    model = km.fit(corpus_v)
+    assigned = model.transform(corpus_v).select("c_id", "vec", "list_id")
+
+    centers = model.clusterCenters()
+    spark = corpus.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "list_id int, center array<double>",
+    )
+    # query -> nprobe nearest centroids (centroid table is tiny: broadcast)
+    q_centers = (
+        F.broadcast(centers_df)
+        .crossJoin(queries.select("q_id", F.col("vec").alias("qv")))
+        .withColumn("cdist", cosine_col(F.col("qv"), F.col("center")))
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cdist").desc(), F.col("list_id"))
+    probes = (
+        q_centers.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("q_id", "qv", "list_id")
+    )
+    scored = probes.join(assigned, "list_id").withColumn(
+        "cos", cosine_col(F.col("qv"), F.col("vec"))
+    )
+    return _topk(scored, k)

@@ -1,0 +1,131 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All pure Catalyst expressions (codegen'd, no
+Python), designed for the documents/web_pages fact tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.textnorm import normalize_col
+
+# small deterministic stopword profiles for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "en", "por"],
+}
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Whitespace token count of normalized text (0 for empty)."""
+    n = normalize_col(text)
+    return F.when(n == "", F.lit(0)).otherwise(F.size(F.split(n, " "))).cast("int")
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish subword proxy: count of [a-z]+ / digit-runs / single
+    non-alnum symbols (the classic pre-tokenizer regex)."""
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    ).cast("int")
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = F.split(normalize_col(text), " ")
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(0.0)
+
+
+def detect_lang(text: Column, langs: list[str] | None = None) -> Column:
+    """argmax over per-language stopword ratios; 'und' when all zero.
+    (Heuristic language-ID — the real model slots into the same column.)"""
+    langs = langs or list(LANG_STOPWORDS)
+    scores = [stopword_ratio(text, lg) for lg in langs]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    out = F.lit("und")
+    # reverse order so earlier langs win ties
+    for lg, sc in reversed(list(zip(langs, scores))):
+        out = F.when((sc == best) & (best > 0), F.lit(lg)).otherwise(out)
+    return out
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword / digit ratios — the standard
+    web-text quality signals."""
+    raw_len = F.length(text)
+    n = normalize_col(text)
+    toks = F.split(n, " ")
+    n_toks = F.when(n == "", 0).otherwise(F.size(toks))
+    alpha = F.length(F.regexp_replace(F.lower(text), r"[^a-z]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    mean_tok_len = F.when(
+        n_toks > 0, F.length(F.regexp_replace(n, " ", "")).cast("double") / n_toks
+    ).otherwise(0.0)
+    return {
+        "n_chars": raw_len.cast("int"),
+        "n_tokens": n_toks.cast("int"),
+        "mean_token_len": mean_tok_len,
+        "alpha_ratio": F.when(raw_len > 0, alpha.cast("double") / raw_len).otherwise(0.0),
+        "digit_ratio": F.when(raw_len > 0, digits.cast("double") / raw_len).otherwise(0.0),
+        "punct_ratio": F.when(raw_len > 0, punct.cast("double") / raw_len).otherwise(0.0),
+        "stopword_ratio": stopword_ratio(text, "en"),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar [0,1] quality heuristic: rewards alpha-heavy, stopword-bearing
+    prose with sane token lengths; penalizes punctuation/digit soup."""
+    f = quality_features(text)
+    tok_len_ok = F.when(
+        (f["mean_token_len"] >= 2.5) & (f["mean_token_len"] <= 10.0), 1.0
+    ).otherwise(0.0)
+    score = (
+        0.4 * f["alpha_ratio"]
+        + 0.2 * F.least(f["stopword_ratio"] * F.lit(4.0), F.lit(1.0))
+        + 0.2 * tok_len_ok
+        + 0.2 * (1.0 - F.least(f["punct_ratio"] * F.lit(4.0), F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Whole-document fingerprint: md5 of normalized text (dedup key)."""
+    return F.md5(normalize_col(text))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kgram: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer et al.): per sliding window of ``window``
+    consecutive character-k-gram hashes keep the minimum -> (id, fp) rows,
+    the local-fingerprint set used for plagiarism-style containment
+    detection. Pure Catalyst: substring k-grams + windowed min via
+    transform over index sequences."""
+    df2 = df.withColumn("__n", normalize_col(F.col(text_col)))
+    grams = F.when(
+        F.length("__n") >= kgram,
+        F.transform(
+            F.sequence(F.lit(1), F.length("__n") - kgram + 1),
+            lambda i: F.md5(F.col("__n").substr(i, F.lit(kgram))),
+        ),
+    ).otherwise(F.array(F.md5(F.col("__n"))))
+    df2 = df2.withColumn("__grams", grams)
+    mins = F.array_distinct(
+        F.when(
+            F.size("__grams") >= window,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__grams") - window),
+                lambda i: F.array_min(F.slice(F.col("__grams"), i + 1, window)),
+            ),
+        ).otherwise(F.array(F.array_min(F.col("__grams"))))
+    )
+    return df2.select(F.col(id_col), F.explode(mins).alias("fp"))

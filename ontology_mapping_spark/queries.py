@@ -1,0 +1,920 @@
+"""Driver-contract query catalog: each entry pairs a Spark DataFrame
+implementation (built from the engine's operators) with an ANSI-SQL oracle
+DuckDB runs on the same parquet tables (CORRECTNESS gate).
+
+Conventions that make the cross-engine value-hash exact:
+* every computed column is aliased identically on both sides;
+* float aggregates are rounded (6 dp unless noted); counts/sums cast to
+  BIGINT;
+* all rankings carry explicit deterministic tie-breaks;
+* shared text normalization is the golden ``normalize`` in both dialects.
+
+Synthetic graph convention (used by the graph-operator queries): the part
+table induces a binary tree ``child=p_partkey, parent=p_partkey // 2`` for
+p_partkey >= 2 — a deterministic, sf-scalable DAG both engines derive
+identically. The connected-components forest drops edges of children
+divisible by 13.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.functions.strings import token_jaccard_col, tokens_col
+from ontology_mapping_spark.functions.vectors import cosine_col
+from ontology_mapping_spark.operators import graph as G
+from ontology_mapping_spark.operators.dedup import exact_dedup, minhash_signatures, simhash
+from ontology_mapping_spark.operators.sampling import sample_per_group
+from ontology_mapping_spark.operators.textstats import (
+    LANG_STOPWORDS,
+    quality_features,
+    stopword_ratio,
+    whitespace_token_count,
+)
+from ontology_mapping_spark.textnorm import normalize_col, normalize_sql
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QueryFn]:
+    return dict(_REGISTRY)
+
+
+def oracles() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# --------------------------------------------------------------------------
+# §2.2 scans / filters / projections / derived columns
+# --------------------------------------------------------------------------
+
+@query(
+    "filter_project",
+    "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'F'",
+)
+def q_filter_project(spark, sf):
+    # positive-alignment filter+project (thesis/main.py:56,62)
+    return (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+@query(
+    "derived_label",
+    "SELECT o_orderkey, CAST(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS INT) AS label FROM orders",
+)
+def q_derived_label(spark, sf):
+    # scalar predicate -> label column (thesis/main.py:54,61)
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice") > 150000).cast("int").alias("label"),
+    )
+
+
+@query(
+    "triple_pattern_scan",
+    "SELECT event_id, user_id FROM events WHERE event_type = 'click'",
+)
+def q_triple_pattern_scan(spark, sf):
+    # fixed-predicate triple-pattern scan (thesis/process_data_features.py:14)
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+
+@query(
+    "broadcast_lookup_join",
+    """SELECT p.p_brand AS brand,
+              CAST(count(*) AS BIGINT) AS n_items,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       GROUP BY p.p_brand""",
+)
+def q_broadcast_lookup_join(spark, sf):
+    # per-pair dim lookup as broadcast hash join (thesis/process_data_features.py:147-149)
+    li, part = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+_NORM_DOC = normalize_sql("p_name", "duckdb")
+
+@query(
+    "blocking_token_join",
+    f"""WITH s AS (SELECT p_partkey AS src, unnest(string_split({_NORM_DOC}, ' ')) AS token
+                   FROM part WHERE p_partkey % 2 = 0),
+            t AS (SELECT p_partkey AS tgt, unnest(string_split({_NORM_DOC}, ' ')) AS token
+                   FROM part WHERE p_partkey % 2 = 1)
+       SELECT DISTINCT s.src, t.tgt FROM s JOIN t USING (token)""",
+)
+def q_blocking_token_join(spark, sf):
+    # the inverted-index blocking join (thesis/generate_candidates.py:99-124)
+    from ontology_mapping_spark.operators.blocking import blocking_join
+    from ontology_mapping_spark.config import PipelineConfig
+
+    part = _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("uri"), normalize_col("p_name").alias("text")
+    )
+    src = part.filter(F.col("uri") % 2 == 0)
+    tgt = part.filter(F.col("uri") % 2 == 1)
+    cfg = PipelineConfig(max_token_df=None)
+    return blocking_join(src, tgt, cfg)
+
+
+@query(
+    "sibling_2hop_join",
+    """WITH e AS (SELECT p_partkey AS child, p_partkey // 2 AS parent FROM part WHERE p_partkey >= 2)
+       SELECT e1.child AS a, e2.child AS b
+       FROM e e1 JOIN e e2 ON e1.parent = e2.parent AND e1.child <> e2.child""",
+)
+def q_sibling_2hop_join(spark, sf):
+    # sibling lookup as 2-hop self-join (thesis/generate_candidates.py:137-139)
+    edges = _part_edges(spark, sf)
+    return G.siblings(edges)
+
+
+@query(
+    "anti_join_exclusion",
+    "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+)
+def q_anti_join(spark, sf):
+    # membership anti-filter (thesis/generate_candidates.py:130-131)
+    return (
+        _t(spark, sf, "customer")
+        .join(
+            _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .select("c_custkey")
+    )
+
+
+@query(
+    "semi_join_flag",
+    "SELECT DISTINCT c.c_custkey FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def q_semi_join(spark, sf):
+    # shared-parent existence flag pattern (thesis/pre_processing_data.py:270-273)
+    return (
+        _t(spark, sf, "customer")
+        .join(
+            _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_semi",
+        )
+        .select("c_custkey")
+    )
+
+
+@query(
+    "left_label_join",
+    """SELECT c.c_custkey,
+              CAST(CASE WHEN count(o.o_orderkey) > 0 THEN 1 ELSE 0 END AS INT) AS label
+       FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_custkey""",
+)
+def q_left_label_join(spark, sf):
+    # positive-label assignment via left join (thesis/generate_candidates.py:13-31)
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg((F.count("o_orderkey") > 0).cast("int").alias("label"))
+    )
+
+
+@query(
+    "canonical_pair_order",
+    """SELECT DISTINCT least(l_partkey, l_suppkey) AS lo, greatest(l_partkey, l_suppkey) AS hi
+       FROM lineitem""",
+)
+def q_canonical_pair(spark, sf):
+    # symmetric pair canonicalization (thesis/generate_candidates.py:14-19)
+    from ontology_mapping_spark.operators.sampling import canonical_pair
+
+    li = _t(spark, sf, "lineitem")
+    lo, hi = canonical_pair(F.col("l_partkey"), F.col("l_suppkey"))
+    return li.select(lo.alias("lo"), hi.alias("hi")).distinct()
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations
+# --------------------------------------------------------------------------
+
+@query(
+    "group_collect_labels",
+    """SELECT p_brand AS uri, string_agg(DISTINCT p_type, '|' ORDER BY p_type) AS labels
+       FROM part GROUP BY p_brand""",
+)
+def q_group_collect(spark, sf):
+    # collect labels per subject (thesis/process_data_features.py:12-24)
+    return (
+        _t(spark, sf, "part")
+        .groupBy(F.col("p_brand").alias("uri"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("p_type")), "|").alias("labels")
+        )
+    )
+
+
+@query(
+    "pricing_summary_agg",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(avg(l_quantity), 6) AS avg_qty,
+              round(avg(l_discount), 6) AS avg_disc,
+              CAST(count(*) AS BIGINT) AS count_order
+       FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q_pricing_summary(spark, sf):
+    # the classic partial+final hash aggregate (metric averaging family,
+    # thesis/main.py:135-145)
+    return (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "classification_report_agg",
+    """WITH preds AS (
+           SELECT CAST(p_size > 25 AS INT) AS label, CAST(p_retailprice > 1400 AS INT) AS prediction
+           FROM part),
+       cm AS (SELECT label, prediction, count(*) AS n FROM preds GROUP BY 1, 2),
+       cls AS (SELECT DISTINCT label AS class FROM cm UNION SELECT DISTINCT prediction FROM cm),
+       tp AS (SELECT label AS class, n AS tp FROM cm WHERE label = prediction),
+       sup AS (SELECT label AS class, CAST(sum(n) AS BIGINT) AS support FROM cm GROUP BY 1),
+       prd AS (SELECT prediction AS class, sum(n) AS n_pred FROM cm GROUP BY 1)
+       SELECT CAST(cls.class AS VARCHAR) AS class,
+              round(coalesce(coalesce(tp.tp, 0) * 1.0 / nullif(prd.n_pred, 0), 0), 6) AS precision,
+              round(coalesce(coalesce(tp.tp, 0) * 1.0 / nullif(sup.support, 0), 0), 6) AS recall,
+              coalesce(sup.support, 0) AS support
+       FROM cls LEFT JOIN tp USING (class) LEFT JOIN sup USING (class) LEFT JOIN prd USING (class)""",
+)
+def q_classification_report(spark, sf):
+    # classification_report as groupBy aggregation (thesis/main.py:124)
+    from ontology_mapping_spark.ml.evaluate import classification_report
+
+    preds = _t(spark, sf, "part").select(
+        (F.col("p_size") > 25).cast("int").alias("label"),
+        (F.col("p_retailprice") > 1400).cast("int").alias("prediction"),
+    )
+    rep = classification_report(preds)
+    return rep.filter(~F.col("class").isin("accuracy", "macro avg", "weighted avg")).select(
+        "class",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        "support",
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 sort / top-k / sampling / set ops
+# --------------------------------------------------------------------------
+
+@query(
+    "topk_per_group",
+    """SELECT l_orderkey, l_linenumber, CAST(rk AS INT) AS rank FROM (
+         SELECT l_orderkey, l_linenumber,
+                row_number() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rk
+         FROM lineitem) WHERE rk <= 3""",
+)
+def q_topk_per_group(spark, sf):
+    # per-source top-k (thesis/generate_candidates.py:64-67); Spark >=3.5
+    # rewrites the row_number filter to a per-partition group limit
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    return (
+        _t(spark, sf, "lineitem")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("l_orderkey", "l_linenumber", "rank")
+    )
+
+
+@query(
+    "global_topn",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+)
+def q_global_topn(spark, sf):
+    # hard row cap with deterministic order (thesis/pre_processing_data.py:300-301)
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "deterministic_sample",
+    """SELECT l_orderkey, l_linenumber FROM (
+         SELECT l_orderkey, l_linenumber,
+                row_number() OVER (
+                  PARTITION BY l_orderkey
+                  ORDER BY md5(concat(l_orderkey, '|', l_linenumber, '|', '42'))
+                ) AS rk
+         FROM lineitem) WHERE rk <= 2""",
+)
+def q_deterministic_sample(spark, sf):
+    # the canonical md5-ordered sampler replacing random.sample
+    # (thesis/generate_candidates.py:127,144)
+    li = _t(spark, sf, "lineitem")
+    return sample_per_group(
+        li, ["l_orderkey"], ["l_orderkey", "l_linenumber"], 2, seed=42
+    ).select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "dedup_exact",
+    """SELECT doc_id FROM (
+         SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+         FROM documents) WHERE rk = 1""",
+)
+def q_dedup_exact(spark, sf):
+    # exact dedup via hash-groupBy (training-data op; dedup family)
+    return exact_dedup(_t(spark, sf, "documents")).select("doc_id")
+
+
+@query(
+    "union_sides",
+    """SELECT side, CAST(count(*) AS BIGINT) AS n FROM (
+         SELECT CASE WHEN p_partkey % 2 = 0 THEN 'src' ELSE 'tgt' END AS side FROM part)
+       GROUP BY side""",
+)
+def q_union_sides(spark, sf):
+    # two-ontology union with side tag (thesis/main.py:45-46)
+    part = _t(spark, sf, "part")
+    src = part.filter(F.col("p_partkey") % 2 == 0).withColumn("side", F.lit("src"))
+    tgt = part.filter(F.col("p_partkey") % 2 == 1).withColumn("side", F.lit("tgt"))
+    return src.unionByName(tgt).groupBy("side").agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# §2.6 graph operators (synthetic part-tree: child=p, parent=p//2, p>=2)
+# --------------------------------------------------------------------------
+
+def _part_edges(spark, sf) -> DataFrame:
+    return (
+        _t(spark, sf, "part")
+        .filter(F.col("p_partkey") >= 2)
+        .select(
+            F.col("p_partkey").cast("string").alias("child"),
+            F.floor(F.col("p_partkey") / 2).cast("bigint").cast("string").alias("parent"),
+        )
+    )
+
+
+_EDGES_SQL = (
+    "SELECT CAST(p_partkey AS VARCHAR) AS child, CAST(p_partkey // 2 AS VARCHAR) AS parent "
+    "FROM part WHERE p_partkey >= 2"
+)
+
+@query(
+    "transitive_closure",
+    f"""WITH RECURSIVE e AS ({_EDGES_SQL}),
+       anc(node, ancestor, dist) AS (
+         SELECT child, parent, 1 FROM e
+         UNION
+         SELECT a.node, e.parent, a.dist + 1 FROM anc a JOIN e ON a.ancestor = e.child)
+       SELECT node, ancestor, CAST(max(dist) AS INT) AS dist FROM anc GROUP BY node, ancestor""",
+)
+def q_transitive_closure(spark, sf):
+    # the materialized-once ancestor table via path-doubling self-joins
+    # (engine form of nx.ancestors, thesis/process_data_features.py:127-128)
+    return G.transitive_closure(_part_edges(spark, sf))
+
+
+@query(
+    "node_depths",
+    f"""WITH RECURSIVE e AS ({_EDGES_SQL}),
+       anc(node, ancestor, dist) AS (
+         SELECT child, parent, 1 FROM e
+         UNION
+         SELECT a.node, e.parent, a.dist + 1 FROM anc a JOIN e ON a.ancestor = e.child),
+       nodes AS (SELECT child AS node FROM e UNION SELECT parent FROM e)
+       SELECT n.node, CAST(coalesce(max(a.dist), 0) AS INT) AS depth
+       FROM nodes n LEFT JOIN anc a ON a.node = n.node GROUP BY n.node""",
+)
+def q_node_depths(spark, sf):
+    # longest-path depths (canonical max-parent semantics of
+    # thesis/process_data_features.py:116-120; see SURVEY §2.6 wrinkle)
+    edges = _part_edges(spark, sf)
+    return G.depths(edges)
+
+
+_FOREST_SQL = (
+    "SELECT CAST(p_partkey AS VARCHAR) AS u, CAST(p_partkey // 2 AS VARCHAR) AS v "
+    "FROM part WHERE p_partkey >= 2 AND p_partkey % 13 <> 0"
+)
+
+@query(
+    "connected_components",
+    f"""WITH RECURSIVE e0 AS ({_FOREST_SQL}),
+       verts AS (SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+       und AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       reach(node, r) AS (
+         SELECT node, node FROM verts
+         UNION
+         SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u)
+       SELECT node, min(r) AS component FROM reach GROUP BY node""",
+)
+def q_connected_components(spark, sf):
+    # large-star/small-star CC (canonicalization stage; generalizes the
+    # exactMatch overlap check, thesis/pre_processing_data.py:337-341)
+    forest = (
+        _t(spark, sf, "part")
+        .filter((F.col("p_partkey") >= 2) & (F.col("p_partkey") % 13 != 0))
+        .select(
+            F.col("p_partkey").cast("string").alias("u"),
+            F.floor(F.col("p_partkey") / 2).cast("bigint").cast("string").alias("v"),
+        )
+    )
+    return G.connected_components(forest)
+
+
+@query(
+    "shared_ancestor_stats",
+    f"""WITH RECURSIVE e AS ({_EDGES_SQL}),
+       anc(node, ancestor) AS (
+         SELECT child, parent FROM e
+         UNION
+         SELECT a.node, e.parent FROM anc a JOIN e ON a.ancestor = e.child),
+       pairs AS (SELECT CAST(p_partkey AS VARCHAR) AS src, CAST(p_partkey + 1 AS VARCHAR) AS tgt
+                 FROM part WHERE p_partkey % 20 = 0 AND p_partkey >= 2),
+       cnt AS (SELECT node, count(*) AS n_anc FROM anc GROUP BY node),
+       shared AS (
+         SELECT p.src, p.tgt, count(*) AS shared_anc
+         FROM pairs p JOIN anc a1 ON a1.node = p.src JOIN anc a2 ON a2.node = p.tgt AND a2.ancestor = a1.ancestor
+         GROUP BY p.src, p.tgt)
+       SELECT p.src, p.tgt,
+              CAST(coalesce(s.shared_anc, 0) AS BIGINT) AS shared_anc,
+              round(coalesce(s.shared_anc, 0) * 1.0 /
+                    nullif(coalesce(c1.n_anc, 0) + coalesce(c2.n_anc, 0) - coalesce(s.shared_anc, 0), 0), 6)
+                AS ancestor_jaccard
+       FROM pairs p
+       LEFT JOIN shared s ON s.src = p.src AND s.tgt = p.tgt
+       LEFT JOIN cnt c1 ON c1.node = p.src
+       LEFT JOIN cnt c2 ON c2.node = p.tgt""",
+)
+def q_shared_ancestor_stats(spark, sf):
+    # ancestor-set intersection via the closure (thesis/process_data_features.py:139-154)
+    from ontology_mapping_spark.operators.features import ancestor_pair_stats
+
+    closure = G.transitive_closure(_part_edges(spark, sf))
+    pairs = (
+        _t(spark, sf, "part")
+        .filter((F.col("p_partkey") % 20 == 0) & (F.col("p_partkey") >= 2))
+        .select(
+            F.col("p_partkey").cast("string").alias("src"),
+            (F.col("p_partkey") + 1).cast("string").alias("tgt"),
+        )
+    )
+    st = ancestor_pair_stats(pairs, closure)
+    union = F.col("n_anc_src") + F.col("n_anc_tgt") - F.col("shared_anc")
+    return st.select(
+        "src",
+        "tgt",
+        F.col("shared_anc").cast("bigint").alias("shared_anc"),
+        F.round(
+            F.when(union > 0, F.col("shared_anc").cast("double") / union),
+            6,
+        ).alias("ancestor_jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.7 string / math scalar functions
+# --------------------------------------------------------------------------
+
+_PAIRS_SQL = """pairs AS (
+    SELECT a.p_partkey AS id_a, {norm_a} AS la, {norm_b} AS lb
+    FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+    WHERE a.p_partkey % 2 = 0)""".format(
+    norm_a=normalize_sql("a.p_name", "duckdb"), norm_b=normalize_sql("b.p_name", "duckdb")
+)
+
+
+def _part_pairs(spark, sf) -> DataFrame:
+    a = _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("id_a"), normalize_col("p_name").alias("la")
+    ).filter(F.col("id_a") % 2 == 0)
+    b = _t(spark, sf, "part").select(
+        (F.col("p_partkey") - 1).alias("id_a"), normalize_col("p_name").alias("lb")
+    )
+    return a.join(b, "id_a")
+
+
+@query(
+    "lexical_features",
+    f"""WITH {_PAIRS_SQL}
+       SELECT id_a,
+              CAST(la = lb AS INT) AS exact_string_match,
+              CAST(levenshtein(la, lb) AS INT) AS levenshtein_distance,
+              round(len(list_intersect(list_distinct(string_split(la, ' ')), list_distinct(string_split(lb, ' ')))) * 1.0 /
+                    nullif(len(list_distinct(list_concat(string_split(la, ' '), string_split(lb, ' ')))), 0), 6)
+                AS weighted_jaccard,
+              CAST(len(list_intersect(list_distinct(string_split(la, ' ')), list_distinct(string_split(lb, ' ')))) AS INT)
+                AS shared_tokens_count
+       FROM pairs""",
+)
+def q_lexical_features(spark, sf):
+    # exact match / levenshtein / token jaccard / shared tokens
+    # (thesis/process_data_features.py:156-171)
+    p = _part_pairs(spark, sf)
+    return p.select(
+        "id_a",
+        (F.col("la") == F.col("lb")).cast("int").alias("exact_string_match"),
+        F.levenshtein("la", "lb").cast("int").alias("levenshtein_distance"),
+        F.round(token_jaccard_col(F.col("la"), F.col("lb")), 6).alias("weighted_jaccard"),
+        F.size(F.array_intersect(tokens_col(F.col("la")), tokens_col(F.col("lb"))))
+        .cast("int")
+        .alias("shared_tokens_count"),
+    )
+
+
+@query(
+    "normalize_golden_hash",
+    f"SELECT doc_id, md5({normalize_sql('text', 'duckdb')}) AS h FROM documents",
+)
+def q_normalize_golden(spark, sf):
+    # the byte-identical normalize contract, cross-engine
+    # (thesis/process_data_features.py:183-187)
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.md5(normalize_col("text")).alias("h")
+    )
+
+
+@query(
+    "natural_word_order",
+    """SELECT p_partkey, array_to_string(list_reverse(string_split_regex(p_name, '\\s?,\\s?')), ' ') AS reordered
+       FROM part""",
+)
+def q_natural_word_order(spark, sf):
+    # comma-segment reversal (thesis/normalization.py:333-348)
+    from ontology_mapping_spark.functions.strings import natural_word_order_col
+
+    return _t(spark, sf, "part").select(
+        "p_partkey", natural_word_order_col("p_name").alias("reordered")
+    )
+
+
+@query(
+    "cosine_pairs",
+    """SELECT a.vec_id AS id_a,
+              round(list_cosine_similarity(
+                      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                      list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 5) AS cos
+       FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+       WHERE a.vec_id % 2 = 0""",
+)
+def q_cosine_pairs(spark, sf):
+    # cosine similarity (thesis/process_data_features.py:104-105), JVM-side
+    emb = _t(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")).filter(
+        F.col("id_a") % 2 == 0
+    )
+    b = emb.select((F.col("vec_id") - 1).alias("id_a"), F.col("embedding").alias("vb"))
+    return a.join(b, "id_a").select(
+        "id_a", F.round(cosine_col(F.col("va"), F.col("vb")), 5).alias("cos")
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data ops: dedup sketches, text stats (documents table)
+# --------------------------------------------------------------------------
+
+@query(
+    "minhash_token_signature",
+    f"""WITH toks AS (
+         SELECT doc_id, unnest(list_distinct(string_split({normalize_sql('text', 'duckdb')}, ' '))) AS tok
+         FROM documents)
+       SELECT doc_id,
+              min(md5(concat('0|', tok))) AS h0,
+              min(md5(concat('1|', tok))) AS h1,
+              min(md5(concat('2|', tok))) AS h2,
+              min(md5(concat('3|', tok))) AS h3
+       FROM toks GROUP BY doc_id""",
+)
+def q_minhash_tokens(spark, sf):
+    # token-level MinHash signature (dedup family; md5 permutations)
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(normalize_col("text"), " "))).alias("tok"),
+    )
+    return toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"h{i}")
+            for i in range(4)
+        ]
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = []
+    for i in range(bits):
+        votes.append(
+            f"CAST(sum(CASE WHEN substr(md5(tok), {i + 1}, 1) IN "
+            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 AS INT) * {1 << i}"
+        )
+    expr = " + ".join(votes)
+    return f"""WITH toks AS (
+         SELECT doc_id, unnest(list_distinct(string_split({normalize_sql('text', 'duckdb')}, ' '))) AS tok
+         FROM documents)
+       SELECT doc_id, CAST({expr} AS BIGINT) AS simhash FROM toks WHERE tok <> '' GROUP BY doc_id"""
+
+
+@query("simhash16", _simhash_sql(16))
+def q_simhash(spark, sf):
+    # 16-bit SimHash fingerprints (dedup family)
+    return simhash(_t(spark, sf, "documents"), bits=16)
+
+
+@query(
+    "stopword_language_score",
+    f"""WITH t AS (SELECT doc_id, string_split({normalize_sql('text', 'duckdb')}, ' ') AS toks FROM documents)
+       SELECT doc_id,
+              round(len(list_filter(toks, x -> list_contains({LANG_STOPWORDS['en']!r}, x))) * 1.0 /
+                    nullif(len(toks), 0), 6) AS en_stopword_ratio
+       FROM t""",
+)
+def q_stopword_language(spark, sf):
+    # stopword-profile language scoring (text-analysis family)
+    return _t(spark, sf, "documents").select(
+        "doc_id", F.round(stopword_ratio(F.col("text"), "en"), 6).alias("en_stopword_ratio")
+    )
+
+
+@query(
+    "token_quality_stats",
+    f"""SELECT doc_id,
+              CAST(CASE WHEN {normalize_sql('text', 'duckdb')} = '' THEN 0
+                   ELSE len(string_split({normalize_sql('text', 'duckdb')}, ' ')) END AS INT) AS n_tokens,
+              round(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 / nullif(len(text), 0), 6) AS alpha_ratio,
+              round(len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / nullif(len(text), 0), 6) AS digit_ratio
+       FROM documents""",
+)
+def q_token_quality(spark, sf):
+    # token counting + quality ratios (text-analysis family)
+    docs = _t(spark, sf, "documents")
+    qf = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("n_tokens"),
+        F.round(qf["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(qf["digit_ratio"], 6).alias("digit_ratio"),
+    )
+
+
+@query(
+    "document_fingerprint",
+    f"SELECT doc_id, md5({normalize_sql('text', 'duckdb')}) AS fp, "
+    f"CAST(n_chars AS BIGINT) AS n_chars FROM documents",
+)
+def q_document_fingerprint(spark, sf):
+    # whole-document fingerprint (rolling-hash family's exact member)
+    from ontology_mapping_spark.operators.textstats import fingerprint
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp"), F.col("n_chars")
+    )
+
+
+# --------------------------------------------------------------------------
+# events: time windows + JSON props
+# --------------------------------------------------------------------------
+
+@query(
+    "events_daily_rollup",
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(value), 4) AS total_value
+       FROM events GROUP BY 1, 2""",
+)
+def q_events_daily(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+@query(
+    "events_json_extract",
+    """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+       FROM events GROUP BY event_type""",
+)
+def q_events_json(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("int")).cast("bigint").alias("sum_k")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search (embeddings table)
+# --------------------------------------------------------------------------
+
+@query(
+    "embedding_topk_bruteforce",
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       scored AS (
+         SELECT q.q_id, c.vec_id AS c_id,
+                list_cosine_similarity(q.qv, c.embedding) AS cos
+         FROM q CROSS JOIN embeddings c WHERE c.vec_id <> q.q_id),
+       ranked AS (
+         SELECT q_id, c_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, c_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5""",
+)
+def q_embedding_topk(spark, sf):
+    # brute-force cosine top-k baseline (similarity-search family); ids and
+    # ranks only — the float scores stay engine-internal
+    from ontology_mapping_spark.operators.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    out = cosine_topk_bruteforce(queries_df, corpus, k=6)
+    # drop self-matches then re-rank 1..5 deterministically
+    w = Window.partitionBy("q_id").orderBy(F.col("rank"))
+    return (
+        out.filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("rank2", F.row_number().over(w))
+        .filter(F.col("rank2") <= 5)
+        .select("q_id", "c_id", F.col("rank2").cast("int").alias("rank"))
+    )
+
+
+# --------------------------------------------------------------------------
+# flagship: mention detection over documents with a derived phrase table
+# --------------------------------------------------------------------------
+
+_FLAGSHIP_SQL = f"""WITH d AS (
+      SELECT doc_id, {normalize_sql('text', 'duckdb')} AS ntext FROM documents),
+    toks AS (SELECT doc_id, string_split(ntext, ' ') AS toks FROM d),
+    bigrams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks), 2)),
+               i -> toks[i] || ' ' || toks[i + 1]))) AS phrase
+      FROM toks WHERE len(toks) >= 2),
+    vocab AS (
+      SELECT phrase, count(DISTINCT doc_id) AS df FROM bigrams
+      GROUP BY phrase HAVING count(DISTINCT doc_id) >= 30),
+    hits AS (
+      SELECT b.doc_id, b.phrase FROM bigrams b JOIN vocab v USING (phrase))
+    SELECT doc_id, phrase FROM hits"""
+
+
+@query("mention_detection_flagship", _FLAGSHIP_SQL)
+def q_mentions_flagship(spark, sf):
+    """Degenerate S3 slice over the documents corpus: derive a phrase
+    vocabulary (bigrams with document frequency >= 30 — the 'ontology
+    labels'), then emit (doc_id, phrase) mentions via the token-bigram
+    blocking pattern (SURVEY §7 minimum end-to-end slice)."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.split(normalize_col("text"), " ").alias("toks"))
+    bigrams = toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("toks"), i + 1, 2)
+                    ),
+                )
+            )
+        ).alias("phrase"),
+    )
+    vocab = (
+        bigrams.groupBy("phrase")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 30)
+        .select("phrase")
+    )
+    return bigrams.join(F.broadcast(vocab), "phrase").select("doc_id", "phrase")
+
+
+# --------------------------------------------------------------------------
+# rows-only entries (no SQL-expressible oracle; driver records row counts)
+# --------------------------------------------------------------------------
+
+@query("minhash_lsh_near_dups")
+def q_minhash_lsh(spark, sf):
+    # full MinHash->banded-LSH->verify near-dup pipeline (engine-internal
+    # verification in tests/test_dedup.py; not ANSI-SQL-expressible sanely)
+    from ontology_mapping_spark.operators.dedup import near_dup_pairs_minhash
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate suffix")).alias("text"),
+    )
+    return near_dup_pairs_minhash(
+        docs.unionByName(planted), threshold=0.5, num_hashes=16, bands=8
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("ann_ivf_topk")
+def q_ann_ivf(spark, sf):
+    # IVF ANN (KMeans coarse quantizer is not reproducible in SQL)
+    from ontology_mapping_spark.operators.similarity import ann_ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    return ann_ivf_topk(queries_df, corpus, k=5, n_centroids=8, nprobe=4)
+
+
+@query("winnow_fingerprints")
+def q_winnow(spark, sf):
+    # winnowing local fingerprints (window-min over k-gram hash sequences;
+    # oracle-checked in tests, too loop-heavy for a sane SQL oracle)
+    from ontology_mapping_spark.operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf, "documents"))
+
+
+@query("media_feature_plumbing")
+def q_media(spark, sf):
+    # multimodal plumbing demo: documents' text bytes as opaque payloads
+    from ontology_mapping_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_features,
+    )
+
+    docs = _t(spark, sf, "documents").limit(50)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(1).cast("int").alias("width"),
+            F.lit(1).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return extract_media_features(media, dim=8)

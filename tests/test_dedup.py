@@ -1,0 +1,126 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash, n-gram Jaccard."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidates,
+    minhash_signatures,
+    near_dup_pairs_minhash,
+    near_dup_pairs_simhash,
+    ngram_jaccard_pairs,
+    simhash,
+    token_shingles,
+)
+from ontology_mapping_spark.textnorm import normalize_py
+
+
+def py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = normalize_py(text).split()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def py_minhash(text: str, num_hashes: int = 16, n: int = 3) -> list[str]:
+    sh = py_shingles(text, n)
+    return [
+        min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in sh)
+        for i in range(num_hashes)
+    ]
+
+
+def py_simhash(text: str, bits: int = 16) -> int:
+    toks = set(normalize_py(text).split()) - {""}
+    votes = [0] * bits
+    for t in toks:
+        h = hashlib.md5(t.encode()).hexdigest()
+        for i in range(bits):
+            votes[i] += 1 if h[i] in "89abcdef" else -1
+    return sum(1 << i for i in range(bits) if votes[i] > 0)
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (2, "completely different content about spark dataframes and shuffles"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "unrelated text mentioning neither foxes nor rivers at all today"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs_df(spark))
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [0, 1, 2, 4]  # 3 deduped against 0
+
+
+def test_token_shingles_matches_python(spark):
+    df = _docs_df(spark).select(
+        "doc_id", token_shingles(F.col("text"), 3).alias("sh")
+    )
+    got = {r["doc_id"]: set(r["sh"]) for r in df.collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == py_shingles(text, 3), doc_id
+
+
+def test_minhash_signature_matches_python(spark):
+    sigs = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(_docs_df(spark), num_hashes=8).collect()
+    }
+    for doc_id, text in DOCS:
+        assert sigs[doc_id] == py_minhash(text, 8), doc_id
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    out = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in near_dup_pairs_minhash(
+            _docs_df(spark), threshold=0.5, num_hashes=16, bands=8
+        ).collect()
+    }
+    assert (0, 3) in out and out[(0, 3)] == 1.0   # exact dup
+    assert (0, 1) in out and 0.5 <= out[(0, 1)] < 1.0  # near dup
+    assert not any({a, b} == {0, 2} for a, b in out)
+
+
+def test_simhash_matches_python_and_finds_dups(spark):
+    got = {r["doc_id"]: r["simhash"] for r in simhash(_docs_df(spark)).collect()}
+    for doc_id, text in DOCS:
+        assert got[doc_id] == py_simhash(text), doc_id
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in near_dup_pairs_simhash(_docs_df(spark), max_hamming=3).collect()
+    }
+    assert pairs[(0, 3)] == 0
+
+
+def test_ngram_jaccard_pairs_matches_python(spark):
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs_df(spark), pairs).collect()
+    }
+    for (a, b), j in got.items():
+        sa, sb = py_shingles(DOCS[a][1]), py_shingles(DOCS[b][1])
+        assert abs(j - len(sa & sb) / len(sa | sb)) < 1e-12
+
+
+def test_minhash_on_real_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant a near-duplicate of doc 0 and check it is found
+    planted = docs.limit(1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"),
+    )
+    all_docs = docs.select("doc_id", "text").unionByName(planted)
+    out = near_dup_pairs_minhash(all_docs, threshold=0.6, num_hashes=16, bands=8)
+    found = {(r["a"], r["b"]) for r in out.collect()}
+    assert (0, 100000) in found

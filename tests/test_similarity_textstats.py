@@ -1,0 +1,176 @@
+"""ANN similarity search + text-stat operators + multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.operators.multimodal import (
+    decode_image_real,
+    extract_media_features,
+    sample_video_frames,
+)
+from ontology_mapping_spark.operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    cosine_topk_bruteforce,
+)
+from ontology_mapping_spark.operators.textstats import (
+    detect_lang,
+    fingerprint,
+    quality_score,
+    regex_token_count,
+    whitespace_token_count,
+    winnow_fingerprints,
+)
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(EMB).cache()
+
+
+def _np_topk(vecs: dict[int, np.ndarray], q_ids: list[int], k: int):
+    ids = sorted(vecs)
+    M = np.stack([vecs[i] / np.linalg.norm(vecs[i]) for i in ids])
+    out = {}
+    for q in q_ids:
+        qv = vecs[q] / np.linalg.norm(vecs[q])
+        cos = M @ qv
+        order = sorted(zip(-cos, ids))  # desc cos, asc id tie-break
+        out[q] = [i for _, i in order[:k]]
+    return out
+
+
+def test_bruteforce_topk_matches_numpy(spark, emb):
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    q_ids = [0, 7, 42]
+    queries = emb.filter(F.col("vec_id").isin(q_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    got = cosine_topk_bruteforce(queries, corpus, k=5).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["q_id"], r["rank"])):
+        by_q.setdefault(r["q_id"], []).append(r["c_id"])
+    want = _np_topk(vecs, q_ids, 5)
+    assert by_q == {q: want[q] for q in q_ids}
+
+
+def test_ann_lsh_recall_and_consistency(spark, emb):
+    q_ids = list(range(10))
+    queries = emb.filter(F.col("vec_id").isin(q_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    exact = cosine_topk_bruteforce(queries, corpus, k=10)
+    approx = ann_lsh_topk(queries, corpus, dim=64, k=10, nbits=4, tables=8)
+    e = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["c_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # approximate by design; deterministic seed
+
+
+def test_ann_ivf_recall(spark, emb):
+    q_ids = list(range(10))
+    queries = emb.filter(F.col("vec_id").isin(q_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
+    exact = cosine_topk_bruteforce(queries, corpus, k=10)
+    approx = ann_ivf_topk(queries, corpus, k=10, n_centroids=8, nprobe=4)
+    e = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["c_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("Hello, world! 42 times",), ("",), ("  spaced   out  ",)], "t string"
+    )
+    rows = df.select(
+        whitespace_token_count(F.col("t")).alias("ws"),
+        regex_token_count(F.col("t")).alias("rx"),
+    ).collect()
+    assert [r["ws"] for r in rows] == [4, 0, 2]
+    # hello , world ! 42 times -> 6 regex tokens
+    assert rows[0]["rx"] == 6
+
+
+def test_detect_lang_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the house and it is warm",),
+            ("der hund ist nicht in der wohnung und das ist gut",),
+            ("le chat est dans la maison et il est content",),
+            ("el perro es un animal y la casa es grande",),
+        ],
+        "t string",
+    )
+    got = [r["lang"] for r in df.select(detect_lang(F.col("t")).alias("lang")).collect()]
+    assert got == ["en", "de", "fr", "es"]
+
+
+def test_quality_score_orders_prose_above_noise(spark):
+    df = spark.createDataFrame(
+        [
+            ("prose", "the quick brown fox jumps over the lazy dog and it is fine"),
+            ("noise", "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( )))"),
+        ],
+        "k string, t string",
+    )
+    got = {r["k"]: r["q"] for r in df.select("k", quality_score(F.col("t")).alias("q")).collect()}
+    assert 0.0 <= got["noise"] < got["prose"] <= 1.0
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [("a", "Hello   World"), ("b", "hello world"), ("c", "other text")],
+        "k string, t string",
+    )
+    got = {r["k"]: r["fp"] for r in df.select("k", fingerprint(F.col("t")).alias("fp")).collect()}
+    assert got["a"] == got["b"] != got["c"]
+
+
+def test_winnow_containment(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base + " lambda mu nu xi omicron"), (2, base), (3, "wholly different words here")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    overlap12 = len(by_doc[1] & by_doc[2]) / len(by_doc[2])
+    overlap13 = len(by_doc[1] & by_doc[3]) / len(by_doc[3])
+    assert overlap12 > 0.5
+    assert overlap13 == 0.0
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        ("m1", "image", bytearray(b"\x89PNGfake"), ("image/png", 4, 4, None)),
+        ("m2", "video", bytearray(b"\x00\x00vid"), ("video/mp4", 16, 9, 3500)),
+        ("m3", "image", None, ("image/png", 1, 1, None)),
+    ]
+    from ontology_mapping_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_media_features(media, dim=8).collect()}
+    assert len(feats["m1"]["feature"]) == 8
+    assert feats["m3"]["n_bytes"] == 0
+    # determinism
+    again = {r["media_id"]: r for r in extract_media_features(media, dim=8).collect()}
+    assert feats["m1"]["feature"] == again["m1"]["feature"]
+    frames = sample_video_frames(media, every_ms=1000, max_frames=8).collect()
+    assert {(r["media_id"], r["frame_idx"]) for r in frames} == {
+        ("m2", 0), ("m2", 1), ("m2", 2), ("m2", 3)
+    }
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"x")
