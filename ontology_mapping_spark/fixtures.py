@@ -50,6 +50,16 @@ _MODIFIERS = [
 # sprinkled to exercise normalization ops (thesis/normalization.py:190-359)
 _DECOR = ["α", "β", "γ", "–", "’", "é"]
 
+# filler vocabulary disjoint from concept labels (keeps mention density real)
+_FILLER_ADJ = [
+    "initial", "final", "repeated", "standard", "combined", "separate",
+    "observed", "expected", "recorded", "published", "routine", "detailed",
+]
+_FILLER_NOUN = [
+    "analysis", "protocol", "measurement", "survey", "review", "cohort",
+    "baseline", "followup", "interval", "session", "report", "estimate",
+]
+
 _EPOCH = _dt.datetime(2020, 1, 1, tzinfo=_dt.timezone.utc)
 
 
@@ -81,6 +91,7 @@ def make_fixture(
     branching: int = 3,
     dag_fraction: float = 0.15,
     mentions_per_page: tuple[int, int] = (0, 5),
+    filler_sentences: tuple[int, int] = (1, 3),
 ) -> Fixture:
     rng = random.Random(seed)
     fx = Fixture()
@@ -214,8 +225,21 @@ def make_fixture(
             t = rng.choice(templates)
             sentences.append(t.format(m=fx.pref_labels[u]))
             fx.gold_mentions.append((url, u))
-        for _ in range(rng.randint(1, 3)):
-            sentences.append(rng.choice(filler))
+        for _ in range(rng.randint(*filler_sentences)):
+            if rng.random() < 0.3:
+                sentences.append(rng.choice(filler))
+            else:
+                # filler vocabulary is DISJOINT from concept labels so
+                # mention density stays realistic (~0-8 per page)
+                sentences.append(
+                    "The %s %s was recorded during the %s %s phase."
+                    % (
+                        rng.choice(_FILLER_ADJ),
+                        rng.choice(_FILLER_NOUN),
+                        rng.choice(_FILLER_ADJ),
+                        rng.choice(_FILLER_NOUN),
+                    )
+                )
         rng.shuffle(sentences)
         if lang != "en":
             sentences = ["Dieser Text ist nicht englisch."] + sentences

@@ -138,6 +138,41 @@ def mentions_via_trie(
     return pages_text.select("url", "text").mapInPandas(scan, schema=MENTIONS)
 
 
+def mentions_from_html(
+    pages: DataFrame, phrases: DataFrame, lang: str | None = "en"
+) -> DataFrame:
+    """Fused S1+S3: HTML extraction + trie scan in ONE Arrow pass per batch
+    (url, html) -> (url, uri, surface, n_hits). Halves the JVM<->Python
+    crossings vs extract-then-scan; the production shape for the 100 TB
+    pages scan — each page crosses into Python exactly once."""
+    from ontology_mapping_spark.textnorm import extract_text_py
+
+    spark = pages.sparkSession
+    rows = [(r["uri"], r["phrase"]) for r in phrases.select("uri", "phrase").collect()]
+    trie_bc = spark.sparkContext.broadcast(_build_trie(rows))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        trie = trie_bc.value
+        for pdf in batches:
+            urls, uris, surfaces, counts = [], [], [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for (uri, phrase), c in scan_text_py(
+                    trie, extract_text_py(html)
+                ).items():
+                    urls.append(url)
+                    uris.append(uri)
+                    surfaces.append(phrase)
+                    counts.append(c)
+            yield pd.DataFrame(
+                {"url": urls, "uri": uris, "surface": surfaces, "n_hits": counts}
+            ).astype({"n_hits": "int32"})
+
+    df = pages
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    return df.select("url", "html").mapInPandas(scan, schema=MENTIONS)
+
+
 def mention_triples(mentions: DataFrame, predicate: str = "kg:mentionedIn") -> DataFrame:
     """Mentions -> (subject=concept, predicate, object=url) triples in the
     reference's Subject/Predicate/Object shape

@@ -846,9 +846,11 @@ def q_mentions_flagship(spark, sf):
             )
         ).alias("phrase"),
     )
+    # bigrams are already distinct per doc (array_distinct before explode),
+    # so plain count == count(DISTINCT doc_id) without the extra dedup shuffle
     vocab = (
         bigrams.groupBy("phrase")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= 30)
         .select("phrase")
     )
@@ -918,3 +920,32 @@ def q_media(spark, sf):
         ).alias("meta"),
     )
     return extract_media_features(media, dim=8)
+
+
+_CAP = 200
+
+@query(
+    "blocking_token_join_capped",
+    f"""WITH s0 AS (SELECT DISTINCT p_partkey AS src, unnest(string_split({_NORM_DOC}, ' ')) AS token
+                    FROM part WHERE p_partkey % 2 = 0),
+        hs AS (SELECT token FROM s0 GROUP BY token HAVING count(*) > {_CAP}),
+        s AS (SELECT * FROM s0 WHERE token NOT IN (SELECT token FROM hs)),
+        t0 AS (SELECT DISTINCT p_partkey AS tgt, unnest(string_split({_NORM_DOC}, ' ')) AS token
+               FROM part WHERE p_partkey % 2 = 1),
+        ht AS (SELECT token FROM t0 GROUP BY token HAVING count(*) > {_CAP}),
+        t AS (SELECT * FROM t0 WHERE token NOT IN (SELECT token FROM ht))
+       SELECT DISTINCT s.src, t.tgt FROM s JOIN t USING (token)""",
+)
+def q_blocking_token_join_capped(spark, sf):
+    # the scale form of the blocking join: tokens hotter than max_token_df
+    # are dropped per side (stop-word df-cap, SURVEY §4 item 3) — bounds the
+    # quadratic blowup the naive inverted index suffers on hot tokens
+    from ontology_mapping_spark.operators.blocking import blocking_join
+    from ontology_mapping_spark.config import PipelineConfig
+
+    part = _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("uri"), normalize_col("p_name").alias("text")
+    )
+    src = part.filter(F.col("uri") % 2 == 0)
+    tgt = part.filter(F.col("uri") % 2 == 1)
+    return blocking_join(src, tgt, PipelineConfig(max_token_df=_CAP))

@@ -1,0 +1,111 @@
+"""Structured-Streaming mention extraction.
+
+The reference is pure batch (SURVEY.md §2.8) and the north rule's resume
+story is stage-boundary checkpointing, not streaming — but a web-crawl
+pipeline's natural ingest is a stream of page files. This module runs the
+SAME mention operators over ``readStream``: the phrase table is a static
+broadcast side (stream-static joins are stateless and fully supported), so
+batch and streaming share one code path and one semantics.
+
+* :func:`stream_pages` — file-source stream of web_pages parquet drops.
+* :func:`stream_mentions` — extraction + the declarative blocking-join
+  mention detector on the stream (stream-static broadcast join; no
+  watermark needed — the operator is stateless).
+* :func:`stream_mention_counts` — windowed per-concept mention counts with
+  a watermark (the one stateful aggregation: event-time window on warc_ts,
+  late data bounded by the watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.schemas import WEB_PAGES
+from ontology_mapping_spark.sources.pages import extract_text_udf
+
+
+def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(WEB_PAGES)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def stream_mentions(pages_stream: DataFrame, phrases: DataFrame) -> DataFrame:
+    """(url, warc_ts, uri, surface, n_hits) streaming mentions; ``phrases``
+    is a static (uri, phrase) DataFrame (broadcast side of the
+    stream-static join).
+
+    Same logic as mentions_via_join (operators/mentions.py) with warc_ts
+    carried through, inlined because a stream must stay single-pass: page
+    tokens are distinct per url, so the first-token join yields at most one
+    row per (url, phrase) and no stateful dedup is needed.
+    """
+    from ontology_mapping_spark.textnorm import normalize_col
+
+    pages_text = pages_stream.filter(F.col("lang") == "en").select(
+        "url", "warc_ts", extract_text_udf(F.col("html")).alias("text")
+    )
+    toks = pages_text.select(
+        "url", "warc_ts", F.split(normalize_col("text"), " ").alias("toks")
+    )
+    page_tokens = toks.select(
+        "url", "warc_ts", "toks", F.explode(F.array_distinct("toks")).alias("token")
+    )
+    ph = phrases.select(
+        "uri",
+        "phrase",
+        F.split(F.col("phrase"), " ")[0].alias("token"),
+        F.split(F.col("phrase"), " ").alias("ptoks"),
+    )
+    hits = page_tokens.join(F.broadcast(ph), "token").withColumn(
+        "n_hits",
+        F.expr(
+            "case when size(toks) >= size(ptoks) then "
+            "cast(size(filter(sequence(0, size(toks) - size(ptoks)), "
+            "i -> slice(toks, i + 1, size(ptoks)) == ptoks)) as int) "
+            "else 0 end"
+        ),
+    ).filter(F.col("n_hits") > 0)
+    return hits.select(
+        "url", "warc_ts", "uri", F.col("phrase").alias("surface"), "n_hits"
+    )
+
+
+def stream_mention_counts(
+    mentions: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Windowed per-concept counts with late-data handling."""
+    return (
+        mentions.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "uri")
+        .agg(F.sum("n_hits").alias("n_mentions"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "uri",
+            "n_mentions",
+        )
+    )
+
+
+def run_stream_to_parquet(
+    spark: SparkSession,
+    input_dir: str,
+    phrases: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Wire the stream to a parquet sink with checkpointing; returns the
+    StreamingQuery (caller awaits/stops)."""
+    m = stream_mentions(stream_pages(spark, input_dir), phrases)
+    return (
+        m.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,49 @@
+"""Streaming mention extraction == batch mention extraction (availableNow)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.operators.labels import extract_labels
+from ontology_mapping_spark.operators.mentions import label_phrases, mentions_via_join
+from ontology_mapping_spark.sources.pages import extracted_pages
+from ontology_mapping_spark.streaming.mentions_stream import (
+    run_stream_to_parquet,
+    stream_mention_counts,
+    stream_mentions,
+    stream_pages,
+)
+
+
+def test_stream_equals_batch(spark, fx_dfs, tmp_path):
+    in_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "mentions_out")
+    ckpt = str(tmp_path / "ckpt")
+    # write the fixture pages as 4 file drops
+    fx_dfs["pages"].repartition(4).write.parquet(in_dir)
+    phrases = label_phrases(extract_labels(fx_dfs["triples"])).cache()
+
+    q = run_stream_to_parquet(spark, in_dir, phrases, out_dir, ckpt)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir)
+    batch = mentions_via_join(extracted_pages(fx_dfs["pages"]), phrases)
+    g = {(r["url"], r["uri"], r["surface"], r["n_hits"]) for r in got.collect()}
+    b = {(r["url"], r["uri"], r["surface"], r["n_hits"]) for r in batch.collect()}
+    assert g == b and len(g) > 0
+
+    # restart with no new files -> no duplicates (exactly-once resume)
+    q2 = run_stream_to_parquet(spark, in_dir, phrases, out_dir, ckpt)
+    q2.awaitTermination(120)
+    again = spark.read.parquet(out_dir).count()
+    assert again == len(g)
+
+
+def test_windowed_counts_plan_is_streaming(spark, fx_dfs, tmp_path):
+    in_dir = str(tmp_path / "pages_in2")
+    fx_dfs["pages"].limit(20).write.parquet(in_dir)
+    phrases = label_phrases(extract_labels(fx_dfs["triples"]))
+    m = stream_mentions(stream_pages(spark, in_dir), phrases)
+    counts = stream_mention_counts(m)
+    assert counts.isStreaming
+    assert set(counts.columns) == {"window_start", "window_end", "uri", "n_mentions"}
