@@ -77,9 +77,15 @@ def train_voting_linker(
     feature_cols: list[str] | None = None,
 ) -> VotingLinkerModel:
     cfg = cfg or PipelineConfig()
-    feature_cols = feature_cols or [
-        c for c in FEATURE_COLS if c in train_features.columns
-    ]
+    if feature_cols is None:
+        feature_cols = [c for c in FEATURE_COLS if c in train_features.columns]
+        if not feature_cols:  # fall back to every numeric non-id column
+            numeric = {"int", "bigint", "float", "double", "smallint"}
+            feature_cols = [
+                c
+                for c, t in train_features.dtypes
+                if t in numeric and c not in ("label", "weight")
+            ]
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
     train = add_balanced_weights(train_features)
     assembled = assembler.transform(train).cache()

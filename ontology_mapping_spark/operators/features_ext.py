@@ -1,0 +1,145 @@
+"""Extended pairwise features — the richer set of
+thesis/pre_processing_data.py:216-341 (the exploratory SKOS path), each as
+a join-based DataFrame operator:
+
+  Hierarchical Distance        hierarchical_distance (:216-223, np.inf when
+                               unreachable -> NULL here, callers coalesce)
+  Common Ancestor Depth        lca_depth (:226-236)
+  Shared Ancestor Count        (see features.ancestor_pair_stats)
+  Hierarchical Overlap Ratio   overlap_ratio (:247-254)
+  Parent Similarity            parent_similarity (:257-267)
+  Sibling Score                sibling_score (:270-273)
+  Shared Broader/Narrower      shared_parent_flag / shared_child_flag (:326-334)
+  Cross-Reference Match        cross_reference_flag (:337-341)
+
+All are evaluated for a (src, tgt) pair DataFrame against the shared
+``edges`` (child, parent) table / closure / embeddings — equi- and
+semi-joins only, no per-row graph traversal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.functions.vectors import cosine_col
+from ontology_mapping_spark.operators.graph import bounded_bfs
+
+
+def _flag_join(pairs: DataFrame, flagged: DataFrame, name: str) -> DataFrame:
+    """pairs LEFT SEMI-style flag: 1 when the pair appears in ``flagged``."""
+    return (
+        pairs.join(flagged.withColumn(name, F.lit(1)), ["src", "tgt"], "left")
+        .fillna(0, [name])
+    )
+
+
+def sibling_score(pairs: DataFrame, edges: DataFrame) -> DataFrame:
+    """1 iff src and tgt share >= 1 parent (:270-273). Also the
+    Shared-Broader-Concept flag (:332) — identical definition."""
+    e1 = edges.select(F.col("child").alias("src"), "parent")
+    e2 = edges.select(F.col("child").alias("tgt"), "parent")
+    shared = e1.join(e2, "parent").select("src", "tgt").distinct()
+    return _flag_join(pairs, shared, "sibling_score")
+
+
+def shared_child_flag(pairs: DataFrame, edges: DataFrame) -> DataFrame:
+    """1 iff src and tgt share >= 1 child (Shared Narrower Concept, :333)."""
+    e1 = edges.select(F.col("parent").alias("src"), "child")
+    e2 = edges.select(F.col("parent").alias("tgt"), "child")
+    shared = e1.join(e2, "child").select("src", "tgt").distinct()
+    return _flag_join(pairs, shared, "shared_child")
+
+
+def cross_reference_flag(pairs: DataFrame, exact_match_edges: DataFrame) -> DataFrame:
+    """1 iff the exactMatch target sets of src and tgt intersect (:337-341).
+    ``exact_match_edges``: (subject, object) rows of skos:exactMatch."""
+    x1 = exact_match_edges.select(
+        F.col("subject").alias("src"), F.col("object").alias("x")
+    )
+    x2 = exact_match_edges.select(
+        F.col("subject").alias("tgt"), F.col("object").alias("x")
+    )
+    shared = x1.join(x2, "x").select("src", "tgt").distinct()
+    return _flag_join(pairs, shared, "cross_reference_match")
+
+
+def parent_similarity(
+    pairs: DataFrame, edges: DataFrame, embeddings: DataFrame
+) -> DataFrame:
+    """max cosine over parents(src) × parents(tgt); 0 when either side has
+    no parents (:257-267). The per-pair parent sets are tiny, so the cross
+    product is bounded; embeddings broadcast."""
+    p1 = edges.select(F.col("child").alias("src"), F.col("parent").alias("pa"))
+    p2 = edges.select(F.col("child").alias("tgt"), F.col("parent").alias("pb"))
+    e1 = embeddings.select(F.col("uri").alias("pa"), F.col("vec").alias("va"))
+    e2 = embeddings.select(F.col("uri").alias("pb"), F.col("vec").alias("vb"))
+    scored = (
+        pairs.join(p1, "src")
+        .join(p2, "tgt")
+        .join(F.broadcast(e1), "pa", "left")
+        .join(F.broadcast(e2), "pb", "left")
+        .withColumn("cos", cosine_col(F.col("va"), F.col("vb")))
+        .groupBy("src", "tgt")
+        .agg(F.max("cos").alias("parent_similarity"))
+    )
+    return pairs.join(scored, ["src", "tgt"], "left").fillna(
+        0.0, ["parent_similarity"]
+    )
+
+
+def lca_depth(pairs: DataFrame, closure: DataFrame, depths: DataFrame) -> DataFrame:
+    """max depth over common ancestors; 0 when none (:226-236)."""
+    a1 = closure.select(F.col("node").alias("src"), "ancestor")
+    a2 = closure.select(F.col("node").alias("tgt"), "ancestor")
+    common = (
+        pairs.join(a1, "src")
+        .join(a2, ["tgt", "ancestor"])
+        .join(depths.withColumnRenamed("node", "ancestor"), "ancestor", "left")
+        .groupBy("src", "tgt")
+        .agg(F.max("depth").alias("lca_depth"))
+    )
+    return pairs.join(common, ["src", "tgt"], "left").fillna(0, ["lca_depth"])
+
+
+def overlap_ratio(
+    pairs: DataFrame, closure: DataFrame, depths: DataFrame
+) -> DataFrame:
+    """shared_ancestors / max(depth(src), depth(tgt)); 0 when max depth is 0
+    (:247-254)."""
+    from ontology_mapping_spark.operators.features import ancestor_pair_stats
+
+    st = ancestor_pair_stats(pairs, closure)
+    d1 = depths.select(F.col("node").alias("src"), F.col("depth").alias("d1"))
+    d2 = depths.select(F.col("node").alias("tgt"), F.col("depth").alias("d2"))
+    out = (
+        st.join(d1, "src", "left")
+        .join(d2, "tgt", "left")
+        .fillna(0, ["d1", "d2"])
+        .withColumn("maxd", F.greatest("d1", "d2"))
+        .withColumn(
+            "hierarchical_overlap_ratio",
+            F.when(
+                F.col("maxd") > 0, F.col("shared_anc").cast("double") / F.col("maxd")
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return out.select("src", "tgt", "hierarchical_overlap_ratio")
+
+
+def hierarchical_distance(
+    pairs: DataFrame, edges: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """Shortest-path length src -> tgt following parent->child edges (the
+    reference graph's orientation, :202-208) within ``max_hops``; NULL when
+    unreachable (the reference returns np.inf, :216-223).
+
+    bounded_bfs walks child->parent, so the reference's downward distance
+    src=>tgt equals the upward distance tgt=>src — probe with roles swapped.
+    """
+    dist = bounded_bfs(edges, max_hops).select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("tgt"),
+        F.col("dist").alias("hierarchical_distance"),
+    )
+    return pairs.join(dist, ["src", "tgt"], "left")

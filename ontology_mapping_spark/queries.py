@@ -949,3 +949,187 @@ def q_blocking_token_join_capped(spark, sf):
     src = part.filter(F.col("uri") % 2 == 0)
     tgt = part.filter(F.col("uri") % 2 == 1)
     return blocking_join(src, tgt, PipelineConfig(max_token_df=_CAP))
+
+
+@query(
+    "lca_depth_overlap",
+    f"""WITH RECURSIVE e AS ({_EDGES_SQL}),
+       anc(node, ancestor, dist) AS (
+         SELECT child, parent, 1 FROM e
+         UNION
+         SELECT a.node, e.parent, a.dist + 1 FROM anc a JOIN e ON a.ancestor = e.child),
+       depth AS (SELECT node, max(dist) AS d FROM anc GROUP BY node),
+       pairs AS (SELECT CAST(p_partkey AS VARCHAR) AS src, CAST(p_partkey + 1 AS VARCHAR) AS tgt
+                 FROM part WHERE p_partkey % 20 = 0 AND p_partkey >= 2),
+       common AS (
+         SELECT p.src, p.tgt, a1.ancestor
+         FROM pairs p JOIN anc a1 ON a1.node = p.src
+                      JOIN anc a2 ON a2.node = p.tgt AND a2.ancestor = a1.ancestor),
+       lca AS (SELECT c.src, c.tgt, max(coalesce(d.d, 0)) AS lca_depth, count(*) AS n_common
+               FROM common c LEFT JOIN depth d ON d.node = c.ancestor GROUP BY c.src, c.tgt)
+       SELECT p.src, p.tgt,
+              CAST(coalesce(l.lca_depth, 0) AS INT) AS lca_depth,
+              round(coalesce(l.n_common, 0) * 1.0 /
+                    nullif(greatest(coalesce(d1.d, 0), coalesce(d2.d, 0)), 0), 6)
+                AS hierarchical_overlap_ratio
+       FROM pairs p
+       LEFT JOIN lca l ON l.src = p.src AND l.tgt = p.tgt
+       LEFT JOIN depth d1 ON d1.node = p.src
+       LEFT JOIN depth d2 ON d2.node = p.tgt""",
+)
+def q_lca_depth_overlap(spark, sf):
+    # LCA depth (thesis/pre_processing_data.py:226-236) + hierarchical
+    # overlap ratio (:247-254) from the materialized closure
+    from ontology_mapping_spark.operators.features_ext import lca_depth, overlap_ratio
+
+    edges = _part_edges(spark, sf)
+    closure = G.transitive_closure(edges)
+    depths = G.depths(edges, closure)
+    pairs = (
+        _t(spark, sf, "part")
+        .filter((F.col("p_partkey") % 20 == 0) & (F.col("p_partkey") >= 2))
+        .select(
+            F.col("p_partkey").cast("string").alias("src"),
+            (F.col("p_partkey") + 1).cast("string").alias("tgt"),
+        )
+    )
+    l = lca_depth(pairs, closure, depths)
+    o = overlap_ratio(pairs, closure, depths)
+    out = l.join(o, ["src", "tgt"])
+    return out.select(
+        "src",
+        "tgt",
+        F.col("lca_depth").cast("int").alias("lca_depth"),
+        # oracle emits NULL when both nodes have depth 0 (never happens on
+        # this tree: every pair node is below the root)
+        F.round("hierarchical_overlap_ratio", 6).alias("hierarchical_overlap_ratio"),
+    )
+
+
+@query(
+    "sibling_shared_child_flags",
+    f"""WITH e AS ({_EDGES_SQL}),
+       pairs AS (SELECT CAST(p_partkey AS VARCHAR) AS src, CAST(p_partkey + 1 AS VARCHAR) AS tgt
+                 FROM part WHERE p_partkey % 10 = 0 AND p_partkey >= 2),
+       sib AS (SELECT DISTINCT e1.child AS src, e2.child AS tgt
+               FROM e e1 JOIN e e2 ON e1.parent = e2.parent),
+       shc AS (SELECT DISTINCT e1.parent AS src, e2.parent AS tgt
+               FROM e e1 JOIN e e2 ON e1.child = e2.child)
+       SELECT p.src, p.tgt,
+              CAST(CASE WHEN s.src IS NOT NULL THEN 1 ELSE 0 END AS INT) AS sibling_score,
+              CAST(CASE WHEN c.src IS NOT NULL THEN 1 ELSE 0 END AS INT) AS shared_child
+       FROM pairs p
+       LEFT JOIN sib s ON s.src = p.src AND s.tgt = p.tgt
+       LEFT JOIN shc c ON c.src = p.src AND c.tgt = p.tgt""",
+)
+def q_sibling_flags(spark, sf):
+    # sibling score (:270-273) + shared-narrower flag (:333) as semi-join flags
+    from ontology_mapping_spark.operators.features_ext import (
+        shared_child_flag,
+        sibling_score,
+    )
+
+    edges = _part_edges(spark, sf)
+    pairs = (
+        _t(spark, sf, "part")
+        .filter((F.col("p_partkey") % 10 == 0) & (F.col("p_partkey") >= 2))
+        .select(
+            F.col("p_partkey").cast("string").alias("src"),
+            (F.col("p_partkey") + 1).cast("string").alias("tgt"),
+        )
+    )
+    s = sibling_score(pairs, edges)
+    c = shared_child_flag(pairs, edges)
+    return s.join(c, ["src", "tgt"]).select(
+        "src", "tgt",
+        F.col("sibling_score").cast("int").alias("sibling_score"),
+        F.col("shared_child").cast("int").alias("shared_child"),
+    )
+
+
+@query(
+    "hierarchical_distance",
+    f"""WITH RECURSIVE e AS ({_EDGES_SQL}),
+       dn(src, dst, dist) AS (
+         SELECT parent, child, 1 FROM e
+         UNION
+         SELECT dn.src, e.child, dn.dist + 1 FROM dn JOIN e ON e.parent = dn.dst),
+       pairs AS (SELECT CAST(p_partkey AS VARCHAR) AS src, CAST(p_partkey * 4 AS VARCHAR) AS tgt
+                 FROM part WHERE p_partkey >= 2 AND p_partkey % 7 = 0
+                 UNION ALL
+                 SELECT CAST(p_partkey AS VARCHAR), CAST(p_partkey + 1 AS VARCHAR)
+                 FROM part WHERE p_partkey >= 2 AND p_partkey % 11 = 0)
+       SELECT p.src, p.tgt, CAST(min(d.dist) AS INT) AS hierarchical_distance
+       FROM pairs p LEFT JOIN dn d ON d.src = p.src AND d.dst = p.tgt
+       GROUP BY p.src, p.tgt""",
+)
+def q_hierarchical_distance(spark, sf):
+    # shortest-path length with unreachable -> NULL (np.inf in the
+    # reference, thesis/pre_processing_data.py:216-223)
+    from ontology_mapping_spark.operators.features_ext import hierarchical_distance
+
+    part = _t(spark, sf, "part")
+    p1 = part.filter((F.col("p_partkey") >= 2) & (F.col("p_partkey") % 7 == 0)).select(
+        F.col("p_partkey").cast("string").alias("src"),
+        (F.col("p_partkey") * 4).cast("string").alias("tgt"),
+    )
+    p2 = part.filter((F.col("p_partkey") >= 2) & (F.col("p_partkey") % 11 == 0)).select(
+        F.col("p_partkey").cast("string").alias("src"),
+        (F.col("p_partkey") + 1).cast("string").alias("tgt"),
+    )
+    pairs = p1.unionByName(p2)
+    out = hierarchical_distance(pairs, _part_edges(spark, sf), max_hops=24)
+    return out.select(
+        "src", "tgt", F.col("hierarchical_distance").cast("int").alias("hierarchical_distance")
+    )
+
+
+def _greek_sql(expr: str) -> str:
+    from ontology_mapping_spark.functions.strings import GREEK_MAP
+
+    out = expr
+    for ch, name in GREEK_MAP.items():
+        out = f"replace({out}, '{ch}', '{name}')"
+    return out
+
+
+def _typo_sql(expr: str) -> str:
+    from ontology_mapping_spark.functions.strings import TYPOGRAPHIC_MAP
+
+    out = expr
+    for ch, rep in TYPOGRAPHIC_MAP.items():
+        r = rep.replace("'", "''")
+        out = f"replace({out}, '{ch}', '{r}')"
+    return out
+
+
+_DECORATED = "concat(p_name, ' α-Receptor β2 – “x” (qualifier)')"
+_NORM_OPS_SQL = (
+    "SELECT p_partkey, md5(trim(regexp_replace("
+    "regexp_replace("
+    + _typo_sql(_greek_sql(_DECORATED))
+    + r", '\s*?\(.*?\)\s*?$', '', 'g')"
+    + r", '\s{2,}', ' ', 'g'))) AS h FROM part"
+)
+
+
+@query("normalization_ops_suite", _NORM_OPS_SQL)
+def q_normalization_ops(spark, sf):
+    # the thesis/normalization.py operator chain: greek (:190-246) ->
+    # typographic (:248-258) -> end-qualifier strip (:260-272) ->
+    # whitespace collapse (:274-283), over a deterministically decorated
+    # string so every op fires
+    from ontology_mapping_spark.functions.strings import (
+        remove_qualifiers_col,
+        remove_whitespace_col,
+        replace_greek_col,
+        replace_typographic_col,
+    )
+
+    decorated = F.concat(F.col("p_name"), F.lit(" α-Receptor β2 – “x” (qualifier)"))
+    out = remove_whitespace_col(
+        remove_qualifiers_col(
+            replace_typographic_col(replace_greek_col(decorated)), end_only=True
+        )
+    )
+    return _t(spark, sf, "part").select("p_partkey", F.md5(out).alias("h"))
