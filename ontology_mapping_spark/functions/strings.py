@@ -143,6 +143,37 @@ def remove_punctuation_py(s: str, replace_with_space: bool = False) -> str:
     return re.sub(_PUNCT_PATTERN, " " if replace_with_space else "", s)
 
 
+def fold_accents_py(s: str) -> str:
+    """ASCII-fold accented characters via NFD decomposition + combining-mark
+    strip (stdlib twin of unidecode for Latin scripts; reference:
+    thesis/normalization.py:350-359)."""
+    import unicodedata
+
+    return "".join(
+        ch for ch in unicodedata.normalize("NFD", s) if not unicodedata.combining(ch)
+    )
+
+
+def make_fold_accents_udf():
+    import pandas as pd
+    from pyspark.sql import functions as _F
+    from pyspark.sql import types as _T
+
+    def _fold(s):
+        return pd.Series([fold_accents_py(x) if x is not None else None for x in s])
+
+    return _F.pandas_udf(_fold, _T.StringType())
+
+
+def tokenize_py(s: str) -> list[str]:
+    """Whitespace+punct tokenizer (the engine default; the reference's NLTK
+    Treebank tokenizer, thesis/normalization.py:296-305, slots into the same
+    pandas-UDF seam when nltk is available)."""
+    import re as _re
+
+    return _re.findall(r"[a-z0-9]+|[^\sa-z0-9]", s.lower())
+
+
 def natural_word_order_col(c: Column | str) -> Column:
     """Split on commas, reverse segment order, rejoin with spaces
     (thesis/normalization.py:333-348)."""

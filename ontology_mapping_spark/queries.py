@@ -1133,3 +1133,65 @@ def q_normalization_ops(spark, sf):
         )
     )
     return _t(spark, sf, "part").select("p_partkey", F.md5(out).alias("h"))
+
+
+@query(
+    "max_depth_per_side",
+    f"""WITH RECURSIVE e AS ({_EDGES_SQL}),
+       anc(node, ancestor, dist) AS (
+         SELECT child, parent, 1 FROM e
+         UNION
+         SELECT a.node, e.parent, a.dist + 1 FROM anc a JOIN e ON a.ancestor = e.child),
+       nodes AS (SELECT child AS node FROM e UNION SELECT parent FROM e),
+       depth AS (SELECT n.node, coalesce(max(a.dist), 0) AS d
+                 FROM nodes n LEFT JOIN anc a ON a.node = n.node GROUP BY n.node)
+       SELECT CASE WHEN CAST(node AS BIGINT) % 2 = 0 THEN 'src' ELSE 'tgt' END AS side,
+              CAST(max(d) AS INT) AS max_depth
+       FROM depth GROUP BY 1""",
+)
+def q_max_depth_per_side(spark, sf):
+    # per-ontology-side max depth — the norm_depth denominator
+    # (thesis/process_data_features.py:121-124)
+    edges = _part_edges(spark, sf)
+    d = G.depths(edges)
+    return (
+        d.withColumn(
+            "side",
+            F.when(F.col("node").cast("bigint") % 2 == 0, "src").otherwise("tgt"),
+        )
+        .groupBy("side")
+        .agg(F.max("depth").cast("int").alias("max_depth"))
+    )
+
+
+@query(
+    "mint_uris",
+    """SELECT p_partkey,
+              concat('kg:', substr(sha256(concat(p_name, '|', p_brand)), 1, 40)) AS minted
+       FROM part""",
+)
+def q_mint_uris(spark, sf):
+    # deterministic sha2 id minting replacing uuid4
+    # (thesis/pre_processing_data.py:70,114,118 / normalization.py:144-151)
+    from ontology_mapping_spark.sources.readers import mint_uri
+
+    return _t(spark, sf, "part").select(
+        "p_partkey", mint_uri("kg:", "p_name", "p_brand").alias("minted")
+    )
+
+
+@query(
+    "fold_accents",
+    """SELECT p_partkey, strip_accents(concat(p_name, ' émigré naïve São')) AS folded
+       FROM part""",
+)
+def q_fold_accents(spark, sf):
+    # accent folding (thesis/normalization.py:350-359) — stdlib NFD twin,
+    # oracle: DuckDB strip_accents
+    from ontology_mapping_spark.functions.strings import make_fold_accents_udf
+
+    udf = make_fold_accents_udf()
+    return _t(spark, sf, "part").select(
+        "p_partkey",
+        udf(F.concat(F.col("p_name"), F.lit(" émigré naïve São"))).alias("folded"),
+    )
