@@ -40,33 +40,85 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` exactly once per row and pass it to ``fn`` as a
+    lambda-bound variable.
+
+    Catalyst's CollapseProject merges adjacent projections, inlining a
+    "column" alias back into every expression that references it; a HOF
+    lambda body that then references the inlined *expression* (rather than a
+    bound attribute) is re-evaluated per array element. Wrapping the
+    expression in a one-element array and mapping over it turns it into a
+    NamedLambdaVariable — evaluated once, immune to projection collapse
+    (measured 10-16x on the MinHash path)."""
+    return F.transform(F.array(expr), fn)[0]
+
+
 def token_shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-token shingles of normalized text (array<string>).
 
-    Built as a zip_with chain of shifted arrays rather than
-    ``transform(sequence, i -> slice(toks, ...))``: a lambda body that
-    re-references the outer ``toks`` expression is re-evaluated PER ELEMENT
-    (the normalize regexes run O(tokens) times per row — measured 10x
-    slowdown); the zip form evaluates the token array a constant number of
-    times per row.
-    """
-    toks = F.split(normalize_col(text), " ")
-    zipped = toks
-    for k in range(1, n):
-        shifted = F.slice(
-            F.split(normalize_col(text), " "), k + 1, 1 << 30
+    The token array is lambda-bound (see :func:`_bind`) and shingles are a
+    zip_with chain of shifted slices, so the normalize regexes and the split
+    run exactly once per row regardless of n or downstream projection
+    collapse."""
+
+    def _chain(toks: Column) -> Column:
+        zipped = toks
+        for k in range(1, n):
+            zipped = F.zip_with(
+                zipped, F.slice(toks, k + 1, 1 << 30),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        # trailing entries padded with nulls by zip_with produce short
+        # shingles via concat_ws (null-skipping) — cut to the first
+        # size-n+1 windows
+        sh = F.slice(zipped, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+        return F.array_distinct(
+            F.when(F.size(toks) >= n, sh).otherwise(
+                F.array(F.concat_ws(" ", toks))
+            )
         )
-        zipped = F.zip_with(
-            zipped, shifted, lambda a, b: F.concat_ws(" ", a, b)
-        )
-    # trailing entries padded with nulls by zip_with produce short shingles
-    # via concat_ws (null-skipping) — cut to the first size-n+1 windows
-    sh = F.slice(zipped, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, sh).otherwise(
-            F.array(F.concat_ws(" ", toks))
-        )
-    )
+
+    return _bind(F.split(normalize_col(text), " "), _chain)
+
+
+def minhash_values(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature (array<string>[num_hashes]) of a bound shingle
+    array: md5 number j = md5(j || '|' || shingle) yields FOUR 32-bit hash
+    slices (8 hex chars each; lexicographic min == numeric min at fixed
+    width), so only ceil(num_hashes/4) md5 evaluations per shingle. Zero
+    shuffles — the naive explode + groupBy form costs a full shuffle of
+    |docs|·|shingles| rows."""
+    n_md5 = (num_hashes + 3) // 4
+
+    # NB: per-j/per-k closures via factory functions — a two-parameter
+    # lambda (even with a default) is read by F.transform as
+    # (element, index)
+    def _md5_fn(j: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
+
+    def _slice_fn(k: int):
+        return lambda x: F.substring(x, 8 * k + 1, 8)
+
+    def _sig(sh: Column) -> Column:
+        parts = []
+        for j in range(n_md5):
+            md5_arr = F.transform(sh, _md5_fn(j))
+            # bind the md5 array once; 4 cheap substring passes over it
+            parts.append(
+                _bind(
+                    md5_arr,
+                    lambda m: F.array(
+                        *[
+                            F.array_min(F.transform(m, _slice_fn(k)))
+                            for k in range(4)
+                        ]
+                    ),
+                )
+            )
+        return F.slice(F.flatten(F.array(*parts)), 1, num_hashes)
+
+    return _bind(shingles, _sig)
 
 
 def minhash_signatures(
@@ -76,22 +128,13 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig array<string>[num_hashes]): sig_i = min over shingles of
-    md5(i || '|' || shingle). Computed entirely with array higher-order
-    functions (array_min over transform) — zero shuffles; the naive
-    explode + groupBy form costs a full shuffle of |docs|·|shingles| rows."""
-    sh = df.select(
-        F.col(id_col), token_shingles(F.col(text_col), shingle_n).alias("sh")
+    """(id, sig array<string>[num_hashes]) — see :func:`minhash_values`."""
+    return df.select(
+        F.col(id_col),
+        minhash_values(
+            token_shingles(F.col(text_col), shingle_n), num_hashes
+        ).alias("sig"),
     )
-    def _minhash(i: int):
-        # NB: a two-arg lambda would be read by F.transform as
-        # (element, index) — build per-i closures instead
-        return F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
-        )
-
-    sig = F.array(*[_minhash(i) for i in range(num_hashes)])
-    return sh.select(id_col, sig.alias("sig"))
 
 
 def lsh_candidates(
@@ -145,13 +188,8 @@ def near_dup_pairs_minhash(
     sets_df = df.select(
         F.col(id_col), token_shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    def _minhash(i: int):
-        return F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
-        )
-
     sigs = sets_df.select(
-        id_col, F.array(*[_minhash(i) for i in range(num_hashes)]).alias("sig")
+        id_col, minhash_values(F.col("sh"), num_hashes).alias("sig")
     )
     cands = lsh_candidates(sigs, id_col, bands)
     out = (

@@ -20,9 +20,6 @@ golden ``normalize`` and matching is on space-padded normalized strings, so
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -92,13 +89,12 @@ def _build_trie(phrase_rows: list[tuple[str, str]]) -> dict:
     return root
 
 
-def scan_text_py(trie: dict, text: str) -> dict[tuple[str, str], int]:
-    """Count matches of every trie phrase in normalized text. At each token
+def scan_tokens_py(trie: dict, toks: list[str]) -> dict[tuple[str, str], int]:
+    """Count matches of every trie phrase in a token stream. At each token
     position, walk the trie as far as tokens match, emitting every terminal
     passed (so nested phrases all fire). Non-overlapping per phrase is NOT
     enforced here; counts are per start position, which equals the
     str.count semantics for space-separated token phrases."""
-    toks = normalize_py(text).split()
     out: dict[tuple[str, str], int] = {}
     n = len(toks)
     for i in range(n):
@@ -112,30 +108,52 @@ def scan_text_py(trie: dict, text: str) -> dict[tuple[str, str], int]:
     return out
 
 
+def scan_text_py(trie: dict, text: str) -> dict[tuple[str, str], int]:
+    """:func:`scan_tokens_py` over golden-normalized text."""
+    return scan_tokens_py(trie, normalize_py(text).split())
+
+
+def _emit_batch(urls: list, uris: list, surfaces: list, counts: list):
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(urls, type=pa.string()),
+            pa.array(uris, type=pa.string()),
+            pa.array(surfaces, type=pa.string()),
+            pa.array(counts, type=pa.int32()),
+        ],
+        names=["url", "uri", "surface", "n_hits"],
+    )
+
+
 def mentions_via_trie(
     pages_text: DataFrame, phrases: DataFrame, batch_hint: int | None = None
 ) -> DataFrame:
-    """Broadcast-trie scan inside mapInPandas (Arrow-batched; the trie is
-    built once per executor from a broadcast variable, not per batch)."""
+    """Broadcast-trie scan inside mapInArrow (the trie is built once per
+    executor from a broadcast variable, not per batch). Arrow batches are
+    consumed/produced directly — the pandas conversion of a binary/string
+    column costs ~2x the whole scan kernel (measured), so mapInPandas is
+    the wrong shape here."""
     spark = pages_text.sparkSession
     rows = [(r["uri"], r["phrase"]) for r in phrases.select("uri", "phrase").collect()]
     trie_bc = spark.sparkContext.broadcast(_build_trie(rows))
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def scan(batches):
         trie = trie_bc.value
-        for pdf in batches:
+        for b in batches:
             urls, uris, surfaces, counts = [], [], [], []
-            for url, text in zip(pdf["url"], pdf["text"]):
+            for url, text in zip(
+                b.column("url").to_pylist(), b.column("text").to_pylist()
+            ):
                 for (uri, phrase), c in scan_text_py(trie, text).items():
                     urls.append(url)
                     uris.append(uri)
                     surfaces.append(phrase)
                     counts.append(c)
-            yield pd.DataFrame(
-                {"url": urls, "uri": uris, "surface": surfaces, "n_hits": counts}
-            ).astype({"n_hits": "int32"})
+            yield _emit_batch(urls, uris, surfaces, counts)
 
-    return pages_text.select("url", "text").mapInPandas(scan, schema=MENTIONS)
+    return pages_text.select("url", "text").mapInArrow(scan, schema=MENTIONS)
 
 
 def mentions_from_html(
@@ -143,34 +161,36 @@ def mentions_from_html(
 ) -> DataFrame:
     """Fused S1+S3: HTML extraction + trie scan in ONE Arrow pass per batch
     (url, html) -> (url, uri, surface, n_hits). Halves the JVM<->Python
-    crossings vs extract-then-scan; the production shape for the 100 TB
-    pages scan — each page crosses into Python exactly once."""
-    from ontology_mapping_spark.textnorm import extract_text_py
+    crossings vs extract-then-scan, and tokenizes with the fused
+    single-findall kernel (textnorm.tokens_from_html_py); the production
+    shape for the 100 TB pages scan — each page crosses into Python exactly
+    once."""
+    from ontology_mapping_spark.textnorm import tokens_from_html_py
 
     spark = pages.sparkSession
     rows = [(r["uri"], r["phrase"]) for r in phrases.select("uri", "phrase").collect()]
     trie_bc = spark.sparkContext.broadcast(_build_trie(rows))
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def scan(batches):
         trie = trie_bc.value
-        for pdf in batches:
+        for b in batches:
             urls, uris, surfaces, counts = [], [], [], []
-            for url, html in zip(pdf["url"], pdf["html"]):
-                for (uri, phrase), c in scan_text_py(
-                    trie, extract_text_py(html)
+            for url, html in zip(
+                b.column("url").to_pylist(), b.column("html").to_pylist()
+            ):
+                for (uri, phrase), c in scan_tokens_py(
+                    trie, tokens_from_html_py(html)
                 ).items():
                     urls.append(url)
                     uris.append(uri)
                     surfaces.append(phrase)
                     counts.append(c)
-            yield pd.DataFrame(
-                {"url": urls, "uri": uris, "surface": surfaces, "n_hits": counts}
-            ).astype({"n_hits": "int32"})
+            yield _emit_batch(urls, uris, surfaces, counts)
 
     df = pages
     if lang is not None:
         df = df.filter(F.col("lang") == lang)
-    return df.select("url", "html").mapInPandas(scan, schema=MENTIONS)
+    return df.select("url", "html").mapInArrow(scan, schema=MENTIONS)
 
 
 def mention_triples(mentions: DataFrame, predicate: str = "kg:mentionedIn") -> DataFrame:

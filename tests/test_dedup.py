@@ -25,11 +25,15 @@ def py_shingles(text: str, n: int = 3) -> set[str]:
 
 
 def py_minhash(text: str, num_hashes: int = 16, n: int = 3) -> list[str]:
+    # md5 number j yields four 32-bit slices (8 hex chars each); slice k of
+    # md5(j|shingle) is hash 4j+k — mirrors operators/dedup.minhash_values
     sh = py_shingles(text, n)
-    return [
-        min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in sh)
-        for i in range(num_hashes)
-    ]
+    out: list[str] = []
+    for j in range((num_hashes + 3) // 4):
+        digests = [hashlib.md5(f"{j}|{s}".encode()).hexdigest() for s in sh]
+        for k in range(4):
+            out.append(min(d[8 * k : 8 * k + 8] for d in digests))
+    return out[:num_hashes]
 
 
 def py_simhash(text: str, bits: int = 16) -> int:

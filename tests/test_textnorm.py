@@ -79,3 +79,24 @@ def test_extract_text_matches_fixture_ground_truth(fx):
     # recover it byte-identically (golden-hash per url)
     for p in fx.web_pages[:50]:
         assert extract_text_py(p["html"]) == p["text"], p["url"]
+
+
+def test_fused_tokenizer_matches_golden_path(fx):
+    # tokens_from_html_py must emit exactly the token stream of
+    # normalize(extract(html)).split() — the fused kernel may not drift
+    from ontology_mapping_spark.textnorm import tokens_from_html_py
+
+    for p in fx.web_pages[:100]:
+        expect = normalize_py(extract_text_py(p["html"])).split()
+        assert tokens_from_html_py(p["html"]) == expect, p["url"]
+    # unicode / entity / byte edge cases
+    cases = [
+        b"<p>caf\xc3\xa9 &amp; Na\xc3\xafve &lt;tag&gt; A1</p>",
+        b"<script>skip me</script>Keep <b>Bold</b> &#65;&#66;",
+        b"\xff\xfe broken utf8 <i>ok</i>",
+        None,
+        b"",
+    ]
+    for html in cases:
+        expect = normalize_py(extract_text_py(html)).split()
+        assert tokens_from_html_py(html) == expect, html
