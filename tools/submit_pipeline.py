@@ -1,0 +1,145 @@
+"""spark-submit entry point for the end-to-end KG-construction pipeline.
+
+The north-rule deployment shape (BASELINE.json: "run via spark-submit
+--py-files on a multi-executor cluster") — this script never sets a master,
+so the cluster manager / --master flag of spark-submit decides where it
+runs; locally it degrades to ``python tools/submit_pipeline.py`` (env
+SPARK_GRAFT_CPUS picks the local parallelism).
+
+Typical cluster invocation::
+
+    python tools/submit_pipeline.py --build-zip          # once: package
+    spark-submit --master <cluster> \
+        --py-files build/ontology_mapping_spark.zip \
+        tools/submit_pipeline.py --workdir hdfs://.../kg_run1 \
+        [--pages /path/to/web_pages_parquet] [--triples /path/to/triples]
+
+With no --pages/--triples it synthesizes the deterministic fixture corpus
+(same generator the tests pin), so the same command validates a fresh
+cluster end-to-end. The workdir gives checkpoint/resume: re-running with
+the same workdir + config skips completed stages (StageRunner manifests).
+
+Prints ONE JSON line: stage row counts, match-class precision/recall, and
+wall seconds — the per-cluster-size observable for the scaling-efficiency
+criterion (run at N and 4N executors, compare pages/sec).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def build_zip() -> str:
+    """Package the library for --py-files (the import root must be the zip
+    root, so workers can ``import ontology_mapping_spark``)."""
+    import zipfile
+
+    out_dir = os.path.join(_REPO, "build")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "ontology_mapping_spark.zip")
+    pkg = os.path.join(_REPO, "ontology_mapping_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".pyc") or "__pycache__" in root:
+                    continue
+                full = os.path.join(root, f)
+                zf.write(full, os.path.relpath(full, _REPO))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--build-zip", action="store_true", help="package for --py-files and exit")
+    ap.add_argument("--workdir", default=os.path.join(_REPO, ".pipeline_work"))
+    ap.add_argument("--pages", default=None, help="parquet path of web_pages (url, warc_ts, html, text, lang)")
+    ap.add_argument("--triples", default=None, help="parquet path of ontology triples (subject, predicate, object, lang)")
+    ap.add_argument("--align-train", dest="align_train", default=None)
+    ap.add_argument("--align-test", dest="align_test", default=None)
+    ap.add_argument("--fixture-pages", type=int, default=2000, help="synthetic corpus size when no --pages given")
+    ap.add_argument("--fixture-pairs", type=int, default=60)
+    args = ap.parse_args()
+
+    if args.build_zip:
+        print(json.dumps({"zip": build_zip()}))
+        return
+
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.appName("ontology_mapping_spark.pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    # under spark-submit the master comes from the CLI; standalone python
+    # runs fall back to a local master sized by SPARK_GRAFT_CPUS
+    if "SPARK_SUBMIT" not in os.environ and not os.environ.get("SPARK_MASTER"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.sql.shuffle.partitions", str(max(int(cpus), 4))
+        )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from ontology_mapping_spark.plans.pipeline import run_pipeline
+    from ontology_mapping_spark.schemas import ALIGNMENTS
+
+    t0 = time.time()
+    if args.pages and args.triples:
+        pages = spark.read.parquet(args.pages)
+        triples = spark.read.parquet(args.triples)
+        if not (args.align_train and args.align_test):
+            ap.error("--align-train/--align-test required with --triples")
+        from ontology_mapping_spark.sources.readers import read_alignments
+
+        align_train = read_alignments(spark, args.align_train)
+        align_test = read_alignments(spark, args.align_test)
+    else:
+        from ontology_mapping_spark.fixtures import fixture_dataframes, make_fixture
+
+        fx = make_fixture(
+            n_pairs=args.fixture_pairs,
+            n_extra_per_side=args.fixture_pairs // 3,
+            n_pages=args.fixture_pages,
+        )
+        triples, align_train, align_test, pages = fixture_dataframes(spark, fx)
+
+    res = run_pipeline(spark, triples, align_train, align_test, pages, args.workdir)
+    n_triples = res.triples.count()
+    n_pages = pages.count()
+    report = {
+        r["class"]: {"precision": r["precision"], "recall": r["recall"]}
+        for r in res.report.collect()
+        if r["class"] in ("0", "1")
+    }
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "kg_triples": n_triples,
+                "pages": n_pages,
+                "match_class": report.get("1", {}),
+                "wall_sec": round(wall, 2),
+                "pages_per_sec": round(n_pages / wall, 1),
+                "workdir": args.workdir,
+                "resumed_stages": sorted(
+                    s for s, ev in res.runner.events if ev == "skipped"
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
