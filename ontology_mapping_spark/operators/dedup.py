@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ontology_mapping_spark.functions.arrays import bind as _bind
 from ontology_mapping_spark.textnorm import normalize_col
 
 
@@ -38,20 +39,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-
-
-def _bind(expr: Column, fn) -> Column:
-    """Evaluate ``expr`` exactly once per row and pass it to ``fn`` as a
-    lambda-bound variable.
-
-    Catalyst's CollapseProject merges adjacent projections, inlining a
-    "column" alias back into every expression that references it; a HOF
-    lambda body that then references the inlined *expression* (rather than a
-    bound attribute) is re-evaluated per array element. Wrapping the
-    expression in a one-element array and mapping over it turns it into a
-    NamedLambdaVariable — evaluated once, immune to projection collapse
-    (measured 10-16x on the MinHash path)."""
-    return F.transform(F.array(expr), fn)[0]
 
 
 def token_shingles(text: Column, n: int = 3) -> Column:

@@ -109,23 +109,33 @@ def winnow_fingerprints(
     consecutive character-k-gram hashes keep the minimum -> (id, fp) rows,
     the local-fingerprint set used for plagiarism-style containment
     detection. Pure Catalyst: substring k-grams + windowed min via
-    transform over index sequences."""
-    df2 = df.withColumn("__n", normalize_col(F.col(text_col)))
-    grams = F.when(
-        F.length("__n") >= kgram,
-        F.transform(
-            F.sequence(F.lit(1), F.length("__n") - kgram + 1),
-            lambda i: F.md5(F.col("__n").substr(i, F.lit(kgram))),
-        ),
-    ).otherwise(F.array(F.md5(F.col("__n"))))
-    df2 = df2.withColumn("__grams", grams)
-    mins = F.array_distinct(
-        F.when(
-            F.size("__grams") >= window,
+    transform over index sequences.
+
+    Both the normalized text and the gram array are lambda-bound
+    (functions/arrays.bind): referencing them as plain column aliases lets
+    CollapseProject inline them back into the per-index lambdas, which
+    re-derives the whole gram array per window position — O(n^2) md5s."""
+    from ontology_mapping_spark.functions.arrays import bind
+
+    def _grams(n: Column) -> Column:
+        return F.when(
+            F.length(n) >= kgram,
             F.transform(
-                F.sequence(F.lit(0), F.size("__grams") - window),
-                lambda i: F.array_min(F.slice(F.col("__grams"), i + 1, window)),
+                F.sequence(F.lit(1), F.length(n) - kgram + 1),
+                lambda i: F.md5(n.substr(i, F.lit(kgram))),
             ),
-        ).otherwise(F.array(F.array_min(F.col("__grams"))))
-    )
-    return df2.select(F.col(id_col), F.explode(mins).alias("fp"))
+        ).otherwise(F.array(F.md5(n)))
+
+    def _mins(g: Column) -> Column:
+        return F.array_distinct(
+            F.when(
+                F.size(g) >= window,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(g) - window),
+                    lambda i: F.array_min(F.slice(g, i + 1, window)),
+                ),
+            ).otherwise(F.array(F.array_min(g)))
+        )
+
+    mins = bind(bind(normalize_col(F.col(text_col)), _grams), _mins)
+    return df.select(F.col(id_col), F.explode(mins).alias("fp"))

@@ -831,19 +831,26 @@ def q_mentions_flagship(spark, sf):
     vocabulary (bigrams with document frequency >= 30 — the 'ontology
     labels'), then emit (doc_id, phrase) mentions via the token-bigram
     blocking pattern (SURVEY §7 minimum end-to-end slice)."""
+    from ontology_mapping_spark.functions.arrays import bind
+
     docs = _t(spark, sf, "documents")
-    toks = docs.select("doc_id", F.split(normalize_col("text"), " ").alias("toks"))
-    bigrams = toks.filter(F.size("toks") >= 2).select(
+
+    # bigrams as a bound zip_with of shifted token arrays: the indexed
+    # transform(sequence, i -> slice(toks,...)) form re-evaluates the
+    # normalize+split per element after CollapseProject inlines the alias
+    def _bigrams(t):
+        pairs = F.zip_with(
+            t, F.slice(t, 2, 1 << 30), lambda a, b: F.concat_ws(" ", a, b)
+        )
+        return F.when(
+            F.size(t) >= 2,
+            F.array_distinct(F.slice(pairs, 1, F.size(t) - 1)),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bigrams = docs.select(
         "doc_id",
         F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 2),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("toks"), i + 1, 2)
-                    ),
-                )
-            )
+            bind(F.split(normalize_col("text"), " "), _bigrams)
         ).alias("phrase"),
     )
     # bigrams are already distinct per doc (array_distinct before explode),
