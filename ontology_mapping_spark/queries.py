@@ -868,10 +868,49 @@ def q_mentions_flagship(spark, sf):
 # rows-only entries (no SQL-expressible oracle; driver records row counts)
 # --------------------------------------------------------------------------
 
-@query("minhash_lsh_near_dups")
+def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 8, n: int = 3) -> str:
+    """Full MinHash->banded-LSH->verify oracle, generated from the same
+    constants as the Spark query (md5-slice hash lanes, band hashes,
+    exact-Jaccard verification)."""
+    rpb = num_hashes // bands
+    hash_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> substr(md5('{j}|' || s), {8 * k + 1}, 8))) AS h{4 * j + k}"
+        for j in range((num_hashes + 3) // 4)
+        for k in range(4)
+    )
+    band_rows = ", ".join(
+        "STRUCT_PACK(band := {b}, bh := md5(concat_ws('|', {hs})))".format(
+            b=b, hs=", ".join(f"h{b * rpb + r}" for r in range(rpb))
+        )
+        for b in range(bands)
+    )
+    shingle_expr = "concat_ws(' ', " + ", ".join(
+        f"toks[CAST(i+{d} AS INT)]" for d in range(n)
+    ) + ")"
+    return f"""WITH alld AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' near duplicate suffix'
+        FROM documents WHERE doc_id % 50 = 0),
+      t AS (SELECT doc_id, string_split({normalize_sql('text', 'duckdb')}, ' ') AS toks FROM alld),
+      sh_t AS (SELECT doc_id, CASE WHEN len(toks) >= {n}
+           THEN list_distinct(list_transform(range(1, len(toks) - {n} + 2), i -> {shingle_expr}))
+           ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+      sigs AS (SELECT doc_id, sh, {hash_cols} FROM sh_t),
+      banded AS (SELECT doc_id, unnest([{band_rows}], recursive := true) FROM sigs),
+      cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      verified AS (SELECT c.a, c.b,
+           len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
+           FROM cands c JOIN sh_t sa ON sa.doc_id = c.a JOIN sh_t sb ON sb.doc_id = c.b)
+      SELECT a, b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.5"""
+
+
+@query("minhash_lsh_near_dups", _minhash_lsh_sql())
 def q_minhash_lsh(spark, sf):
-    # full MinHash->banded-LSH->verify near-dup pipeline (engine-internal
-    # verification in tests/test_dedup.py; not ANSI-SQL-expressible sanely)
+    # full MinHash->banded-LSH->verify near-dup pipeline; the DuckDB oracle
+    # re-derives signatures, band buckets and exact Jaccard from the same
+    # md5-slice scheme
     from ontology_mapping_spark.operators.dedup import near_dup_pairs_minhash
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
@@ -897,10 +936,21 @@ def q_ann_ivf(spark, sf):
     return ann_ivf_topk(queries_df, corpus, k=5, n_centroids=8, nprobe=4)
 
 
-@query("winnow_fingerprints")
+def _winnow_sql(k: int = 8, w: int = 4) -> str:
+    return f"""WITH d AS (SELECT doc_id, {normalize_sql('text', 'duckdb')} AS n FROM documents),
+      g AS (SELECT doc_id, CASE WHEN length(n) >= {k}
+           THEN list_transform(range(1, length(n) - {k} + 2), i -> md5(substr(n, CAST(i AS INT), {k})))
+           ELSE [md5(n)] END AS grams FROM d),
+      m AS (SELECT doc_id, list_distinct(CASE WHEN len(grams) >= {w}
+           THEN list_transform(range(0, len(grams) - {w} + 1),
+                i -> list_min(grams[CAST(i + 1 AS INT):CAST(i + {w} AS INT)]))
+           ELSE [list_min(grams)] END) AS fps FROM g)
+      SELECT doc_id, unnest(fps) AS fp FROM m"""
+
+
+@query("winnow_fingerprints", _winnow_sql())
 def q_winnow(spark, sf):
-    # winnowing local fingerprints (window-min over k-gram hash sequences;
-    # oracle-checked in tests, too loop-heavy for a sane SQL oracle)
+    # winnowing local fingerprints (window-min over k-gram hash sequences)
     from ontology_mapping_spark.operators.textstats import winnow_fingerprints
 
     return winnow_fingerprints(_t(spark, sf, "documents"))
