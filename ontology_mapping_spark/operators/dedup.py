@@ -219,6 +219,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dup_pairs_embedding(
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    queries: DataFrame | None = None,
+    dim: int | None = None,
+    nbits: int = 8,
+    tables: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs -> (a, b, cos), cos >= threshold.
+
+    Two shapes:
+    * ``queries`` given — brute-force probe: |queries| x |corpus| exact
+      cosines (broadcast the probe side). Exact and SQL-reproducible;
+      right when the probe side is small (incremental dedup of a new
+      batch against the corpus).
+    * corpus-scale — sign-LSH bucket blocking (similarity.sign_lsh_buckets)
+      then exact cosine verification; never materializes n^2. Recall < 1
+      by construction; raise ``tables``/lower ``nbits`` for higher recall.
+    """
+    from ontology_mapping_spark.functions.vectors import cosine_col
+
+    if queries is not None:
+        a = queries.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+        b = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+        scored = b.crossJoin(F.broadcast(a)).filter(F.col("a") != F.col("b"))
+    else:
+        from ontology_mapping_spark.operators.similarity import sign_lsh_buckets
+
+        if dim is None:
+            raise ValueError("dim is required for the LSH-blocked form")
+        bk = sign_lsh_buckets(
+            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            "id", dim, nbits, tables, seed,
+        )
+        cands = (
+            bk.select(F.col("id").alias("a"), "table", "bucket")
+            .join(bk.select(F.col("id").alias("b"), "table", "bucket"), ["table", "bucket"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        scored = (
+            cands.join(corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va")), "a")
+            .join(corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb")), "b")
+        )
+    return (
+        scored.withColumn("cos", cosine_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
 def simhash_bit(token: Column, bit: int) -> Column:
     """Deterministic bit ``bit`` (0..31) of md5(token): high bit of the
     hex nibble at position ``bit`` — reproducible in any engine that has

@@ -936,6 +936,72 @@ def q_ann_ivf(spark, sf):
     return ann_ivf_topk(queries_df, corpus, k=5, n_centroids=8, nprobe=4)
 
 
+_SHINGLE3_CTE = f"""t AS (SELECT doc_id, string_split({normalize_sql('text', 'duckdb')}, ' ') AS toks FROM documents),
+      sh_t AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+           THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i+1 AS INT)], toks[CAST(i+2 AS INT)])))
+           ELSE [array_to_string(toks, ' ')] END AS sh FROM t)"""
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""WITH {_SHINGLE3_CTE}
+       SELECT sa.doc_id AS a, sb.doc_id AS b,
+              round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                    len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+       FROM sh_t sa JOIN sh_t sb ON sb.doc_id = sa.doc_id + 1
+       WHERE sa.doc_id % 2 = 0""",
+)
+def q_ngram_jaccard(spark, sf):
+    # exact n-gram-shingle Jaccard as a standalone scoring kernel
+    # (dedup family; the verification stage of the MinHash pipeline)
+    from ontology_mapping_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf, "documents")
+    pairs = docs.select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")).filter(
+        F.col("a") % 2 == 0
+    )
+    return ngram_jaccard_pairs(docs, pairs).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       planted AS (SELECT vec_id + 1000000 AS vec_id,
+              list_transform(range(1, len(v) + 1), i -> v[CAST(i AS INT)] + 0.1 * v[CAST(len(v) - i + 1 AS INT)]) AS v
+              FROM e WHERE vec_id % 10 = 0)
+       SELECT p.vec_id AS a, e.vec_id AS b,
+              round(list_cosine_similarity(p.v, e.v), 5) AS cos
+       FROM planted p CROSS JOIN e
+       WHERE list_cosine_similarity(p.v, e.v) >= 0.8""",
+)
+def q_embedding_near_dups(spark, sf):
+    # embedding-cosine near-dup (dedup family): deterministic planted
+    # near-dups (v + 0.1*reverse(v), cos ~0.995 vs next-best ~0.49 —
+    # no threshold-boundary float risk), brute-force probe form
+    from ontology_mapping_spark.functions.arrays import bind
+    from ontology_mapping_spark.operators.dedup import near_dup_pairs_embedding
+
+    emb = _t(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    planted = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        bind(
+            F.col("v"),
+            lambda v: F.zip_with(v, F.reverse(v), lambda a, b: a + F.lit(0.1) * b),
+        ).alias("v"),
+    )
+    out = near_dup_pairs_embedding(
+        base, threshold=0.8, id_col="vec_id", vec_col="v", queries=planted
+    )
+    return out.select("a", "b", F.round("cos", 5).alias("cos"))
+
+
 def _winnow_sql(k: int = 8, w: int = 4) -> str:
     return f"""WITH d AS (SELECT doc_id, {normalize_sql('text', 'duckdb')} AS n FROM documents),
       g AS (SELECT doc_id, CASE WHEN length(n) >= {k}

@@ -128,3 +128,50 @@ def test_minhash_on_real_documents(spark):
     out = near_dup_pairs_minhash(all_docs, threshold=0.6, num_hashes=16, bands=8)
     found = {(r["a"], r["b"]) for r in out.collect()}
     assert (0, 100000) in found
+
+
+def test_embedding_near_dup_pairs_both_forms(spark):
+    import numpy as np
+    from ontology_mapping_spark.operators.dedup import near_dup_pairs_embedding
+
+    rng = np.random.default_rng(11)
+    base = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(40)]
+    # plant near-dups of every 10th vector
+    planted = [
+        (i + 1000, [x + 0.05 * rng.standard_normal() for x in v])
+        for i, v in base
+        if i % 10 == 0
+    ]
+    df = spark.createDataFrame(base + planted, "id long, vec array<double>")
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    all_vecs = dict(base + planted)
+    want = {
+        (min(i, j), max(i, j))
+        for i in all_vecs
+        for j in all_vecs
+        if i < j and cos(all_vecs[i], all_vecs[j]) >= 0.9
+    }
+    assert len(want) == 4  # each planted pairs with its source only
+
+    # brute-force probe form: probe side = planted rows
+    probe = df.filter(F.col("id") >= 1000)
+    got_bf = {
+        (min(r["a"], r["b"]), max(r["a"], r["b"]))
+        for r in near_dup_pairs_embedding(
+            df, threshold=0.9, queries=probe
+        ).collect()
+    }
+    assert got_bf == want
+
+    # LSH-blocked corpus form: subset of truth (recall<1), finds >= 3 of 4
+    got_lsh = {
+        (min(r["a"], r["b"]), max(r["a"], r["b"]))
+        for r in near_dup_pairs_embedding(
+            df, threshold=0.9, dim=16, nbits=6, tables=4
+        ).collect()
+    }
+    assert got_lsh <= want and len(got_lsh) >= 3
