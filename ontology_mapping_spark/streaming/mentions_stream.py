@@ -109,3 +109,52 @@ def run_stream_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_concept_milestones(
+    mentions: DataFrame, milestones: tuple[int, ...] = (1, 10, 100, 1000, 10000)
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-concept
+    cumulative mention totals carried across microbatches, emitting a row
+    each time a concept's lifetime count crosses a milestone.
+
+    Not expressible as a windowed aggregation: the state is a lifetime
+    running total (no window bound) and the output is the *crossing event*,
+    not the aggregate. This is the ``applyInPandasWithState`` pattern for
+    arbitrary stateful logic (threshold alerts, change-points, session
+    models) the brief's streaming surface calls for. State is one long per
+    key — bounded by |ontology|, not by stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ms = sorted(milestones)
+
+    def fn(key, pdfs, state):
+        prev = state.get[0] if state.exists else 0
+        add = 0
+        for pdf in pdfs:
+            add += int(pdf["n_hits"].sum())
+        total = prev + add
+        state.update((total,))
+        crossed = [m for m in ms if prev < m <= total]
+        if crossed:
+            yield pd.DataFrame(
+                {
+                    "uri": [key[0]] * len(crossed),
+                    "milestone": crossed,
+                    "total": [total] * len(crossed),
+                }
+            )
+
+    return (
+        mentions.select("uri", "n_hits")
+        .groupBy("uri")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="uri string, milestone long, total long",
+            stateStructType="total long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -47,3 +47,45 @@ def test_windowed_counts_plan_is_streaming(spark, fx_dfs, tmp_path):
     counts = stream_mention_counts(m)
     assert counts.isStreaming
     assert set(counts.columns) == {"window_start", "window_end", "uri", "n_mentions"}
+
+
+def test_stateful_milestones_accumulate_across_batches(spark, fx_dfs, tmp_path):
+    from ontology_mapping_spark.streaming.mentions_stream import (
+        stream_concept_milestones,
+    )
+
+    in_dir = str(tmp_path / "m_in")
+    ckpt = str(tmp_path / "m_ckpt")
+    phrases = label_phrases(extract_labels(fx_dfs["triples"])).cache()
+    # batch ground truth: lifetime totals per concept
+    batch = mentions_via_join(extracted_pages(fx_dfs["pages"]), phrases)
+    totals = {
+        r["uri"]: r["t"]
+        for r in batch.groupBy("uri").agg(F.sum("n_hits").alias("t")).collect()
+    }
+    # stream the same pages in 4 single-file microbatches so state must
+    # carry across triggers (maxFilesPerTrigger=4 in stream_pages, so use
+    # 8 files to force >= 2 batches)
+    fx_dfs["pages"].repartition(8).write.parquet(in_dir)
+    m = stream_mentions(stream_pages(spark, in_dir), phrases)
+    out = stream_concept_milestones(m, milestones=(1, 5, 20))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("milestones")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("select * from milestones").collect()
+    got = {(r["uri"], r["milestone"]) for r in rows}
+    want = {
+        (uri, m)
+        for uri, t in totals.items()
+        for m in (1, 5, 20)
+        if t >= m
+    }
+    assert got == want and len(want) > 0
+    # each milestone fires exactly once (state, not per-batch recompute)
+    assert len(rows) == len(got)
