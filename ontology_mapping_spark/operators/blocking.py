@@ -79,7 +79,14 @@ def salted_blocking_join(
     across ``salt_buckets`` and route source probes by hash-salt, so a hot
     token's pairs spread over S reducers instead of one (north rule's
     "skew-key salting on hot entities"). Semantics identical to
-    :func:`blocking_join`."""
+    :func:`blocking_join`.
+
+    ⚠ AQE interaction: partition coalescing sizes reducers from the
+    pre-join shuffle bytes; when the hazard is the join's *output* (a hot
+    key's cross product), AQE may merge the salted partitions back
+    together. Disable ``spark.sql.adaptive.coalescePartitions.enabled``
+    for this stage (or set ``minPartitionSize``) when salting against an
+    output explosion — see BENCH.md "Skew-key salting"."""
     cfg = cfg or PipelineConfig()
     S = cfg.salt_buckets
     s = (
