@@ -110,6 +110,23 @@ def extract_text_py(html: bytes | str | None) -> str:
 # ---------------------------------------------------------------------------
 
 _ALNUM = re.compile(r"[a-z0-9]+")
+# byte-translate table: keep [a-z0-9], everything else becomes a space —
+# C-speed tokenizer for the (overwhelmingly common) pure-ASCII page
+_TO_SPACE = bytes(
+    b if (97 <= b <= 122 or 48 <= b <= 57) else 32 for b in range(256)
+)
+
+
+def _tokens_from_text(text: str) -> list[str]:
+    """[a-z0-9]+ runs of the lowered text == normalize_py(text).split().
+
+    ASCII fast path: bytes.translate + split (~4x the regex findall);
+    exact for ASCII because both reduce to 'split on non-[a-z0-9]'.
+    Non-ASCII falls back to the regex (unicode lowering can produce
+    combining marks whose token boundaries the byte path would miss)."""
+    if text.isascii():
+        return text.lower().encode("ascii").translate(_TO_SPACE).decode("ascii").split()
+    return _ALNUM.findall(text.lower())
 
 
 def tokens_from_html_py(html: bytes | str | None) -> list[str]:
@@ -127,4 +144,4 @@ def tokens_from_html_py(html: bytes | str | None) -> list[str]:
     text = _BOILER.sub(" ", text)
     text = _TAG.sub(" ", text)
     text = _htmlmod.unescape(text)
-    return _ALNUM.findall(text.lower())
+    return _tokens_from_text(text)
