@@ -1,0 +1,67 @@
+"""Physical-plan regression tests: the scale properties BENCH.md claims
+(pushdown, pruning, broadcast, window group-limit, salt spread) asserted
+against explain output so they can't silently regress."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.config import PipelineConfig
+from ontology_mapping_spark.operators import graph as G
+from ontology_mapping_spark.operators.blocking import salted_blocking_join
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    jmode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_filter_and_projection_reach_parquet_scan(docs):
+    df = docs.filter(F.col("doc_id") < 100).select("doc_id", "lang")
+    p = plan_str(df)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in p
+    # column pruning: text/embeddings never leave the scan
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read_schema and "lang" in read_schema
+    assert "text" not in read_schema
+
+
+def test_dimension_lookup_broadcasts(spark, docs):
+    dim = spark.createDataFrame([(0, "a"), (1, "b")], "doc_id long, tag string")
+    df = docs.join(F.broadcast(dim), "doc_id")
+    assert "BroadcastHashJoin" in plan_str(df)
+
+
+def test_topk_compiles_to_window_group_limit(docs):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("doc_id").desc())
+    df = docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    assert "WindowGroupLimit" in plan_str(df)
+
+
+def test_salted_join_partitions_on_token_and_salt(spark):
+    src = spark.createDataFrame([("s1", "hot x")], "uri string, text string")
+    tgt = spark.createDataFrame([("t1", "hot y")], "uri string, text string")
+    p = plan_str(salted_blocking_join(src, tgt, PipelineConfig(salt_buckets=8)), "extended")
+    assert "hashpartitioning(token" in p and "salt" in p.split("hashpartitioning(token", 1)[1][:40]
+
+
+def test_closure_converges_in_log_rounds_on_deep_chain(spark):
+    # a 300-deep chain: naive one-hop expansion needs 299 rounds; path
+    # doubling must converge within max_iters=20 (ceil(log2(299)) + 1)
+    n = 300
+    edges = spark.range(1, n).select(
+        F.col("id").cast("string").alias("child"),
+        (F.col("id") - 1).cast("string").alias("parent"),
+    )
+    closure = G.transitive_closure(edges, max_iters=20)
+    rows = closure.count()
+    assert rows == n * (n - 1) // 2  # every (node, smaller ancestor) pair
+    md = closure.agg(F.max("dist")).first()[0]
+    assert md == n - 1
