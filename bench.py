@@ -97,15 +97,26 @@ def run_pages_pipeline(spark) -> tuple[float, int]:
     # driver-side job, amortized once per crawl in production) — keep it
     # outside the per-page timing
     plan = mentions_from_html(pages, phrases)
-    t0 = time.time()
-    plan.write.format("noop").mode("overwrite").save()
-    return time.time() - t0, n_pages
+    reps = int(os.environ.get("SPARK_GRAFT_PAGES_REPS", "1"))
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        plan.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best, n_pages
 
 
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
     from ontology_mapping_spark import queries as q
 
     reg = q.registry()
+    # session warmup: the first job pays scheduler/codegen/python-worker
+    # spin-up (~2-4s) that would otherwise be billed to whichever query
+    # happens to run first
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
@@ -156,16 +167,23 @@ def main() -> None:
         # clean scaling regime is below that knee. Override with
         # SPARK_GRAFT_SCALING_LEVELS="8,32" on real hardware.
         levels = os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
-        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+        passes = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
         results = {}
-        # best-of-N per level, with the levels INTERLEAVED: this sandbox VM
-        # has multi-minute slow phases (same job measured 2-4x apart), so
-        # running all reps of one level back-to-back would bias the ratio;
-        # interleaving gives each level a shot at every phase and min-of-runs
-        # estimates the achievable rate
-        for _ in range(reps):
+        # best-of-(passes x in-session reps) per level, with the levels
+        # INTERLEAVED across passes: this sandbox VM has multi-minute slow
+        # phases (same job measured 2-4x apart), so back-to-back reps of
+        # one level would bias the ratio. In-session reps amortize the
+        # ~20s JVM startup; min-of-runs estimates the achievable rate.
+        for _ in range(passes):
             for c in levels:
-                env = dict(os.environ, SPARK_GRAFT_CPUS=c, SPARK_GRAFT_SF_DIR=sf_dir)
+                env = dict(
+                    os.environ,
+                    SPARK_GRAFT_CPUS=c,
+                    SPARK_GRAFT_SF_DIR=sf_dir,
+                    SPARK_GRAFT_PAGES_REPS=os.environ.get(
+                        "SPARK_GRAFT_PAGES_REPS", "2"
+                    ),
+                )
                 out = subprocess.run(
                     [sys.executable, __file__, "--pages-only"],
                     env=env,
@@ -213,9 +231,11 @@ def main() -> None:
     # append the north-rule N-vs-4N scaling evidence (best-of-N subprocess
     # runs at the two parallelism levels) unless explicitly skipped
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        env2 = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        env2.setdefault("SPARK_GRAFT_SCALING_REPS", "2")  # bound total wall
         out2 = subprocess.run(
             [sys.executable, __file__, "--scaling"],
-            env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir),
+            env=env2,
             capture_output=True,
             text=True,
         )
