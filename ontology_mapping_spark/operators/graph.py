@@ -54,9 +54,14 @@ def transitive_closure(edges: DataFrame, max_iters: int = 20) -> DataFrame:
             F.lit(1).alias("dist"),
         ).distinct()
     )
-    stats = anc.agg(
-        F.count("*").alias("n"), F.coalesce(F.sum("dist"), F.lit(0)).alias("s")
-    ).first()
+    # after round i the table covers every path of <= 2^i edges (budget);
+    # if the observed max dist is STRICTLY below the budget, no path used
+    # the full doubling range, so the longest path is already complete —
+    # stop without the extra confirmation round a fixpoint-compare needs.
+    budget = 1
+    md = anc.agg(F.coalesce(F.max("dist"), F.lit(0)).alias("m")).first()["m"]
+    if md < budget:  # empty or single-hop-complete graph
+        return anc
     for _ in range(max_iters):
         hop = (
             anc.alias("a")
@@ -73,13 +78,13 @@ def transitive_closure(edges: DataFrame, max_iters: int = 20) -> DataFrame:
             .agg(F.max("dist").alias("dist"))
         )
         merged = _cut(merged)
-        new_stats = merged.agg(
-            F.count("*").alias("n"), F.coalesce(F.sum("dist"), F.lit(0)).alias("s")
-        ).first()
+        budget *= 2
+        md = merged.agg(F.coalesce(F.max("dist"), F.lit(0)).alias("m")).first()["m"]
         anc = merged
-        if (new_stats["n"], new_stats["s"]) == (stats["n"], stats["s"]):
+        if md < budget:
             break
-        stats = new_stats
+        # md == budget: a path used the whole range — longer ones may exist
+        # (cycles never satisfy md < budget; max_iters bounds them)
     return anc
 
 
@@ -180,17 +185,28 @@ def connected_components(
     :func:`symmetrize` or rename first. ``vertices`` (optional, column
     ``node``) adds isolated nodes as singleton components.
     """
+    def _sig(df: DataFrame):
+        # order-independent edge-set signature: one aggregate job instead
+        # of the two exceptAll shuffle-joins a set-compare would cost
+        # (bit_xor: commutative and overflow-free under ANSI mode)
+        return df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+
     e = _cut(
         edges.select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         ).filter(F.col("u") != F.col("v")).distinct()
     )
+    sig = _sig(e)
     for _ in range(max_iters):
         new_e = _cut(_small_star(_large_star(e)))
-        if new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty():
-            e = new_e
-            break
+        new_sig = _sig(new_e)
         e = new_e
+        if (new_sig["n"], new_sig["h"]) == (sig["n"], sig["h"]):
+            break
+        sig = new_sig
     # after convergence e is a star: (member, root)
     comp = (
         e.select(F.greatest("u", "v").alias("node"), F.least("u", "v").alias("component"))
