@@ -854,14 +854,18 @@ def q_mentions_flagship(spark, sf):
         ).alias("phrase"),
     )
     # bigrams are already distinct per doc (array_distinct before explode),
-    # so plain count == count(DISTINCT doc_id) without the extra dedup shuffle
-    vocab = (
-        bigrams.groupBy("phrase")
-        .agg(F.count("*").alias("df"))
+    # so count over the phrase partition == count(DISTINCT doc_id); the
+    # window form shuffles the bigrams ONCE and avoids re-deriving them
+    # for a vocab join (the aggregate+join form scans the corpus twice).
+    # Scale note: WindowExec buffers each phrase partition — with a
+    # pathologically hot phrase (>>memory), fall back to the
+    # aggregate + broadcast-vocab-join form, which only shuffles counts.
+    w = Window.partitionBy("phrase")
+    return (
+        bigrams.withColumn("df", F.count("*").over(w))
         .filter(F.col("df") >= 30)
-        .select("phrase")
+        .select("doc_id", "phrase")
     )
-    return bigrams.join(F.broadcast(vocab), "phrase").select("doc_id", "phrase")
 
 
 # --------------------------------------------------------------------------
