@@ -181,7 +181,7 @@ def main() -> None:
                     SPARK_GRAFT_CPUS=c,
                     SPARK_GRAFT_SF_DIR=sf_dir,
                     SPARK_GRAFT_PAGES_REPS=os.environ.get(
-                        "SPARK_GRAFT_PAGES_REPS", "2"
+                        "SPARK_GRAFT_PAGES_REPS", "3"
                     ),
                 )
                 out = subprocess.run(
