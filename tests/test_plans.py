@@ -65,3 +65,40 @@ def test_closure_converges_in_log_rounds_on_deep_chain(spark):
     assert rows == n * (n - 1) // 2  # every (node, smaller ancestor) pair
     md = closure.agg(F.max("dist")).first()[0]
     assert md == n - 1
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path_factory):
+    # bucketing both sides on the join key pre-partitions the data so the
+    # sort-merge join needs NO Exchange — the co-located-join strategy for
+    # big repeatedly-joined intermediates (mentions, pairs) at scale; in
+    # production the same property comes from Iceberg bucket partition
+    # transforms (see SCALING.md)
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    # the in-memory catalog forgets tables between sessions but their
+    # warehouse directories persist — clear them or saveAsTable errors
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_a", "bkt_b"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    df = spark.range(10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    df.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_a")
+    df.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_b")
+    a, b = spark.table("bkt_a"), spark.table("bkt_b")
+    # force sort-merge (tiny test tables would otherwise broadcast and the
+    # planner disables bucketed reading entirely)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b.withColumnRenamed("v", "v2"), "k")
+        with_buckets = plan_str(joined)
+        assert "Exchange" not in with_buckets  # co-located: no shuffle
+        assert "Bucketed: true" in with_buckets
+        # the same join on unbucketed data shuffles both sides
+        plain = df.join(df.withColumnRenamed("v", "v2"), "k")
+        assert "Exchange" in plan_str(plain, "extended")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
