@@ -122,25 +122,45 @@ def ann_ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF: coarse-quantize the corpus with KMeans; a query scans only its
-    ``nprobe`` nearest inverted lists. Returns (q_id, c_id, cos, rank)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    """IVF: coarse-quantize the corpus; a query scans only its ``nprobe``
+    nearest inverted lists. Returns (q_id, c_id, cos, rank).
 
-    corpus_v = corpus.select(
-        "c_id", "vec", array_to_vector(F.col("vec")).alias("fv")
-    )
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="fv", predictionCol="list_id")
-    model = km.fit(corpus_v)
-    assigned = model.transform(corpus_v).select("c_id", "vec", "list_id")
-
-    centers = model.clusterCenters()
+    Quantizer: KMeans by default; pass ``centroids`` (list_id, center) to
+    use a fixed codebook instead (e.g. a deterministic data sample — the
+    standard cheap init, and exactly reproducible across engines, which
+    the SQL oracle relies on)."""
     spark = corpus.sparkSession
-    centers_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        "list_id int, center array<double>",
-    )
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        corpus_v = corpus.select(
+            "c_id", "vec", array_to_vector(F.col("vec")).alias("fv")
+        )
+        km = KMeans(
+            k=n_centroids, seed=seed, featuresCol="fv", predictionCol="list_id"
+        )
+        model = km.fit(corpus_v)
+        assigned = model.transform(corpus_v).select("c_id", "vec", "list_id")
+        centers = model.clusterCenters()
+        centers_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            "list_id int, center array<double>",
+        )
+    else:
+        centers_df = centroids.select("list_id", "center")
+        wa = Window.partitionBy("c_id").orderBy(
+            F.col("adist").desc(), F.col("list_id")
+        )
+        assigned = (
+            corpus.crossJoin(F.broadcast(centers_df))
+            .withColumn("adist", cosine_col(F.col("vec"), F.col("center")))
+            .withColumn("ar", F.row_number().over(wa))
+            .filter(F.col("ar") == 1)
+            .select("c_id", "vec", "list_id")
+        )
     # query -> nprobe nearest centroids (centroid table is tiny: broadcast)
     q_centers = (
         F.broadcast(centers_df)

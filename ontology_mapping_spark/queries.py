@@ -927,6 +927,51 @@ def q_minhash_lsh(spark, sf):
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@query(
+    "ann_ivf_fixed_topk",
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       cent AS (SELECT CAST(vec_id AS INT) AS list_id, v AS center FROM e WHERE vec_id < 8),
+       assigned AS (
+         SELECT vec_id AS c_id, v, list_id FROM (
+           SELECT e.vec_id, e.v, c.list_id,
+                  row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_cosine_similarity(e.v, c.center) DESC, c.list_id) AS ar
+           FROM e CROSS JOIN cent c) WHERE ar = 1),
+       q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+       probes AS (
+         SELECT q_id, qv, list_id FROM (
+           SELECT q.q_id, q.qv, c.list_id,
+                  row_number() OVER (PARTITION BY q.q_id
+                      ORDER BY list_cosine_similarity(q.qv, c.center) DESC, c.list_id) AS pr
+           FROM q CROSS JOIN cent c) WHERE pr <= 3),
+       scored AS (SELECT p.q_id, a.c_id, list_cosine_similarity(p.qv, a.v) AS cos
+                  FROM probes p JOIN assigned a USING (list_id)),
+       ranked AS (SELECT q_id, c_id,
+                         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+                  FROM scored)
+       SELECT q_id, c_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5""",
+)
+def q_ann_ivf_fixed(spark, sf):
+    # IVF ANN with a deterministic fixed codebook (first-8 vectors — the
+    # standard cheap sample init), fully SQL-reproducible: assignment,
+    # probe selection and in-list ranking all re-derived by the oracle
+    from ontology_mapping_spark.operators.similarity import ann_ivf_topk
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("vec"))
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("list_id"), F.col("v").alias("center")
+    )
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("vec")
+    )
+    out = ann_ivf_topk(queries_df, corpus, k=5, nprobe=3, centroids=cents)
+    return out.select("q_id", "c_id", F.col("rank").cast("int").alias("rank"))
+
+
 @query("ann_ivf_topk")
 def q_ann_ivf(spark, sf):
     # IVF ANN (KMeans coarse quantizer is not reproducible in SQL)
