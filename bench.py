@@ -228,11 +228,15 @@ def main() -> None:
         "pages": n_pages,
         "pages_per_sec": round(n_pages / pages_sec, 1),
     }
+    # emit the suite result immediately — if a caller timeout cuts the
+    # scaling stage short, this line still stands (consumers take the
+    # LAST JSON line, so the richer combined line below supersedes it)
+    print(json.dumps(out), flush=True)
     # append the north-rule N-vs-4N scaling evidence (best-of-N subprocess
     # runs at the two parallelism levels) unless explicitly skipped
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         env2 = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-        env2.setdefault("SPARK_GRAFT_SCALING_REPS", "2")  # bound total wall
+        env2.setdefault("SPARK_GRAFT_SCALING_REPS", "1")  # bound total wall
         out2 = subprocess.run(
             [sys.executable, __file__, "--scaling"],
             env=env2,
