@@ -128,28 +128,31 @@ def lsh_candidates(
     sigs: DataFrame, id_col: str = "doc_id", bands: int = 4
 ) -> DataFrame:
     """Banded LSH: split the signature into ``bands`` slices; docs agreeing
-    on any whole band become a candidate pair (a < b)."""
-    n = None  # rows per band derived from the array at plan time
+    on any whole band become a candidate pair (a < b). The signature array
+    is lambda-bound (:func:`_bind`) so projection collapse cannot inline
+    the full signature computation into every band element."""
+
+    def _bands(sig: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.slice(
+                            sig,
+                            b * (F.size(sig) / bands).cast("int") + 1,
+                            (F.size(sig) / bands).cast("int"),
+                        ),
+                    )
+                ).alias("bh"),
+            ),
+        )
+
     banded = sigs.select(
         id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.slice(
-                                F.col("sig"),
-                                b * (F.size("sig") / bands).cast("int") + 1,
-                                (F.size("sig") / bands).cast("int"),
-                            ),
-                        )
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
+        F.explode(_bind(F.col("sig"), _bands)).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     a = banded.select(F.col(id_col).alias("a"), "band", "bh")
     b = banded.select(F.col(id_col).alias("b"), "band", "bh")
