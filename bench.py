@@ -41,6 +41,10 @@ HEADLINE = [
     "minhash_lsh_near_dups",
     "simhash16",
     "embedding_topk_bruteforce",
+    "embedding_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "winnow_fingerprints",
+    "ann_ivf_fixed_topk",
     "normalize_golden_hash",
 ]
 
