@@ -59,9 +59,6 @@ def transitive_closure(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     # the full doubling range, so the longest path is already complete —
     # stop without the extra confirmation round a fixpoint-compare needs.
     budget = 1
-    md = anc.agg(F.coalesce(F.max("dist"), F.lit(0)).alias("m")).first()["m"]
-    if md < budget:  # empty or single-hop-complete graph
-        return anc
     for _ in range(max_iters):
         hop = (
             anc.alias("a")
@@ -200,12 +197,18 @@ def connected_components(
         ).filter(F.col("u") != F.col("v")).distinct()
     )
     sig = _sig(e)
+    prev = e
     for _ in range(max_iters):
         new_e = _cut(_small_star(_large_star(e)))
         new_sig = _sig(new_e)
-        e = new_e
+        prev, e = e, new_e
         if (new_sig["n"], new_sig["h"]) == (sig["n"], sig["h"]):
-            break
+            # signature match is necessary but (2^-64) not sufficient —
+            # confirm with one exact set-compare before stopping, so a
+            # hash collision degrades to an extra round, never to silently
+            # under-merged components
+            if new_e.exceptAll(prev).isEmpty():
+                break
         sig = new_sig
     # after convergence e is a star: (member, root)
     comp = (

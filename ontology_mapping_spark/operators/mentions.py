@@ -10,7 +10,7 @@ Two interchangeable implementations (tested equal):
 * :func:`mentions_via_trie` — the north-star path (BASELINE.json: "batched
   mention detection ... with a broadcast ontology trie"): a token-trie of
   all phrases broadcast to executors, scanned per Arrow batch inside
-  ``mapInPandas`` (longest-match-first per start token, still emitting
+  ``mapInArrow`` (longest-match-first per start token, still emitting
   every distinct phrase match).
 
 Phrase matching is token-bounded: both text and phrases pass through the

@@ -81,9 +81,13 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
     )
-    # under spark-submit the master comes from the CLI; standalone python
-    # runs fall back to a local master sized by SPARK_GRAFT_CPUS
-    if "SPARK_SUBMIT" not in os.environ and not os.environ.get("SPARK_MASTER"):
+    # under spark-submit the JVM gateway already exists (PythonRunner
+    # exports PYSPARK_GATEWAY_PORT to the python driver) and the master
+    # arrives as the spark.master system property — never override it;
+    # standalone python runs fall back to a local master sized by
+    # SPARK_GRAFT_CPUS
+    launched_by_spark_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if not launched_by_spark_submit and not os.environ.get("SPARK_MASTER"):
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
         builder = builder.master(f"local[{cpus}]").config(
             "spark.sql.shuffle.partitions", str(max(int(cpus), 4))
@@ -92,9 +96,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     from ontology_mapping_spark.plans.pipeline import run_pipeline
-    from ontology_mapping_spark.schemas import ALIGNMENTS
 
     t0 = time.time()
+    if bool(args.pages) != bool(args.triples):
+        ap.error("--pages and --triples must be given together")
     if args.pages and args.triples:
         pages = spark.read.parquet(args.pages)
         triples = spark.read.parquet(args.triples)
@@ -132,6 +137,7 @@ def main() -> None:
                 "wall_sec": round(wall, 2),
                 "pages_per_sec": round(n_pages / wall, 1),
                 "workdir": args.workdir,
+                "master": spark.conf.get("spark.master"),
                 "resumed_stages": sorted(
                     s for s, ev in res.runner.events if ev == "skipped"
                 ),
