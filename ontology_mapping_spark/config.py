@@ -28,6 +28,7 @@ class PipelineConfig:
     seed: int = 42
     voting_weights: tuple[float, float, float] = (1.0, 1.0, 2.0)
     decision_threshold: float = 0.5
+    n_estimators: int = 100  # GBT maxIter / RF numTrees (thesis/main.py:99-101)
     # scale knobs
     salt_buckets: int = 8          # skew-key salting fan-out for hot tokens
     max_token_df: int = 1000       # drop blocking tokens hotter than this

@@ -23,66 +23,57 @@ def classification_report(
     preds: DataFrame, label_col: str = "label", pred_col: str = "prediction"
 ) -> DataFrame:
     """-> (class: string, precision, recall, f1, support) + rows
-    'accuracy', 'macro avg', 'weighted avg' (sklearn layout)."""
-    cm = confusion_counts(preds, label_col, pred_col).cache()
-    tp = cm.filter(F.col("label") == F.col("prediction")).select(
-        F.col("label").alias("cls"), F.col("n").alias("tp")
-    )
-    support = cm.groupBy("label").agg(F.sum("n").alias("support")).withColumnRenamed(
-        "label", "cls"
-    )
-    predicted = cm.groupBy("prediction").agg(F.sum("n").alias("n_pred")).withColumnRenamed(
-        "prediction", "cls"
-    )
-    classes = support.select("cls").unionByName(predicted.select("cls")).distinct()
-    per_class = (
-        classes.join(tp, "cls", "left")
-        .join(support, "cls", "left")
-        .join(predicted, "cls", "left")
-        .fillna(0, ["tp", "support", "n_pred"])
-        .select(
-            F.col("cls").cast("string").alias("class"),
-            F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred"))
-            .otherwise(F.lit(0.0))
-            .alias("precision"),
-            F.when(F.col("support") > 0, F.col("tp") / F.col("support"))
-            .otherwise(F.lit(0.0))
-            .alias("recall"),
-            F.col("support").cast("long").alias("support"),
+    'accuracy', 'macro avg', 'weighted avg' (sklearn layout).
+
+    The confusion matrix is <= |classes|^2 rows, so it is collected once
+    and the report derived driver-side: ONE Spark job per report (the
+    former all-DataFrame form ran a cached multi-join DAG per report and
+    leaked the cache for the session lifetime — 35 of them per experiment
+    sweep)."""
+    cm = {
+        (r["label"], r["prediction"]): r["n"]
+        for r in confusion_counts(preds, label_col, pred_col).collect()
+    }
+    classes = sorted({c for pair in cm for c in pair})
+    total = sum(cm.values())
+    correct = sum(n for (lbl, prd), n in cm.items() if lbl == prd)
+
+    rows = []
+    for c in classes:
+        tp = cm.get((c, c), 0)
+        support = sum(n for (lbl, _), n in cm.items() if lbl == c)
+        n_pred = sum(n for (_, prd), n in cm.items() if prd == c)
+        precision = tp / n_pred if n_pred > 0 else 0.0
+        recall = tp / support if support > 0 else 0.0
+        f1 = (
+            2 * precision * recall / (precision + recall)
+            if (precision + recall) > 0
+            else 0.0
         )
-        .withColumn(
-            "f1",
-            F.when(
-                (F.col("precision") + F.col("recall")) > 0,
-                2 * F.col("precision") * F.col("recall")
-                / (F.col("precision") + F.col("recall")),
-            ).otherwise(F.lit(0.0)),
-        )
-        .select("class", "precision", "recall", "f1", "support")
+        rows.append((str(c), precision, recall, f1, support))
+
+    acc = correct / total if total else 0.0
+    n_cls = max(len(rows), 1)
+    tot_sup = sum(r[4] for r in rows)
+    macro = (
+        "macro avg",
+        sum(r[1] for r in rows) / n_cls,
+        sum(r[2] for r in rows) / n_cls,
+        sum(r[3] for r in rows) / n_cls,
+        tot_sup,
     )
-    totals = cm.agg(
-        F.sum("n").alias("total"),
-        F.sum(F.when(F.col("label") == F.col("prediction"), F.col("n")).otherwise(0)).alias("correct"),
-    ).select(
-        F.lit("accuracy").alias("class"),
-        (F.col("correct") / F.col("total")).alias("precision"),
-        (F.col("correct") / F.col("total")).alias("recall"),
-        (F.col("correct") / F.col("total")).alias("f1"),
-        F.col("total").cast("long").alias("support"),
+    weighted = (
+        "weighted avg",
+        sum(r[1] * r[4] for r in rows) / tot_sup if tot_sup else 0.0,
+        sum(r[2] * r[4] for r in rows) / tot_sup if tot_sup else 0.0,
+        sum(r[3] * r[4] for r in rows) / tot_sup if tot_sup else 0.0,
+        tot_sup,
     )
-    macro = per_class.agg(
-        F.avg("precision").alias("precision"),
-        F.avg("recall").alias("recall"),
-        F.avg("f1").alias("f1"),
-        F.sum("support").alias("support"),
-    ).select(F.lit("macro avg").alias("class"), "precision", "recall", "f1", "support")
-    weighted = per_class.agg(
-        (F.sum(F.col("precision") * F.col("support")) / F.sum("support")).alias("precision"),
-        (F.sum(F.col("recall") * F.col("support")) / F.sum("support")).alias("recall"),
-        (F.sum(F.col("f1") * F.col("support")) / F.sum("support")).alias("f1"),
-        F.sum("support").alias("support"),
-    ).select(F.lit("weighted avg").alias("class"), "precision", "recall", "f1", "support")
-    return per_class.unionByName(totals).unionByName(macro).unionByName(weighted)
+    rows += [("accuracy", acc, acc, acc, total), macro, weighted]
+    return preds.sparkSession.createDataFrame(
+        rows,
+        "class string, precision double, recall double, f1 double, support long",
+    )
 
 
 def average_reports(reports: DataFrame) -> DataFrame:
@@ -100,11 +91,19 @@ def triple_pr(got: DataFrame, want: DataFrame) -> dict[str, float]:
     """Precision/recall of emitted (subject, predicate, object) triples vs
     an expected set (the BASELINE.json P/R >= 0.95 gate)."""
     cols = ["subject", "predicate", "object"]
-    g = got.select(*cols).distinct().cache()
-    w = want.select(*cols).distinct().cache()
-    n_got = g.count()
-    n_want = w.count()
-    inter = g.join(w, cols, "inner").count()
+    g = got.select(*cols).distinct().withColumn("__g", F.lit(1))
+    w = want.select(*cols).distinct().withColumn("__w", F.lit(1))
+    # single full-outer join + one aggregate: no caches to leak, one job
+    stats = (
+        g.join(w, cols, "full")
+        .agg(
+            F.count("__g").alias("n_got"),
+            F.count("__w").alias("n_want"),
+            F.count(F.when(F.col("__g").isNotNull() & F.col("__w").isNotNull(), 1)).alias("inter"),
+        )
+        .first()
+    )
+    n_got, n_want, inter = stats["n_got"], stats["n_want"], stats["inter"]
     return {
         "precision": inter / n_got if n_got else 0.0,
         "recall": inter / n_want if n_want else 0.0,

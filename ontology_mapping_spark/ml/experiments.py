@@ -40,14 +40,18 @@ def run_experiment(
     seeds = seeds or DEFAULT_SEEDS
 
     all_reports: DataFrame | None = None
-    for weights in weights_list:
-        for seed in seeds:
-            run_cfg = replace(
-                cfg, seed=seed, voting_weights=tuple(float(w) for w in weights)
-            )
-            model = train_voting_linker(
-                feat_train, run_cfg, n_estimators=n_estimators, feature_cols=feature_cols
-            )
+    # voting weights only mix the already-fitted models' probability
+    # columns (linker.VotingLinkerModel) — fit ONCE per seed and re-mix
+    # per weight vector instead of retraining the ensemble |weights| times
+    for seed in seeds:
+        base = train_voting_linker(
+            feat_train,
+            replace(cfg, seed=seed),
+            n_estimators=n_estimators,
+            feature_cols=feature_cols,
+        )
+        for weights in weights_list:
+            model = replace(base, weights=tuple(float(w) for w in weights))
             preds = model.transform(feat_test)
             rep = classification_report(preds).withColumns(
                 {

@@ -73,10 +73,12 @@ class VotingLinkerModel:
 def train_voting_linker(
     train_features: DataFrame,
     cfg: PipelineConfig | None = None,
-    n_estimators: int = 100,
+    n_estimators: int | None = None,
     feature_cols: list[str] | None = None,
 ) -> VotingLinkerModel:
     cfg = cfg or PipelineConfig()
+    if n_estimators is None:
+        n_estimators = cfg.n_estimators
     if feature_cols is None:
         feature_cols = [c for c in FEATURE_COLS if c in train_features.columns]
         if not feature_cols:  # fall back to every numeric non-id column

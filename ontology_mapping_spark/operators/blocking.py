@@ -212,6 +212,9 @@ def cap_negatives(
     cfg = cfg or PipelineConfig()
     from ontology_mapping_spark.operators.sampling import sample_global
 
+    # the counts, the sampler sort and the final union each consume this
+    # frame — cache once instead of re-running the candidate dataflow 4x
+    labeled = labeled.cache()
     n_pos = labeled.filter(F.col("label") == 1).count()
     n_neg = labeled.filter(F.col("label") == 0).count()
     cap = int(round(min(n_neg, cfg.max_neg_per_pos * float(n_pos))))
@@ -245,6 +248,13 @@ def generate_candidates_with_negatives(
     same negative twice; canonicalized to distinct — documented divergence).
     """
     cfg = cfg or PipelineConfig()
+    # only Score==1.0 rows are positives (thesis/main.py:54-56); an
+    # unfiltered OAEI TSV carries partial-score rows that must neither
+    # train as matches nor be excluded from the negative pools
+    if "Label" in ref_alignments.columns:
+        ref_alignments = ref_alignments.filter(F.col("Label") == 1)
+    elif "Score" in ref_alignments.columns:
+        ref_alignments = ref_alignments.filter(F.col("Score") == 1.0)
     pos = ref_alignments.select(
         F.col("SrcEntity").alias("src"), F.col("TgtEntity").alias("tgt")
     ).distinct()

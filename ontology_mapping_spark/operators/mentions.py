@@ -39,6 +39,31 @@ def label_phrases(labels: DataFrame) -> DataFrame:
     )
 
 
+def phrase_hit_count_expr() -> "F.Column":
+    """n_hits = number of token start positions where the phrase's token
+    array (``ptoks``) matches inside the page token array (``toks``) —
+    overlap-safe, identical to the trie scan's per-start-position count.
+    Shared by the batch blocking join and the streaming path so the
+    matching semantics cannot drift between them."""
+    return F.expr(
+        "case when size(toks) >= size(ptoks) then "
+        "cast(size(filter(sequence(0, size(toks) - size(ptoks)), "
+        "i -> slice(toks, i + 1, size(ptoks)) == ptoks)) as int) "
+        "else 0 end"
+    )
+
+
+def phrase_token_table(phrases: DataFrame) -> DataFrame:
+    """(uri, phrase, token=first token, ptoks=token array) — the broadcast
+    side of the first-token blocking join."""
+    return phrases.select(
+        "uri",
+        "phrase",
+        F.split(F.col("phrase"), " ")[0].alias("token"),
+        F.split(F.col("phrase"), " ").alias("ptoks"),
+    )
+
+
 def mentions_via_join(pages_text: DataFrame, phrases: DataFrame) -> DataFrame:
     """(url, text) × (uri, phrase) -> (url, uri, surface, n_hits).
 
@@ -54,24 +79,10 @@ def mentions_via_join(pages_text: DataFrame, phrases: DataFrame) -> DataFrame:
     page_tokens = norm_pages.select(
         "url", "toks", F.explode(F.array_distinct("toks")).alias("token")
     )
-    ph = phrases.select(
-        "uri",
-        "phrase",
-        F.split(F.col("phrase"), " ")[0].alias("token"),
-        F.split(F.col("phrase"), " ").alias("ptoks"),
+    joined = page_tokens.join(F.broadcast(phrase_token_table(phrases)), "token")
+    hits = joined.withColumn("n_hits", phrase_hit_count_expr()).filter(
+        F.col("n_hits") > 0
     )
-    joined = page_tokens.join(F.broadcast(ph), "token")
-    # n_hits = token start positions where the phrase matches (overlap-safe,
-    # identical to the trie scan's definition)
-    hits = joined.withColumn(
-        "n_hits",
-        F.expr(
-            "case when size(toks) >= size(ptoks) then "
-            "cast(size(filter(sequence(0, size(toks) - size(ptoks)), "
-            "i -> slice(toks, i + 1, size(ptoks)) == ptoks)) as int) "
-            "else 0 end"
-        ),
-    ).filter(F.col("n_hits") > 0)
     return hits.select(
         "url", "uri", F.col("phrase").alias("surface"), "n_hits"
     ).distinct()

@@ -56,9 +56,15 @@ def run_pipeline(
     pages: DataFrame,
     workdir: str,
     cfg: PipelineConfig | None = None,
-    n_estimators: int = 100,
+    n_estimators: int | None = None,
 ) -> PipelineResult:
     cfg = cfg or PipelineConfig()
+    if n_estimators is not None:
+        # fold into cfg so the stage config-hash covers it — otherwise a
+        # re-run with different n_estimators would reuse stale predictions
+        from dataclasses import replace
+
+        cfg = replace(cfg, n_estimators=n_estimators)
     run = StageRunner(spark, workdir, cfg)
 
     # --- S1: ingest & extract (thesis/main.py:37-58) -----------------------
@@ -123,7 +129,7 @@ def run_pipeline(
     # already materialized for this config (model itself is not persisted)
     model = None
     if not run.is_current("predictions"):
-        model = train_voting_linker(feat_train, cfg, n_estimators=n_estimators)
+        model = train_voting_linker(feat_train, cfg)
     preds = run.materialize(
         "predictions",
         lambda: model.transform(feat_test).select("src", "tgt", "label", "p_match", "prediction"),

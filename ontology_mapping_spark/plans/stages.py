@@ -8,11 +8,19 @@ format-agnostic — on a cluster with an Iceberg catalog the same callsite
 becomes ``writeTo(...)``), plus ``<workdir>/<name>.manifest.json`` holding:
 
 * config hash (any knob change invalidates downstream reuse),
+* build id — sha256 chained over (config hash, stage name, input stages'
+  build ids), so a rebuilt upstream stage invalidates every downstream
+  manifest (lineage is *checked*, not just recorded),
 * input stage names (lineage),
 * total rows + per-file row counts (per-partition metrics),
 * output columns.
 
-A re-run with the same config hash reads the manifest and skips the build —
+External inputs (tables never materialized by this runner, e.g. the raw
+``web_pages``/``triples``) contribute only their *name* to the chain:
+pointing an existing workdir at different external data requires a fresh
+workdir.
+
+A re-run with the same build id reads the manifest and skips the build —
 the reference's memoized similarity matrix (thesis/generate_candidates.py:33-44)
 generalized into the resume mechanism. The reference has no streaming;
 checkpoint/resume at stage boundaries is the canonical form (SURVEY.md §2.8).
@@ -44,6 +52,10 @@ class StageRunner:
         self.cfg = cfg
         self.cfg_hash = config_hash(cfg)
         self.events: list[tuple[str, str]] = []  # (stage, built|skipped)
+        # stage name -> build id of the output THIS run would use; the
+        # chained hash makes a rebuilt upstream stage invalidate every
+        # downstream manifest (lineage is checked, not just recorded)
+        self._build_ids: dict[str, str] = {}
         os.makedirs(workdir, exist_ok=True)
 
     def _paths(self, name: str) -> tuple[str, str]:
@@ -51,6 +63,15 @@ class StageRunner:
             os.path.join(self.workdir, name),
             os.path.join(self.workdir, f"{name}.manifest.json"),
         )
+
+    def _expected_build_id(self, name: str, inputs: list[str]) -> str:
+        # external inputs (no materialized stage) contribute their name
+        # only — changing external input DATA under an existing workdir
+        # still needs a fresh workdir, documented in the module docstring
+        parts = [self.cfg_hash, name] + [
+            self._build_ids.get(i, i) for i in sorted(inputs)
+        ]
+        return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
     def materialize(
         self,
@@ -60,10 +81,14 @@ class StageRunner:
         partition_by: list[str] | None = None,
     ) -> DataFrame:
         path, mpath = self._paths(name)
-        if os.path.exists(mpath):
+        expected = self._expected_build_id(name, inputs or [])
+        if os.path.exists(mpath) and os.path.exists(path):
             with open(mpath) as f:
                 manifest = json.load(f)
-            if manifest.get("config_hash") == self.cfg_hash:
+            # build_id covers config + the exact upstream build chain;
+            # legacy manifests (config_hash only) are treated as stale
+            if manifest.get("build_id") == expected:
+                self._build_ids[name] = expected
                 self.events.append((name, "skipped"))
                 return self.spark.read.parquet(path)
         df = build()
@@ -81,6 +106,7 @@ class StageRunner:
         manifest = {
             "stage": name,
             "config_hash": self.cfg_hash,
+            "build_id": expected,
             "inputs": inputs or [],
             "rows": int(sum(per_file.values())),
             "columns": written.columns,
@@ -90,17 +116,21 @@ class StageRunner:
         }
         with open(mpath, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
+        self._build_ids[name] = expected
         self.events.append((name, "built"))
         return written
 
     def is_current(self, name: str) -> bool:
-        """True when the stage's manifest exists for this config hash (a
-        re-run would skip the build)."""
-        _, mpath = self._paths(name)
-        if not os.path.exists(mpath):
+        """True when the stage's manifest matches this config AND the
+        upstream build chain (a re-run would skip the build)."""
+        path, mpath = self._paths(name)
+        if not (os.path.exists(mpath) and os.path.exists(path)):
             return False
         with open(mpath) as f:
-            return json.load(f).get("config_hash") == self.cfg_hash
+            m = json.load(f)
+        return m.get("build_id") == self._expected_build_id(
+            name, m.get("inputs", [])
+        )
 
     def manifest(self, name: str) -> dict:
         with open(self._paths(name)[1]) as f:

@@ -1339,7 +1339,9 @@ def q_max_depth_per_side(spark, sf):
 @query(
     "mint_uris",
     """SELECT p_partkey,
-              concat('kg:', substr(sha256(concat(p_name, '|', p_brand)), 1, 40)) AS minted
+              concat('kg:', substr(sha256(concat(
+                  CAST(length(p_name) AS VARCHAR), ':', p_name, '|',
+                  CAST(length(p_brand) AS VARCHAR), ':', p_brand)), 1, 40)) AS minted
        FROM part""",
 )
 def q_mint_uris(spark, sf):

@@ -33,13 +33,25 @@ def read_alignments(
 
 
 def read_csv(spark: SparkSession, path: str, schema: T.StructType, **options) -> DataFrame:
-    return spark.read.options(header=True, **options).schema(schema).csv(path)
+    return spark.read.options(**{"header": True, **options}).schema(schema).csv(path)
 
 
 def mint_uri(prefix: str, *cols: Column | str, length: int = 40) -> Column:
     """Deterministic URI: prefix + sha2(natural key). Same inputs -> same id
-    on every run and every cluster."""
+    on every run and every cluster.
+
+    The key encoding is injective: each part is length-prefixed
+    (``len:value``) and nulls encode as a bare ``N``, so neither embedded
+    delimiters ('a|b','c' vs 'a','b|c') nor dropped nulls ('a',null,'b' vs
+    'a','b') can make two distinct natural keys mint the same id — the
+    exact duplicate-identity bug content-addressed minting must prevent."""
     parts = [F.col(c) if isinstance(c, str) else c for c in cols]
+    encoded = [
+        F.when(p.isNull(), F.lit("N")).otherwise(
+            F.concat(F.length(p).cast("string"), F.lit(":"), p)
+        )
+        for p in parts
+    ]
     return F.concat(
-        F.lit(prefix), F.substring(F.sha2(F.concat_ws("|", *parts), 256), 1, length)
+        F.lit(prefix), F.substring(F.sha2(F.concat_ws("|", *encoded), 256), 1, length)
     )

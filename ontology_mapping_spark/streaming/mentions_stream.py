@@ -33,19 +33,30 @@ def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
-def stream_mentions(pages_stream: DataFrame, phrases: DataFrame) -> DataFrame:
+def stream_mentions(
+    pages_stream: DataFrame, phrases: DataFrame, lang: str | None = "en"
+) -> DataFrame:
     """(url, warc_ts, uri, surface, n_hits) streaming mentions; ``phrases``
     is a static (uri, phrase) DataFrame (broadcast side of the
     stream-static join).
 
     Same logic as mentions_via_join (operators/mentions.py) with warc_ts
-    carried through, inlined because a stream must stay single-pass: page
-    tokens are distinct per url, so the first-token join yields at most one
-    row per (url, phrase) and no stateful dedup is needed.
+    carried through; the blocking-join pieces (phrase token table, hit-count
+    expression) are the SHARED helpers from operators/mentions.py so batch
+    and streaming cannot drift apart. Page tokens are distinct per url, so
+    the first-token join yields at most one row per (url, phrase) and no
+    stateful dedup is needed.
     """
+    from ontology_mapping_spark.operators.mentions import (
+        phrase_hit_count_expr,
+        phrase_token_table,
+    )
     from ontology_mapping_spark.textnorm import normalize_col
 
-    pages_text = pages_stream.filter(F.col("lang") == "en").select(
+    df = pages_stream
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    pages_text = df.select(
         "url", "warc_ts", extract_text_udf(F.col("html")).alias("text")
     )
     toks = pages_text.select(
@@ -54,21 +65,11 @@ def stream_mentions(pages_stream: DataFrame, phrases: DataFrame) -> DataFrame:
     page_tokens = toks.select(
         "url", "warc_ts", "toks", F.explode(F.array_distinct("toks")).alias("token")
     )
-    ph = phrases.select(
-        "uri",
-        "phrase",
-        F.split(F.col("phrase"), " ")[0].alias("token"),
-        F.split(F.col("phrase"), " ").alias("ptoks"),
+    hits = (
+        page_tokens.join(F.broadcast(phrase_token_table(phrases)), "token")
+        .withColumn("n_hits", phrase_hit_count_expr())
+        .filter(F.col("n_hits") > 0)
     )
-    hits = page_tokens.join(F.broadcast(ph), "token").withColumn(
-        "n_hits",
-        F.expr(
-            "case when size(toks) >= size(ptoks) then "
-            "cast(size(filter(sequence(0, size(toks) - size(ptoks)), "
-            "i -> slice(toks, i + 1, size(ptoks)) == ptoks)) as int) "
-            "else 0 end"
-        ),
-    ).filter(F.col("n_hits") > 0)
     return hits.select(
         "url", "warc_ts", "uri", F.col("phrase").alias("surface"), "n_hits"
     )

@@ -34,3 +34,14 @@ def test_fold_accents():
 
 def test_tokenize_fallback():
     assert tokenize_py("Hello, world! x2") == ["hello", ",", "world", "!", "x2"]
+
+
+def test_mint_uri_injective_encoding(spark):
+    # delimiter-bearing values and nulls must not collide (length-prefix +
+    # null marker encoding)
+    df = spark.createDataFrame(
+        [("a|b", "c"), ("a", "b|c"), ("a", None), (None, "a"), ("a", "")],
+        "a string, b string",
+    )
+    out = [r["m"] for r in df.select(mint_uri("kg:", "a", "b").alias("m")).collect()]
+    assert len(set(out)) == 5
