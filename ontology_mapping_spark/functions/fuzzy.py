@@ -43,20 +43,31 @@ def partial_ratio_py(a: str | None, b: str | None) -> float:
     shorter, longer = (a, b) if len(a) <= len(b) else (b, a)
     m, n = len(shorter), len(longer)
     if m == n:
+        # canonical argument order (window-side first, shorter second):
+        # difflib's block decomposition is NOT symmetric in its arguments,
+        # so one order is fixed across all branches
+        sm = SequenceMatcher(None, longer, shorter, autojunk=False)
+        return _ratio(sm, n, m)
+    # exact for short strings (ontology labels): every window is scored.
+    # For long inputs fall back to candidate windows from matching blocks
+    # (rapidfuzz-style alignment: block (i, j) pairs shorter[i] with
+    # longer[j] -> window start j - i, clamped), plus window 0 — a
+    # documented approximation that may under-report on adversarial text.
+    if n - m <= 64:
+        starts = set(range(n - m + 1))
+    else:
         sm = SequenceMatcher(None, shorter, longer, autojunk=False)
-        return _ratio(sm, m, n)
-    # candidate windows from matching blocks (fuzzywuzzy-style), plus window 0
-    sm = SequenceMatcher(None, shorter, longer, autojunk=False)
-    starts = {0}
-    for _, j, _size in sm.get_matching_blocks():
-        starts.add(max(0, min(j, n - m)))
+        starts = {0}
+        for i, j, _size in sm.get_matching_blocks():
+            starts.add(max(0, min(j - i, n - m)))
     best = 0.0
-    matcher = SequenceMatcher(None, shorter, "", autojunk=False)
-    matcher.set_seq1(shorter)
+    # SequenceMatcher caches seq2's char index — keep the constant shorter
+    # string in seq2 and swap only the window through set_seq1
+    matcher = SequenceMatcher(None, "", shorter, autojunk=False)
     for s in sorted(starts):
         window = longer[s : s + m]
-        matcher.set_seq2(window)
-        r = _ratio(matcher, m, len(window))
+        matcher.set_seq1(window)
+        r = _ratio(matcher, len(window), m)
         if r > best:
             best = r
             if best == 1.0:

@@ -175,14 +175,17 @@ def tokenize_py(s: str) -> list[str]:
 
 
 def natural_word_order_col(c: Column | str) -> Column:
-    """Split on commas, reverse segment order, rejoin with spaces
-    (thesis/normalization.py:333-348)."""
-    return F.array_join(F.reverse(F.split(_c(c), r"\s?,\s?")), " ")
+    """Split on commas, drop space-only segments, reverse segment order,
+    rejoin with spaces (thesis/normalization.py:333-348; the reference
+    removes only the FIRST lone-space part — canonicalized here to
+    removing all of them, same result for well-formed label text, and the
+    pure-Python twin uses the identical rule)."""
+    return F.array_join(
+        F.reverse(F.array_remove(F.split(_c(c), r"\s?,\s?"), " ")), " "
+    )
 
 
 def natural_word_order_py(s: str) -> str:
-    parts = re.split(r"\s?,\s?", s)
-    if " " in parts:
-        parts.remove(" ")
+    parts = [p for p in re.split(r"\s?,\s?", s) if p != " "]
     parts.reverse()
     return " ".join(parts)

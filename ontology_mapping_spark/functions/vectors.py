@@ -107,7 +107,20 @@ def cosine_col(a: Column, b: Column) -> Column:
 def cosine_pairs_udf(v1: pd.Series, v2: pd.Series) -> pd.Series:
     """Bulk cosine via one stacked matmul per Arrow batch."""
     out = np.zeros(len(v1), dtype=np.float64)
-    ok = np.array([(a is not None and b is not None) for a, b in zip(v1, v2)])
+    # rows must be non-null AND same-dimension, else np.stack raises on a
+    # ragged batch (a single corrupt/empty embedding would kill the stage;
+    # cosine_py scores such rows 0.0 — keep the twins aligned)
+    ok = np.array(
+        [
+            (a is not None and b is not None and len(a) == len(b) and len(a) > 0)
+            for a, b in zip(v1, v2)
+        ]
+    )
+    dims = {len(a) for a, o in zip(v1, ok) if o}
+    if len(dims) > 1:  # mixed dims within one batch: score row-by-row
+        return pd.Series(
+            [cosine_py(a, b) if o else 0.0 for a, b, o in zip(v1, v2, ok)]
+        )
     if ok.any():
         a = np.stack([np.asarray(x, dtype=np.float64) for x in v1[ok]])
         b = np.stack([np.asarray(x, dtype=np.float64) for x in v2[ok]])

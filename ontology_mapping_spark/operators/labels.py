@@ -37,7 +37,12 @@ def extract_labels(
                 F.when(F.col("predicate") == p["label"], F.lit(0))
                 .otherwise(F.lit(1))
                 .alias("kind"),
-                F.lower(F.trim(F.col("object"))).alias("val"),
+                # regexp trim, not F.trim: labels in real RDF literals
+                # carry tab/newline padding, and the pure-Python oracle
+                # strips all whitespace (str.strip), not just spaces
+                F.lower(
+                    F.regexp_replace(F.col("object"), r"^\s+|\s+$", "")
+                ).alias("val"),
             ).alias("lab"),
         )
     )

@@ -25,6 +25,22 @@ def canonical_pair(a: Column | str, b: Column | str) -> tuple[Column, Column]:
     return F.least(a, b), F.greatest(a, b)
 
 
+def _sample_order_key(hash_cols: list[str], seed: int) -> Column:
+    """md5 over an INJECTIVELY encoded key: each part is length-prefixed
+    (``len:value``, nulls -> ``N``) so delimiter-bearing or null values
+    cannot make two distinct rows tie — a tie would leave the "canonical
+    deterministic sample" partition-order dependent (same encoding as
+    sources/readers.mint_uri)."""
+    strs = [F.col(c).cast("string") for c in hash_cols]
+    encoded = [
+        F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s)
+        )
+        for s in strs
+    ]
+    return F.md5(F.concat_ws("|", *encoded, F.lit(str(seed))))
+
+
 def sample_per_group(
     df: DataFrame,
     group_cols: list[str],
@@ -34,14 +50,13 @@ def sample_per_group(
 ) -> DataFrame:
     """Deterministic per-group sample of up to ``n`` rows.
 
-    Orders rows within each group by md5(concat_ws('|', *hash_cols, seed))
-    — md5 rather than xxhash64 so an external (DuckDB/pure-Python) oracle
-    can reproduce the exact sample. Spark >=3.5 rewrites the row_number
-    filter into a per-partition group-limit (InferWindowGroupLimit): no full
-    sort of each group.
+    Orders rows within each group by a salted md5 key — md5 rather than
+    xxhash64 so an external (DuckDB/pure-Python) oracle can reproduce the
+    exact sample. Spark >=3.5 rewrites the row_number filter into a
+    per-partition group-limit (InferWindowGroupLimit): no full sort of
+    each group.
     """
-    order = F.md5(F.concat_ws("|", *[F.col(c) for c in hash_cols], F.lit(str(seed))))
-    w = Window.partitionBy(*group_cols).orderBy(order)
+    w = Window.partitionBy(*group_cols).orderBy(_sample_order_key(hash_cols, seed))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n)
@@ -55,12 +70,12 @@ def sample_global(df: DataFrame, hash_cols: list[str], n: int, seed: int = 42) -
     Re-expresses ``random.sample(negatives, k=max_negatives)``
     (thesis/generate_candidates.py:26-27) deterministically.
     """
-    order = F.md5(F.concat_ws("|", *[F.col(c) for c in hash_cols], F.lit(str(seed))))
-    return df.orderBy(order).limit(n)
+    return df.orderBy(_sample_order_key(hash_cols, seed)).limit(n)
 
 
 def md5_sample_key_py(parts: list[str], seed: int = 42) -> str:
     """Pure-Python twin of the sampler's ordering key."""
     import hashlib
 
-    return hashlib.md5(("|".join(list(parts) + [str(seed)])).encode()).hexdigest()
+    enc = ["N" if p is None else f"{len(p)}:{p}" for p in parts]
+    return hashlib.md5(("|".join(enc + [str(seed)])).encode()).hexdigest()

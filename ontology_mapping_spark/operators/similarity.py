@@ -136,8 +136,24 @@ def ann_ivf_topk(
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        from ontology_mapping_spark.functions.arrays import bind
+        from ontology_mapping_spark.functions.vectors import norm_col
+
+        # KMeans assigns by Euclidean distance while probing ranks by
+        # cosine — fit and assign on L2-NORMALIZED copies so the two
+        # metrics agree (on the unit sphere, nearest-Euclidean ==
+        # nearest-cosine); the stored vec stays raw for exact re-ranking.
+        # vec and its norm are lambda-bound so the per-element division
+        # doesn't re-derive the norm (HOF trap, see functions/arrays).
+        vecd = F.transform(F.col("vec"), lambda x: x.cast("double"))
+        unit = bind(
+            F.struct(vecd.alias("v"), norm_col(vecd).alias("n")),
+            lambda s: F.when(
+                s["n"] > 0, F.transform(s["v"], lambda x: x / s["n"])
+            ).otherwise(s["v"]),
+        )
         corpus_v = corpus.select(
-            "c_id", "vec", array_to_vector(F.col("vec")).alias("fv")
+            "c_id", "vec", array_to_vector(unit).alias("fv")
         )
         km = KMeans(
             k=n_centroids, seed=seed, featuresCol="fv", predictionCol="list_id"

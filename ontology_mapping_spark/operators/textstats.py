@@ -42,15 +42,40 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
 
 def detect_lang(text: Column, langs: list[str] | None = None) -> Column:
     """argmax over per-language stopword ratios; 'und' when all zero.
-    (Heuristic language-ID — the real model slots into the same column.)"""
+    (Heuristic language-ID — the real model slots into the same column.)
+
+    The token array is lambda-bound and all per-language ratios live in
+    one bound struct: the naive form embedded a full stopword_ratio
+    (normalize + split + filter) ~2x per language in the greatest/when
+    chain — ~20 normalize passes per row at 4 languages."""
+    from ontology_mapping_spark.functions.arrays import bind
+
     langs = langs or list(LANG_STOPWORDS)
-    scores = [stopword_ratio(text, lg) for lg in langs]
-    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
-    out = F.lit("und")
-    # reverse order so earlier langs win ties
-    for lg, sc in reversed(list(zip(langs, scores))):
-        out = F.when((sc == best) & (best > 0), F.lit(lg)).otherwise(out)
-    return out
+
+    def _contains(sw: Column):
+        return lambda t: F.array_contains(sw, t)
+
+    def _scores(toks: Column) -> Column:
+        n = F.size(toks)
+        fields = []
+        for lg in langs:
+            sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lg]])
+            hits = F.size(F.filter(toks, _contains(sw)))
+            fields.append(
+                F.when(n > 0, hits.cast("double") / n).otherwise(0.0).alias(lg)
+            )
+        return F.struct(*fields)
+
+    def _pick(s: Column) -> Column:
+        scores = [s[lg] for lg in langs]
+        best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+        out = F.lit("und")
+        # reverse order so earlier langs win ties
+        for lg, sc in reversed(list(zip(langs, scores))):
+            out = F.when((sc == best) & (best > 0), F.lit(lg)).otherwise(out)
+        return out
+
+    return bind(bind(F.split(normalize_col(text), " "), _scores), _pick)
 
 
 def quality_features(text: Column) -> dict[str, Column]:
@@ -60,9 +85,12 @@ def quality_features(text: Column) -> dict[str, Column]:
     n = normalize_col(text)
     toks = F.split(n, " ")
     n_toks = F.when(n == "", 0).otherwise(F.size(toks))
-    alpha = F.length(F.regexp_replace(F.lower(text), r"[^a-z]", ""))
-    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
-    punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    # unicode-aware classes: accented/Greek letters are LETTERS, not
+    # punctuation — [a-z]-only classes scored normal de/fr/es prose as
+    # punctuation soup
+    alpha = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^\p{N}]", ""))
+    punct = F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", ""))
     mean_tok_len = F.when(
         n_toks > 0, F.length(F.regexp_replace(n, " ", "")).cast("double") / n_toks
     ).otherwise(0.0)

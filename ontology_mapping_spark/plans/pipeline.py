@@ -95,6 +95,17 @@ def run_pipeline(
     mentions = run.materialize(
         "mentions", lambda: mentions_via_trie(pages_text, phrases), ["pages_text", "phrases"]
     )
+    # the default side inference splits the URI curie prefix; real ontology
+    # URIs (http://...) would silently collapse both sides into one and
+    # yield zero candidates — fail loud instead (pass side= explicitly to
+    # extract_labels, or re-tag the label table, when using real URIs)
+    sides = {r["side"] for r in ltext.select("side").distinct().collect()}
+    if not sides <= {"src", "tgt"}:
+        raise ValueError(
+            f"label side tags must be exactly 'src'/'tgt', got {sorted(sides)!r}; "
+            "URI-prefix side inference only fits the 'src:'/'tgt:' curie "
+            "scheme — tag sides explicitly for real ontology URIs"
+        )
     src_t = ltext.filter(F.col("side") == "src")
     tgt_t = ltext.filter(F.col("side") == "tgt")
     cand_train = run.materialize(

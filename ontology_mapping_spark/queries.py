@@ -361,7 +361,9 @@ def q_global_topn(spark, sf):
          SELECT l_orderkey, l_linenumber,
                 row_number() OVER (
                   PARTITION BY l_orderkey
-                  ORDER BY md5(concat(l_orderkey, '|', l_linenumber, '|', '42'))
+                  ORDER BY md5(concat(
+                    CAST(length(CAST(l_orderkey AS VARCHAR)) AS VARCHAR), ':', l_orderkey, '|',
+                    CAST(length(CAST(l_linenumber AS VARCHAR)) AS VARCHAR), ':', l_linenumber, '|', '42'))
                 ) AS rk
          FROM lineitem) WHERE rk <= 2""",
 )
@@ -596,7 +598,9 @@ def q_normalize_golden(spark, sf):
 
 @query(
     "natural_word_order",
-    """SELECT p_partkey, array_to_string(list_reverse(string_split_regex(p_name, '\\s?,\\s?')), ' ') AS reordered
+    """SELECT p_partkey,
+              array_to_string(list_reverse(list_filter(
+                  string_split_regex(p_name, '\\s?,\\s?'), x -> x <> ' ')), ' ') AS reordered
        FROM part""",
 )
 def q_natural_word_order(spark, sf):
@@ -700,8 +704,8 @@ def q_stopword_language(spark, sf):
     f"""SELECT doc_id,
               CAST(CASE WHEN {normalize_sql('text', 'duckdb')} = '' THEN 0
                    ELSE len(string_split({normalize_sql('text', 'duckdb')}, ' ')) END AS INT) AS n_tokens,
-              round(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 / nullif(len(text), 0), 6) AS alpha_ratio,
-              round(len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / nullif(len(text), 0), 6) AS digit_ratio
+              round(len(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) * 1.0 / nullif(len(text), 0), 6) AS alpha_ratio,
+              round(len(regexp_replace(text, '[^\\p{{N}}]', '', 'g')) * 1.0 / nullif(len(text), 0), 6) AS digit_ratio
        FROM documents""",
 )
 def q_token_quality(spark, sf):
