@@ -69,3 +69,25 @@ def test_features_ablation_drops_token_stats(spark, fx, fx_dfs):
     assert "shared_tokens_count" not in df.columns
     assert "token_ratio_c1" not in df.columns
     assert "weighted_jaccard" in df.columns
+
+
+def test_cosine_udf_survives_ragged_and_empty_vectors(spark):
+    # a single corrupt/empty embedding must score 0.0 (like cosine_py),
+    # not crash the whole Arrow batch via np.stack
+    from ontology_mapping_spark.functions.vectors import cosine_pairs_udf, cosine_py
+
+    rows = [
+        (0, [1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),
+        (1, [], [1.0, 2.0, 3.0]),
+        (2, [1.0, 0.0], [0.0, 1.0]),          # different dim than row 0
+        (3, None, [1.0, 2.0, 3.0]),
+        (4, [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),
+    ]
+    df = spark.createDataFrame(rows, "i long, a array<double>, b array<double>")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", cosine_pairs_udf(F.col("a"), F.col("b")).alias("c")).collect()
+    }
+    assert abs(got[0] - 1.0) < 1e-12
+    assert got[1] == 0.0 and got[3] == 0.0 and got[4] == 0.0
+    assert abs(got[2] - cosine_py([1.0, 0.0], [0.0, 1.0])) < 1e-12
