@@ -244,12 +244,36 @@ def near_dup_pairs_embedding(
       then exact cosine verification; never materializes n^2. Recall < 1
       by construction; raise ``tables``/lower ``nbits`` for higher recall.
     """
-    from ontology_mapping_spark.functions.vectors import cosine_col
+    from ontology_mapping_spark.functions.vectors import cosine_col, norm_col
 
     if queries is not None:
-        a = queries.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-        b = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+        # norms are precomputed per SIDE (|A| + |B| evaluations) instead of
+        # per PAIR inside cosine_col (|A| x |B|) — the dot product is the
+        # only per-pair array pass left
+        a = queries.select(
+            F.col(id_col).alias("a"),
+            F.col(vec_col).alias("va"),
+            norm_col(F.col(vec_col)).alias("na"),
+        )
+        b = corpus.select(
+            F.col(id_col).alias("b"),
+            F.col(vec_col).alias("vb"),
+            norm_col(F.col(vec_col)).alias("nb"),
+        )
         scored = b.crossJoin(F.broadcast(a)).filter(F.col("a") != F.col("b"))
+        from ontology_mapping_spark.functions.vectors import dot_col
+
+        return (
+            scored.withColumn(
+                "cos",
+                F.when(
+                    (F.col("na") * F.col("nb")) > 0,
+                    dot_col(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                ).otherwise(0.0),
+            )
+            .filter(F.col("cos") >= threshold)
+            .select("a", "b", "cos")
+        )
     else:
         from ontology_mapping_spark.operators.similarity import sign_lsh_buckets
 
