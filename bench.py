@@ -91,7 +91,11 @@ def run_pages_pipeline(spark) -> tuple[float, int]:
     pages = spark.read.parquet(f"{cache}/pages").coalesce(par)
     triples = spark.read.parquet(f"{cache}/triples")
     phrases = label_phrases(extract_labels(triples))
-    n_pages = pages.count()
+    # honest denominator: the pipeline filters to lang='en' (the fixture
+    # plants ~5% 'de' pages), so count what actually crosses into Python
+    from pyspark.sql import functions as _F
+
+    n_pages = pages.filter(_F.col("lang") == "en").count()
     # warmup: absorb JIT/codegen + Python-worker spin-up outside the
     # measured region (a real cluster job amortizes these over hours)
     mentions_from_html(pages.limit(4000), phrases).write.format("noop").mode(

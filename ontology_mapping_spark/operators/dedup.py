@@ -9,7 +9,7 @@ the standard web-corpus dedup family, built Spark-first:
   banded LSH bucket join -> exact-Jaccard verification. All hashing is
   md5-derived (deterministic, reproducible in any engine — no
   PYTHONHASHSEED / xxhash dependence).
-* :func:`simhash` / :func:`near_dup_pairs_simhash` — 16..64-bit SimHash via
+* :func:`simhash` / :func:`near_dup_pairs_simhash` — 16..63-bit SimHash via
   per-token md5 bit votes; near-dups = small Hamming distance, candidates
   from band buckets, verified with bit_count(xor).
 * :func:`near_dup_pairs_embedding` — cosine >= threshold over an embedding
@@ -41,13 +41,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def token_shingles(text: Column, n: int = 3) -> Column:
+def token_shingles(text: Column, n: int = 3, short: str = "join") -> Column:
     """Distinct n-token shingles of normalized text (array<string>).
 
     The token array is lambda-bound (see :func:`_bind`) and shingles are a
     zip_with chain of shifted slices, so the normalize regexes and the split
     run exactly once per row regardless of n or downstream projection
-    collapse."""
+    collapse.
+
+    ``short`` picks the under-n-tokens policy: ``"join"`` (default) emits
+    one whole-text shingle — right for dedup, where a short doc must still
+    have a signature; ``"empty"`` emits no shingles — right for vocabulary
+    mining, where a too-short text simply contributes nothing."""
 
     def _chain(toks: Column) -> Column:
         zipped = toks
@@ -60,10 +65,13 @@ def token_shingles(text: Column, n: int = 3) -> Column:
         # shingles via concat_ws (null-skipping) — cut to the first
         # size-n+1 windows
         sh = F.slice(zipped, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+        fallback = (
+            F.array(F.concat_ws(" ", toks))
+            if short == "join"
+            else F.array().cast("array<string>")
+        )
         return F.array_distinct(
-            F.when(F.size(toks) >= n, sh).otherwise(
-                F.array(F.concat_ws(" ", toks))
-            )
+            F.when(F.size(toks) >= n, sh).otherwise(fallback)
         )
 
     return _bind(F.split(normalize_col(text), " "), _chain)
@@ -130,7 +138,12 @@ def lsh_candidates(
     """Banded LSH: split the signature into ``bands`` slices; docs agreeing
     on any whole band become a candidate pair (a < b). The signature array
     is lambda-bound (:func:`_bind`) so projection collapse cannot inline
-    the full signature computation into every band element."""
+    the full signature computation into every band element.
+
+    ``bands`` must divide the signature length — a zero-length band slice
+    would hash md5('') for EVERY doc (full cross-product join) and a
+    non-divisor silently drops trailing hashes; callers that know
+    num_hashes validate eagerly (see near_dup_pairs_minhash)."""
 
     def _bands(sig: Column) -> Column:
         return F.transform(
@@ -175,9 +188,17 @@ def near_dup_pairs_minhash(
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact shingle
     Jaccard: (a, b, jaccard) with jaccard >= threshold."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); "
+            "zero-length or ragged band slices break the bucketing scheme"
+        )
+    # the shingle table feeds three plan branches (signatures + both
+    # verification joins) — persist it or the corpus-wide normalize +
+    # shingling runs three times
     sets_df = df.select(
         F.col(id_col), token_shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    ).persist()
     sigs = sets_df.select(
         id_col, minhash_values(F.col("sh"), num_hashes).alias("sig")
     )
@@ -302,10 +323,14 @@ def near_dup_pairs_embedding(
 
 
 def simhash_bit(token: Column, bit: int) -> Column:
-    """Deterministic bit ``bit`` (0..31) of md5(token): high bit of the
-    hex nibble at position ``bit`` — reproducible in any engine that has
-    md5 + substring."""
-    ch = F.substring(F.md5(token), bit + 1, 1)
+    """Deterministic bit ``bit`` (0..63) of the token hash: high bit of
+    hex nibble ``bit`` of md5(token) for bits 0..31, and of md5('1|'+token)
+    for bits 32..63 (one md5 yields only 32 nibbles) — reproducible in any
+    engine that has md5 + substring."""
+    if bit < 32:
+        ch = F.substring(F.md5(token), bit + 1, 1)
+    else:
+        ch = F.substring(F.md5(F.concat(F.lit("1|"), token)), bit - 31, 1)
     return F.when(ch.isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)
 
 
@@ -320,10 +345,13 @@ def simhash(
             F.array_distinct(F.split(normalize_col(F.col(text_col)), " "))
         ).alias("tok"),
     ).filter(F.col("tok") != "")
+    if not 1 <= bits <= 63:
+        # 63, not 64: bit 63 is the sign bit of the LongType value and
+        # would change shiftright/ordering semantics for no dedup benefit
+        raise ValueError(f"bits must be in 1..63, got {bits}")
     votes = toks.groupBy(id_col).agg(
         *[F.sum(simhash_bit(F.col("tok"), i)).alias(f"v{i}") for i in range(bits)]
     )
-    val = None
     expr = F.lit(0).cast("long")
     for i in range(bits):
         expr = expr + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(0).cast("long")

@@ -5,8 +5,10 @@ Two interchangeable implementations (tested equal):
 * :func:`mentions_via_join` — fully declarative: explode distinct page
   tokens, broadcast-join against label first-tokens (the blocking trick,
   pruning the pages × phrases cross product), then verify whole-phrase
-  containment with JVM string ops. n_hits = non-overlapping occurrence
-  count (Python ``str.count`` semantics, shared with the oracle).
+  containment with JVM string ops. n_hits = number of token START
+  POSITIONS where the phrase matches (overlapping counted — a
+  self-overlapping phrase like 'sub sub' in 'sub sub sub' counts 2);
+  both implementations and the pytest oracle share this definition.
 * :func:`mentions_via_trie` — the north-star path (BASELINE.json: "batched
   mention detection ... with a broadcast ontology trie"): a token-trie of
   all phrases broadcast to executors, scanned per Arrow batch inside
@@ -103,9 +105,9 @@ def _build_trie(phrase_rows: list[tuple[str, str]]) -> dict:
 def scan_tokens_py(trie: dict, toks: list[str]) -> dict[tuple[str, str], int]:
     """Count matches of every trie phrase in a token stream. At each token
     position, walk the trie as far as tokens match, emitting every terminal
-    passed (so nested phrases all fire). Non-overlapping per phrase is NOT
-    enforced here; counts are per start position, which equals the
-    str.count semantics for space-separated token phrases."""
+    passed (so nested phrases all fire). Counts are per START POSITION —
+    overlapping occurrences of a self-overlapping phrase each count
+    (matches phrase_hit_count_expr and the pytest oracle)."""
     out: dict[tuple[str, str], int] = {}
     n = len(toks)
     for i in range(n):

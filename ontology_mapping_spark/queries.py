@@ -704,8 +704,8 @@ def q_stopword_language(spark, sf):
     f"""SELECT doc_id,
               CAST(CASE WHEN {normalize_sql('text', 'duckdb')} = '' THEN 0
                    ELSE len(string_split({normalize_sql('text', 'duckdb')}, ' ')) END AS INT) AS n_tokens,
-              round(len(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) * 1.0 / nullif(len(text), 0), 6) AS alpha_ratio,
-              round(len(regexp_replace(text, '[^\\p{{N}}]', '', 'g')) * 1.0 / nullif(len(text), 0), 6) AS digit_ratio
+              round(coalesce(len(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) * 1.0 / nullif(len(text), 0), 0), 6) AS alpha_ratio,
+              round(coalesce(len(regexp_replace(text, '[^\\p{{N}}]', '', 'g')) * 1.0 / nullif(len(text), 0), 0), 6) AS digit_ratio
        FROM documents""",
 )
 def q_token_quality(spark, sf):
@@ -835,27 +835,15 @@ def q_mentions_flagship(spark, sf):
     vocabulary (bigrams with document frequency >= 30 — the 'ontology
     labels'), then emit (doc_id, phrase) mentions via the token-bigram
     blocking pattern (SURVEY §7 minimum end-to-end slice)."""
-    from ontology_mapping_spark.functions.arrays import bind
+    from ontology_mapping_spark.operators.dedup import token_shingles
 
     docs = _t(spark, sf, "documents")
-
-    # bigrams as a bound zip_with of shifted token arrays: the indexed
-    # transform(sequence, i -> slice(toks,...)) form re-evaluates the
-    # normalize+split per element after CollapseProject inlines the alias
-    def _bigrams(t):
-        pairs = F.zip_with(
-            t, F.slice(t, 2, 1 << 30), lambda a, b: F.concat_ws(" ", a, b)
-        )
-        return F.when(
-            F.size(t) >= 2,
-            F.array_distinct(F.slice(pairs, 1, F.size(t) - 1)),
-        ).otherwise(F.array().cast("array<string>"))
-
+    # bigrams = 2-token shingles via the shared CollapseProject-proof
+    # kernel; short='empty' drops <2-token docs (matches the oracle's
+    # WHERE len >= 2)
     bigrams = docs.select(
         "doc_id",
-        F.explode(
-            bind(F.split(normalize_col("text"), " "), _bigrams)
-        ).alias("phrase"),
+        F.explode(token_shingles(F.col("text"), 2, short="empty")).alias("phrase"),
     )
     # bigrams are already distinct per doc (array_distinct before explode),
     # so count over the phrase partition == count(DISTINCT doc_id); the

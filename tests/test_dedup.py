@@ -175,3 +175,19 @@ def test_embedding_near_dup_pairs_both_forms(spark):
         ).collect()
     }
     assert got_lsh <= want and len(got_lsh) >= 3
+
+
+def test_simhash_wide_bits_and_validation(spark):
+    import pytest as _pytest
+
+    # bits > 32 must use real hash bits (second salted digest), not dead
+    # zero bits that would collapse LSH bands into one bucket
+    got = {r["doc_id"]: r["simhash"] for r in simhash(_docs_df(spark), bits=48).collect()}
+    high = {d: v >> 32 for d, v in got.items()}
+    assert len(set(high.values())) > 1  # high bits actually vary
+    assert got[0] == got[3]             # exact dups still agree
+    with _pytest.raises(ValueError):
+        simhash(_docs_df(spark), bits=64)
+    from ontology_mapping_spark.operators.dedup import near_dup_pairs_minhash as _nd
+    with _pytest.raises(ValueError):
+        _nd(_docs_df(spark), num_hashes=16, bands=5)

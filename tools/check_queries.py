@@ -9,12 +9,14 @@ Usage: python tools/check_queries.py [sf_dir] [name_filter]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 import duckdb
 
-sys.path.insert(0, ".")
+# repo-root import regardless of cwd (the gate must run from anywhere)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
