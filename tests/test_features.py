@@ -91,3 +91,35 @@ def test_cosine_udf_survives_ragged_and_empty_vectors(spark):
     assert abs(got[0] - 1.0) < 1e-12
     assert got[1] == 0.0 and got[3] == 0.0 and got[4] == 0.0
     assert abs(got[2] - cosine_py([1.0, 0.0], [0.0, 1.0])) < 1e-12
+
+
+def test_partial_ratio_exact_against_brute_force():
+    # property: for label-length strings the partial ratio equals the true
+    # max over every same-length window (canonical argument order fixed)
+    import random
+    from difflib import SequenceMatcher
+
+    from ontology_mapping_spark.functions.fuzzy import partial_ratio_py
+
+    def brute(a, b):
+        if not a or not b:
+            return 0.0
+        s, l = (a, b) if len(a) <= len(b) else (b, a)
+        m, n = len(s), len(l)
+        return max(
+            2.0
+            * sum(
+                sz
+                for _, _, sz in SequenceMatcher(
+                    None, l[st : st + m], s, autojunk=False
+                ).get_matching_blocks()
+            )
+            / (2 * m)
+            for st in range(n - m + 1)
+        )
+
+    rng = random.Random(7)
+    for _ in range(3000):
+        a = "".join(rng.choices("abcde ", k=rng.randint(1, 12)))
+        b = "".join(rng.choices("abcdefg ", k=rng.randint(1, 20)))
+        assert abs(partial_ratio_py(a, b) - brute(a, b)) < 1e-12, (a, b)

@@ -100,3 +100,16 @@ def test_fused_tokenizer_matches_golden_path(fx):
     for html in cases:
         expect = normalize_py(extract_text_py(html)).split()
         assert tokens_from_html_py(html) == expect, html
+
+
+@given(
+    st.binary(max_size=400)
+    | st.text(max_size=300).map(lambda s: s.encode("utf-8"))
+)
+@settings(max_examples=300, deadline=None)
+def test_fused_tokenizer_property(html):
+    # property: the fused tokenizer equals the golden normalize+extract
+    # token stream on ARBITRARY byte input (both regex and ASCII paths)
+    from ontology_mapping_spark.textnorm import tokens_from_html_py
+
+    assert tokens_from_html_py(html) == normalize_py(extract_text_py(html)).split()
