@@ -244,7 +244,10 @@ def main() -> None:
     # runs at the two parallelism levels) unless explicitly skipped
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         env2 = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-        env2.setdefault("SPARK_GRAFT_SCALING_REPS", "1")  # bound total wall
+        # two interleaved passes x three in-session reps: host slow phases
+        # last minutes, and a single pass can sit entirely inside one (the
+        # suite JSON above already stands if a caller timeout cuts this)
+        env2.setdefault("SPARK_GRAFT_SCALING_REPS", "2")
         out2 = subprocess.run(
             [sys.executable, __file__, "--scaling"],
             env=env2,
