@@ -1043,6 +1043,96 @@ def q_embedding_near_dups(spark, sf):
     return out.select("a", "b", F.round("cos", 5).alias("cos"))
 
 
+@query(
+    "parent_similarity_maxcos",
+    f"""WITH lbl AS (SELECT CAST(p_partkey AS VARCHAR) AS uri, {normalize_sql('p_name', 'duckdb')} AS ntext FROM part),
+       toks AS (SELECT uri, unnest(string_split(ntext, ' ')) AS tok FROM lbl),
+       h AS (SELECT uri,
+               ('0x' || substr(sha256(tok), 1, 8))::BIGINT % 16 AS idx,
+               CASE WHEN ('0x' || substr(sha256(tok), 10, 1))::BIGINT % 2 = 1 THEN 1 ELSE -1 END AS s
+             FROM toks WHERE tok <> ''),
+       sp AS (SELECT uri, idx, SUM(s) AS v FROM h GROUP BY uri, idx),
+       nrm AS (SELECT uri, sqrt(SUM(v * v)) AS n FROM sp GROUP BY uri),
+       e AS (SELECT CAST(p_partkey AS VARCHAR) AS child, CAST(p_partkey // 2 AS VARCHAR) AS parent
+             FROM part WHERE p_partkey >= 2
+             UNION
+             SELECT CAST(p_partkey AS VARCHAR), CAST(p_partkey // 3 AS VARCHAR)
+             FROM part WHERE p_partkey >= 3),
+       pairs AS (SELECT CAST(p_partkey AS VARCHAR) AS src, CAST(p_partkey + 1 AS VARCHAR) AS tgt
+                 FROM part WHERE p_partkey % 20 = 0 AND p_partkey >= 2),
+       pp AS (SELECT p.src, p.tgt, e1.parent AS pa, e2.parent AS pb
+              FROM pairs p JOIN e e1 ON e1.child = p.src JOIN e e2 ON e2.child = p.tgt),
+       dots AS (SELECT pp.src, pp.tgt, pp.pa, pp.pb, COALESCE(SUM(s1.v * s2.v), 0) AS dot
+                FROM pp
+                LEFT JOIN sp s1 ON s1.uri = pp.pa
+                LEFT JOIN sp s2 ON s2.uri = pp.pb AND s2.idx = s1.idx
+                GROUP BY pp.src, pp.tgt, pp.pa, pp.pb),
+       cosv AS (SELECT d.src, d.tgt,
+                       CASE WHEN n1.n > 0 AND n2.n > 0 THEN d.dot / (n1.n * n2.n) ELSE 0 END AS c
+                FROM dots d JOIN nrm n1 ON n1.uri = d.pa JOIN nrm n2 ON n2.uri = d.pb)
+       SELECT src, tgt, round(MAX(c), 6) AS parent_similarity
+       FROM cosv GROUP BY src, tgt""",
+)
+def q_parent_similarity(spark, sf):
+    """Parent-pair max cosine (thesis/pre_processing_data.py:257-267) with a
+    fully SQL-reproducible embedding: a signed hashed bag-of-words whose
+    entries are INTEGER token counts (sha256-derived index and sign), so
+    dot products and norms are bit-exact in both engines — the float32
+    pandas-UDF embedding stays the production path, this query pins the
+    operator's join/aggregation semantics."""
+    from ontology_mapping_spark.functions.arrays import bind
+    from ontology_mapping_spark.operators.features_ext import parent_similarity
+
+    part = _t(spark, sf, "part")
+    lbl = part.select(
+        F.col("p_partkey").cast("string").alias("uri"),
+        normalize_col("p_name").alias("ntext"),
+    )
+    toks = lbl.select("uri", F.explode(F.split("ntext", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    sha = F.sha2(F.col("tok"), 256)
+    hx = toks.select(
+        "uri",
+        (F.conv(F.substring(sha, 1, 8), 16, 10).cast("long") % 16).alias("idx"),
+        F.when(
+            F.conv(F.substring(sha, 10, 1), 16, 10).cast("long") % 2 == 1, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    sp = hx.groupBy("uri", "idx").agg(F.sum("s").alias("v"))
+    emb = sp.groupBy("uri").agg(
+        F.map_from_entries(F.collect_list(F.struct("idx", "v"))).alias("m")
+    ).select(
+        "uri",
+        bind(
+            F.col("m"),
+            lambda m: F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda d: F.coalesce(
+                    F.element_at(m, d.cast("long")), F.lit(0)
+                ).cast("double"),
+            ),
+        ).alias("vec"),
+    )
+    e1 = part.filter(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").cast("string").alias("child"),
+        F.floor(F.col("p_partkey") / 2).cast("bigint").cast("string").alias("parent"),
+    )
+    e2 = part.filter(F.col("p_partkey") >= 3).select(
+        F.col("p_partkey").cast("string").alias("child"),
+        F.floor(F.col("p_partkey") / 3).cast("bigint").cast("string").alias("parent"),
+    )
+    edges2 = e1.unionByName(e2).distinct()
+    pairs = part.filter((F.col("p_partkey") % 20 == 0) & (F.col("p_partkey") >= 2)).select(
+        F.col("p_partkey").cast("string").alias("src"),
+        (F.col("p_partkey") + 1).cast("string").alias("tgt"),
+    )
+    out = parent_similarity(pairs, edges2, emb)
+    return out.select("src", "tgt", F.round("parent_similarity", 6).alias("parent_similarity"))
+
+
 def _winnow_sql(k: int = 8, w: int = 4) -> str:
     return f"""WITH d AS (SELECT doc_id, {normalize_sql('text', 'duckdb')} AS n FROM documents),
       g AS (SELECT doc_id, CASE WHEN length(n) >= {k}
