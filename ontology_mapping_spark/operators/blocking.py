@@ -213,8 +213,10 @@ def cap_negatives(
     from ontology_mapping_spark.operators.sampling import sample_global
 
     # the counts, the sampler sort and the final union each consume this
-    # frame — cache once instead of re-running the candidate dataflow 4x
-    labeled = labeled.cache()
+    # frame — materialize once instead of re-running the candidate
+    # dataflow 4x. localCheckpoint, not cache: blocks are freed when the
+    # frame is GC'd, so repeated calls don't leak executor storage.
+    labeled = labeled.localCheckpoint(eager=True)
     n_pos = labeled.filter(F.col("label") == 1).count()
     n_neg = labeled.filter(F.col("label") == 0).count()
     cap = int(round(min(n_neg, cfg.max_neg_per_pos * float(n_pos))))

@@ -142,27 +142,38 @@ def lsh_candidates(
 
     ``bands`` must divide the signature length — a zero-length band slice
     would hash md5('') for EVERY doc (full cross-product join) and a
-    non-divisor silently drops trailing hashes; callers that know
-    num_hashes validate eagerly (see near_dup_pairs_minhash)."""
+    non-divisor silently drops trailing hashes. Enforced in-plan: the
+    slice-width expression raises on the first row when bands does not
+    divide the signature length (a detached guard column would be pruned);
+    callers that know num_hashes also validate eagerly
+    (see near_dup_pairs_minhash)."""
 
     def _bands(sig: Column) -> Column:
+        # the slice width doubles as the divisibility guard: baked into
+        # the expression Catalyst cannot prune it away (a detached
+        # assert_true column would be column-pruned before evaluation)
+        width = F.when(
+            F.size(sig) % bands == 0, (F.size(sig) / bands).cast("int")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"bands ({bands}) must divide signature length, got "),
+                    F.size(sig).cast("string"),
+                )
+            ).cast("int")
+        )
         return F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.struct(
                 b.alias("band"),
                 F.md5(
-                    F.concat_ws(
-                        "|",
-                        F.slice(
-                            sig,
-                            b * (F.size(sig) / bands).cast("int") + 1,
-                            (F.size(sig) / bands).cast("int"),
-                        ),
-                    )
+                    F.concat_ws("|", F.slice(sig, b * width + 1, width))
                 ).alias("bh"),
             ),
         )
 
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
     banded = sigs.select(
         id_col,
         F.explode(_bind(F.col("sig"), _bands)).alias("bb"),
@@ -194,11 +205,14 @@ def near_dup_pairs_minhash(
             "zero-length or ragged band slices break the bucketing scheme"
         )
     # the shingle table feeds three plan branches (signatures + both
-    # verification joins) — persist it or the corpus-wide normalize +
-    # shingling runs three times
+    # verification joins) — materialize it once or the corpus-wide
+    # normalize + shingling runs three times. localCheckpoint rather than
+    # persist: the blocks are freed by the ContextCleaner when the frame
+    # is garbage-collected, so repeated calls in a long-lived session
+    # don't leak executor storage (round-1 ADVICE).
     sets_df = df.select(
         F.col(id_col), token_shingles(F.col(text_col), shingle_n).alias("sh")
-    ).persist()
+    ).localCheckpoint(eager=True)
     sigs = sets_df.select(
         id_col, minhash_values(F.col("sh"), num_hashes).alias("sig")
     )

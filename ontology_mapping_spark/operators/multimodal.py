@@ -15,7 +15,6 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -62,15 +61,24 @@ def decode_image_real(payload: bytes):
 
 
 def fake_feature(payload: bytes | None, dim: int = 16) -> list[float]:
-    """DETERMINISTIC FAKE decode+embed: md5-seeded unit vector. Stands in
-    for decode->resize->model.forward; same signature, same batch shape."""
+    """DETERMINISTIC FAKE decode+embed standing in for
+    decode->resize->model.forward (same signature, same batch shape).
+
+    Lane ``j`` is the integer value of a 4-hex-char slice of a salted md5
+    of the payload (digest ``j // 8``, slice ``j % 8``) — every value is an
+    integer in [0, 65535], exactly representable in float32, so a SQL
+    oracle can reproduce the feature bit-exactly (same md5-slice scheme as
+    the MinHash lanes in operators/dedup.py)."""
     if payload is None:
         return [0.0] * dim
-    h = hashlib.md5(bytes(payload)).digest()
-    rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
-    v = rng.standard_normal(dim)
-    v /= np.linalg.norm(v)
-    return [float(x) for x in np.round(v, 6)]
+    out: list[float] = []
+    hexes: dict[int, str] = {}
+    for j in range(dim):
+        d, sl = divmod(j, 8)
+        if d not in hexes:
+            hexes[d] = hashlib.md5(b"%d|" % d + bytes(payload)).hexdigest()
+        out.append(float(int(hexes[d][4 * sl : 4 * sl + 4], 16)))
+    return out
 
 
 def extract_media_features(media: DataFrame, dim: int = 16) -> DataFrame:

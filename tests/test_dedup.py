@@ -191,3 +191,19 @@ def test_simhash_wide_bits_and_validation(spark):
     from ontology_mapping_spark.operators.dedup import near_dup_pairs_minhash as _nd
     with _pytest.raises(ValueError):
         _nd(_docs_df(spark), num_hashes=16, bands=5)
+
+
+def test_lsh_candidates_rejects_non_divisor_bands(spark):
+    # direct lsh_candidates callers (bypassing near_dup_pairs_minhash's
+    # eager check) must fail loudly, not silently drop trailing hashes
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    sigs = minhash_signatures(_docs_df(spark), num_hashes=8)
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        lsh_candidates(sigs, bands=3).collect()
+    with pytest.raises(ValueError):
+        lsh_candidates(sigs, bands=0)
+    # divisor bands still fine
+    assert lsh_candidates(sigs, bands=4).count() >= 0

@@ -93,6 +93,15 @@ def main():
             status.append(f"rowcount {len(gv)} != {len(wv)}")
         if gc != wc:
             status.append(f"schema {gc} != {wc}")
+        # type-strict check mirroring the driver's value hash: a BIGINT
+        # column vs a VARCHAR column stringifies identically here but
+        # hash-diverges at the driver (round-1 sibling_2hop_join lesson)
+        if gc == wc:
+            gk = [got[c].dtype.kind for c in gc]
+            wk = [want[c].dtype.kind for c in wc]
+            norm = lambda ks: ["i" if k in "iu" else k for k in ks]
+            if norm(gk) != norm(wk):
+                status.append(f"dtype kinds {gk} != {wk} (driver hash would diverge)")
         if not status and gv != wv:
             diff = [i for i, (a, b) in enumerate(zip(gv, wv)) if a != b][:3]
             examples = [(gv[i], wv[i]) for i in diff]
