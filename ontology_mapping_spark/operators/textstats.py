@@ -167,3 +167,60 @@ def winnow_fingerprints(
 
     mins = bind(bind(normalize_col(F.col(text_col)), _grams), _mins)
     return df.select(F.col(id_col), F.explode(mins).alias("fp"))
+
+
+def frequent_phrase_mentions(
+    docs: DataFrame,
+    n: int = 2,
+    min_df: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "aggregate",
+) -> DataFrame:
+    """(doc_id, phrase) hits for every n-token shingle whose document
+    frequency is >= ``min_df`` (a corpus-derived phrase vocabulary — the
+    degenerate 'ontology labels' of the flagship slice).
+
+    ``form``:
+
+    * ``"aggregate"`` (default, the 100 TB shape): partial/final hash
+      aggregate counts per phrase — map-side combine collapses hot
+      phrases BEFORE the shuffle, so a boilerplate bigram appearing in
+      every document ("click here") moves one row per map task, not one
+      row per document. The surviving vocabulary (df >= min_df is small
+      by construction) is broadcast back onto a re-derived shingle scan:
+      a second map-side pass over the corpus, but zero second shuffle
+      and no skew exposure.
+    * ``"window"`` — single-shuffle count-over-window variant. Shuffles
+      the corpus' shingles once, but WindowExec buffers each phrase
+      partition in memory, so one pathologically hot phrase OOMs an
+      executor at scale. Opt-in for small corpora where the one-shuffle
+      saving wins (crossover: when the full shingle table for the
+      hottest phrase fits an executor's window buffer).
+    """
+    from ontology_mapping_spark.operators.dedup import token_shingles
+
+    if form not in ("aggregate", "window"):
+        raise ValueError(f"form must be 'aggregate' or 'window', got {form!r}")
+    bigrams = docs.select(
+        F.col(id_col),
+        F.explode(token_shingles(F.col(text_col), n, short="empty")).alias("phrase"),
+    )
+    if form == "window":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("phrase")
+        return (
+            bigrams.withColumn("df", F.count("*").over(w))
+            .filter(F.col("df") >= min_df)
+            .select(id_col, "phrase")
+        )
+    # shingles are distinct per doc (array_distinct before explode), so
+    # count(*) per phrase == count(DISTINCT doc) without a dedup shuffle
+    vocab = (
+        bigrams.groupBy("phrase")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("phrase")
+    )
+    return bigrams.join(F.broadcast(vocab), "phrase").select(id_col, "phrase")

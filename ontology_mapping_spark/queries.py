@@ -837,30 +837,15 @@ def q_mentions_flagship(spark, sf):
     """Degenerate S3 slice over the documents corpus: derive a phrase
     vocabulary (bigrams with document frequency >= 30 — the 'ontology
     labels'), then emit (doc_id, phrase) mentions via the token-bigram
-    blocking pattern (SURVEY §7 minimum end-to-end slice)."""
-    from ontology_mapping_spark.operators.dedup import token_shingles
+    blocking pattern (SURVEY §7 minimum end-to-end slice).
 
-    docs = _t(spark, sf, "documents")
-    # bigrams = 2-token shingles via the shared CollapseProject-proof
-    # kernel; short='empty' drops <2-token docs (matches the oracle's
-    # WHERE len >= 2)
-    bigrams = docs.select(
-        "doc_id",
-        F.explode(token_shingles(F.col("text"), 2, short="empty")).alias("phrase"),
-    )
-    # bigrams are already distinct per doc (array_distinct before explode),
-    # so count over the phrase partition == count(DISTINCT doc_id); the
-    # window form shuffles the bigrams ONCE and avoids re-deriving them
-    # for a vocab join (the aggregate+join form scans the corpus twice).
-    # Scale note: WindowExec buffers each phrase partition — with a
-    # pathologically hot phrase (>>memory), fall back to the
-    # aggregate + broadcast-vocab-join form, which only shuffles counts.
-    w = Window.partitionBy("phrase")
-    return (
-        bigrams.withColumn("df", F.count("*").over(w))
-        .filter(F.col("df") >= 30)
-        .select("doc_id", "phrase")
-    )
+    Default form is the scale-safe partial/final hash aggregate +
+    broadcast-vocab join (map-side combine absorbs hot phrases); the
+    single-shuffle window form is the small-corpus opt-in — see
+    frequent_phrase_mentions for the crossover discussion."""
+    from ontology_mapping_spark.operators.textstats import frequent_phrase_mentions
+
+    return frequent_phrase_mentions(_t(spark, sf, "documents"), n=2, min_df=30)
 
 
 # --------------------------------------------------------------------------

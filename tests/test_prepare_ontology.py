@@ -1,0 +1,143 @@
+"""OWL/RDF-XML prep tool: parse -> triples parquet -> label/hierarchy
+extraction, checked against the pure-Python oracle on the same triples.
+
+The reference's input path is ``rdflib.Graph().parse(path, format="xml")``
+(thesis/main.py:37-41); here the tool's fallback parser (rdflib is absent
+in this container) must feed the engine the same flat triples the
+fixtures do. When rdflib IS importable, the equivalence test below also
+runs the tool's rdflib path and demands identical label/edge sets.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+from tools.prepare_ontology import parse_ontology, parse_rdfxml, prepare_ontologies
+
+from ontology_mapping_spark.operators.labels import extract_hierarchy, extract_labels
+from tests import oracle
+
+SRC_OWL = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:obo="http://www.geneontology.org/formats/oboInOwl#"
+         xmlns:skos="http://www.w3.org/2004/02/skos/core#">
+  <owl:Class rdf:about="http://src/Lung">
+    <rdfs:label xml:lang="en">Lung</rdfs:label>
+    <obo:hasExactSynonym>  Pulmo  </obo:hasExactSynonym>
+    <rdfs:subClassOf rdf:resource="http://src/Organ"/>
+    <rdfs:subClassOf>
+      <owl:Restriction>
+        <owl:onProperty rdf:resource="http://src/partOf"/>
+        <owl:someValuesFrom rdf:resource="http://src/Thorax"/>
+      </owl:Restriction>
+    </rdfs:subClassOf>
+    <skos:exactMatch rdf:resource="http://tgt/Lung"/>
+  </owl:Class>
+  <owl:Class rdf:about="http://src/LeftLung">
+    <rdfs:label>Left lung</rdfs:label>
+    <rdfs:subClassOf>
+      <owl:Class rdf:about="http://src/Lung"/>
+    </rdfs:subClassOf>
+  </owl:Class>
+  <rdf:Description rdf:about="http://src/Organ">
+    <rdfs:label>ORGAN </rdfs:label>
+  </rdf:Description>
+</rdf:RDF>"""
+
+TGT_OWL = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#">
+  <owl:Class rdf:about="http://tgt/Lung">
+    <rdfs:label>lung</rdfs:label>
+    <rdfs:subClassOf rdf:resource="http://tgt/BodyPart"/>
+  </owl:Class>
+</rdf:RDF>"""
+
+
+def _expected_triples():
+    return [
+        {"subject": s, "predicate": p, "object": o}
+        for s, p, o, _ in parse_rdfxml(io.StringIO(SRC_OWL))
+    ] + [
+        {"subject": s, "predicate": p, "object": o}
+        for s, p, o, _ in parse_rdfxml(io.StringIO(TGT_OWL))
+    ]
+
+
+def test_parser_core_shapes():
+    got = list(parse_rdfxml(io.StringIO(SRC_OWL)))
+    # literal with lang; whitespace preserved for the engine to strip
+    assert ("http://src/Lung", "rdfs:label", "Lung", "en") in got
+    assert ("http://src/Lung", "obo:hasExactSynonym", "Pulmo", None) in got
+    # resource-valued subClassOf kept, restriction blank node skipped
+    assert ("http://src/Lung", "rdfs:subClassOf", "http://src/Organ", None) in got
+    assert not any(
+        p == "rdfs:subClassOf" and o.startswith("http://src/Thorax")
+        for _, p, o, _ in got
+    )
+    # inlined class description contributes an edge
+    assert ("http://src/LeftLung", "rdfs:subClassOf", "http://src/Lung", None) in got
+    assert ("http://src/Lung", "skos:exactMatch", "http://tgt/Lung", None) in got
+
+
+def test_owl_roundtrip_matches_oracle(spark, tmp_path):
+    src = tmp_path / "src.owl"
+    tgt = tmp_path / "tgt.owl"
+    src.write_text(SRC_OWL)
+    tgt.write_text(TGT_OWL)
+
+    triples = prepare_ontologies(spark, [(str(src), "src"), (str(tgt), "tgt")])
+    out = tmp_path / "triples.parquet"
+    triples.write.mode("overwrite").parquet(str(out))
+    flat = spark.read.parquet(str(out))
+    assert set(flat.columns) == {"subject", "predicate", "object", "lang", "side"}
+    assert flat.filter("side = 'tgt'").count() > 0
+
+    labels = {
+        r["uri"]: list(r["labels"]) for r in extract_labels(flat).collect()
+    }
+    want_labels = oracle.extract_labels(_expected_triples())
+    assert labels == want_labels
+    # the engine lowercases+strips: the decorated "  Pulmo  "/"ORGAN " land clean
+    assert labels["http://src/Lung"] == ["lung", "pulmo"]
+    assert labels["http://src/Organ"] == ["organ"]
+
+    edges = {
+        (r["child"], r["parent"]) for r in extract_hierarchy(flat).collect()
+    }
+    assert edges == set(oracle.extract_edges(_expected_triples()))
+
+
+def test_rdflib_path_equivalence(tmp_path):
+    """When rdflib is present, the tool's rdflib path must produce the
+    same label/edge-relevant triples as the fallback parser. Skips
+    cleanly in containers without rdflib (this sandbox)."""
+    pytest.importorskip("rdflib")
+    from tools.prepare_ontology import parse_with_rdflib
+
+    p = tmp_path / "src.owl"
+    p.write_text(SRC_OWL)
+    keep = {"rdfs:label", "obo:hasExactSynonym", "rdfs:subClassOf", "skos:exactMatch"}
+    via_rdflib = {t[:3] for t in parse_with_rdflib(str(p)) if t[1] in keep}
+    via_fallback = {
+        (s, pr, o.strip() if pr in ("rdfs:label", "obo:hasExactSynonym") else o)
+        for s, pr, o, _ in parse_rdfxml(io.StringIO(SRC_OWL))
+        if pr in keep
+    }
+    # rdflib strips nothing either; compare raw
+    via_fallback = {t[:3] for t in parse_rdfxml(io.StringIO(SRC_OWL)) if t[1] in keep}
+    assert via_rdflib == via_fallback
+
+
+def test_parse_ontology_dispatch(tmp_path):
+    p = tmp_path / "one.owl"
+    p.write_text(TGT_OWL)
+    got = list(parse_ontology(str(p)))
+    assert ("http://tgt/Lung", "rdfs:subClassOf", "http://tgt/BodyPart", None) in got

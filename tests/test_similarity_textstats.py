@@ -174,3 +174,20 @@ def test_multimodal_plumbing(spark):
     }
     with pytest.raises(NotImplementedError):
         decode_image_real(b"x")
+
+
+def test_frequent_phrase_mentions_forms_agree(spark):
+    from ontology_mapping_spark.operators.textstats import frequent_phrase_mentions
+
+    rows = [(i, "alpha beta gamma delta" if i % 2 else "alpha beta unique%d" % i)
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    agg = frequent_phrase_mentions(docs, n=2, min_df=5)
+    win = frequent_phrase_mentions(docs, n=2, min_df=5, form="window")
+    a = {(r["doc_id"], r["phrase"]) for r in agg.collect()}
+    w = {(r["doc_id"], r["phrase"]) for r in win.collect()}
+    assert a == w and a  # same hits, non-empty
+    assert ("alpha beta") in {p for _, p in a}  # df=20 phrase survives
+    import pytest
+    with pytest.raises(ValueError):
+        frequent_phrase_mentions(docs, form="nope")
