@@ -62,6 +62,74 @@ def make_embed_udf(dim: int = 64):
 
 
 # ---------------------------------------------------------------------------
+# real-model slot: load once per Python worker, embed per Arrow batch
+# ---------------------------------------------------------------------------
+
+# worker-side model cache: the UDF closure ships only the SPEC STRING to
+# executors; the model itself is loaded lazily inside the worker process on
+# first batch and reused for every subsequent batch/task in that worker.
+_MODEL_CACHE: dict[str, object] = {}
+
+
+def _resolve_embedder(spec: str):
+    """spec -> callable(list[str]) -> list[vector].
+
+    * ``"spacy:<model>"`` — the reference's exact path (thesis/main.py:48-58):
+      ``nlp.pipe(texts, disable=["ner", "parser"])`` -> ``doc.vector``.
+    * ``"<module>:<factory>"`` — any importable zero-arg factory returning
+      the embed callable (the test seam, and how a sentence-transformer or
+      ONNX encoder plugs in without touching this file).
+    """
+    fn = _MODEL_CACHE.get(spec)
+    if fn is not None:
+        return fn
+    mod_name, _, attr = spec.partition(":")
+    if not attr:
+        raise ValueError(f"embedder spec must be 'module:attr', got {spec!r}")
+    if mod_name == "spacy":
+        import spacy
+
+        nlp = spacy.load(attr)
+
+        def fn(texts):
+            return [d.vector for d in nlp.pipe(texts, disable=["ner", "parser"])]
+
+    else:
+        import importlib
+
+        factory = getattr(importlib.import_module(mod_name), attr)
+        fn = factory()
+    _MODEL_CACHE[spec] = fn
+    return fn
+
+
+def make_model_embed_udf(spec: str, dim: int):
+    """Arrow-batched embedding UDF backed by a real model.
+
+    Same plumbing as :func:`make_embed_udf` (one Python crossing per
+    batch); the model loads once per worker process via the module-level
+    cache, not once per batch or task. Vectors must come back with
+    exactly ``dim`` entries — a silent truncation would corrupt every
+    downstream cosine, so dimension mismatch raises."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed_udf(texts: pd.Series) -> pd.Series:
+        embed = _resolve_embedder(spec)
+        vecs = embed(["" if t is None else t for t in texts.tolist()])
+        out = []
+        for v in vecs:
+            v = [float(x) for x in v]
+            if len(v) != dim:
+                raise ValueError(
+                    f"embedder {spec!r} returned dim {len(v)}, expected {dim}"
+                )
+            out.append(v)
+        return pd.Series(out)
+
+    return embed_udf
+
+
+# ---------------------------------------------------------------------------
 # cosine similarity
 # ---------------------------------------------------------------------------
 

@@ -90,6 +90,15 @@ def mentions_via_join(pages_text: DataFrame, phrases: DataFrame) -> DataFrame:
     ).distinct()
 
 
+try:  # optional C automaton (pyahocorasick); absent in this container
+    import ahocorasick as _ahocorasick
+
+    _HAS_AHOCORASICK = True
+except ImportError:  # pragma: no cover - exercised when the lib ships
+    _ahocorasick = None
+    _HAS_AHOCORASICK = False
+
+
 def _build_trie(phrase_rows: list[tuple[str, str]]) -> dict:
     """Token trie: token -> subtrie; terminal phrases under the '' key as
     a list of (uri, phrase)."""
@@ -100,6 +109,106 @@ def _build_trie(phrase_rows: list[tuple[str, str]]) -> dict:
             node = node.setdefault(tok, {})
         node.setdefault("", []).append((uri, phrase))
     return root
+
+
+def _build_blocked_index(phrase_rows: list[tuple[str, str]]) -> dict:
+    """first_token -> [(" phrase ", (uri, phrase)), ...] for the blocked
+    kernel: space-padded phrase strings make substring search token-exact
+    (tokens contain no spaces after the golden normalize)."""
+    index: dict = {}
+    for uri, phrase in phrase_rows:
+        toks = phrase.split()
+        if toks:
+            index.setdefault(toks[0], []).append(
+                (" " + phrase + " ", (uri, phrase))
+            )
+    return index
+
+
+def scan_tokens_blocked_py(index: dict, toks: list[str]) -> dict[tuple[str, str], int]:
+    """Same contract as :func:`scan_tokens_py`, restructured so the hot
+    loop runs in C: ``set(toks) & index`` prunes to phrases whose first
+    token appears at all (the same blocking trick mentions_via_join uses
+    declaratively), then each surviving phrase is counted with
+    ``str.find`` stepping by one char so boundary-sharing overlapping
+    occurrences each count ("a b" twice in "a b a b" — ``str.count``
+    would miss the second, it resumes AFTER the shared space). Python
+    bytecode cost is per candidate phrase + per occurrence, not per
+    token position."""
+    out: dict[tuple[str, str], int] = {}
+    if not toks:
+        return out
+    cands = set(toks).intersection(index)
+    if not cands:
+        return out
+    padded = " " + " ".join(toks) + " "
+    find = padded.find
+    for t in cands:
+        for pp, key in index[t]:
+            c = 0
+            idx = find(pp)
+            while idx != -1:
+                c += 1
+                idx = find(pp, idx + 1)
+            if c:
+                out[key] = out.get(key, 0) + c
+    return out
+
+
+def _build_automaton(phrase_rows: list[tuple[str, str]]):
+    """pyahocorasick automaton over space-padded phrases; word value is
+    the LIST of (uri, phrase) keys sharing that surface (add_word
+    overwrites duplicates, and distinct uris can share a phrase)."""
+    auto = _ahocorasick.Automaton()
+    words: dict[str, list] = {}
+    for uri, phrase in phrase_rows:
+        if phrase.strip():
+            words.setdefault(" " + phrase + " ", []).append((uri, phrase))
+    for w, keys in words.items():
+        auto.add_word(w, keys)
+    auto.make_automaton()
+    return auto
+
+
+def scan_tokens_automaton_py(auto, toks: list[str]) -> dict[tuple[str, str], int]:
+    """Aho-Corasick kernel: one C pass over the padded text; ``iter``
+    reports every (overlapping) occurrence of every padded phrase."""
+    out: dict[tuple[str, str], int] = {}
+    if not toks:
+        return out
+    for _end, keys in auto.iter(" " + " ".join(toks) + " "):
+        for key in keys:
+            out[key] = out.get(key, 0) + 1
+    return out
+
+
+def make_token_scanner(spark, phrase_rows: list[tuple[str, str]], kernel: str = "auto"):
+    """Build-once-per-executor scanner: returns scan(toks) -> counts.
+
+    ``kernel``: "auto" picks "ahocorasick" (one C pass per page) when the
+    library is present, else "trie" — the per-token dict walker. "blocked"
+    is an opt-in third kernel, equivalence-tested but MEASURED SLOWER on
+    the fixture workload (5.9k vs 41k pages/s single-threaded: its cost is
+    O(candidate phrases × page chars) in C vs the trie's O(token
+    positions) in Python, and the fixture plants dense label mentions in
+    short pages, the trie's best case); it wins only when first-token
+    overlap between page vocabulary and phrase vocabulary is rare and
+    pages are long. The built structure rides a Spark broadcast, so each
+    executor deserializes it once, not once per task."""
+    if kernel == "auto":
+        kernel = "ahocorasick" if _HAS_AHOCORASICK else "trie"
+    if kernel == "ahocorasick":
+        if not _HAS_AHOCORASICK:
+            raise ImportError("pyahocorasick not available; use kernel='blocked'")
+        bc = spark.sparkContext.broadcast(_build_automaton(phrase_rows))
+        return lambda toks: scan_tokens_automaton_py(bc.value, toks)
+    if kernel == "blocked":
+        bc = spark.sparkContext.broadcast(_build_blocked_index(phrase_rows))
+        return lambda toks: scan_tokens_blocked_py(bc.value, toks)
+    if kernel == "trie":
+        bc = spark.sparkContext.broadcast(_build_trie(phrase_rows))
+        return lambda toks: scan_tokens_py(bc.value, toks)
+    raise ValueError(f"unknown kernel {kernel!r}")
 
 
 def scan_tokens_py(trie: dict, toks: list[str]) -> dict[tuple[str, str], int]:
@@ -141,25 +250,29 @@ def _emit_batch(urls: list, uris: list, surfaces: list, counts: list):
 
 
 def mentions_via_trie(
-    pages_text: DataFrame, phrases: DataFrame, batch_hint: int | None = None
+    pages_text: DataFrame,
+    phrases: DataFrame,
+    batch_hint: int | None = None,
+    kernel: str = "auto",
 ) -> DataFrame:
-    """Broadcast-trie scan inside mapInArrow (the trie is built once per
-    executor from a broadcast variable, not per batch). Arrow batches are
-    consumed/produced directly — the pandas conversion of a binary/string
-    column costs ~2x the whole scan kernel (measured), so mapInPandas is
-    the wrong shape here."""
+    """Broadcast-vocabulary scan inside mapInArrow (the matcher structure
+    is built once per executor from a broadcast variable, not per batch).
+    Arrow batches are consumed/produced directly — the pandas conversion
+    of a binary/string column costs ~2x the whole scan kernel (measured),
+    so mapInPandas is the wrong shape here. ``kernel`` picks the matcher
+    (see :func:`make_token_scanner`); all kernels are equivalence-tested
+    against the token-trie walker."""
     spark = pages_text.sparkSession
     rows = [(r["uri"], r["phrase"]) for r in phrases.select("uri", "phrase").collect()]
-    trie_bc = spark.sparkContext.broadcast(_build_trie(rows))
+    scan_toks = make_token_scanner(spark, rows, kernel)
 
     def scan(batches):
-        trie = trie_bc.value
         for b in batches:
             urls, uris, surfaces, counts = [], [], [], []
             for url, text in zip(
                 b.column("url").to_pylist(), b.column("text").to_pylist()
             ):
-                for (uri, phrase), c in scan_text_py(trie, text).items():
+                for (uri, phrase), c in scan_toks(normalize_py(text).split()).items():
                     urls.append(url)
                     uris.append(uri)
                     surfaces.append(phrase)
@@ -170,30 +283,30 @@ def mentions_via_trie(
 
 
 def mentions_from_html(
-    pages: DataFrame, phrases: DataFrame, lang: str | None = "en"
+    pages: DataFrame,
+    phrases: DataFrame,
+    lang: str | None = "en",
+    kernel: str = "auto",
 ) -> DataFrame:
-    """Fused S1+S3: HTML extraction + trie scan in ONE Arrow pass per batch
-    (url, html) -> (url, uri, surface, n_hits). Halves the JVM<->Python
-    crossings vs extract-then-scan, and tokenizes with the fused
-    single-findall kernel (textnorm.tokens_from_html_py); the production
-    shape for the 100 TB pages scan — each page crosses into Python exactly
-    once."""
+    """Fused S1+S3: HTML extraction + vocabulary scan in ONE Arrow pass
+    per batch (url, html) -> (url, uri, surface, n_hits). Halves the
+    JVM<->Python crossings vs extract-then-scan, and tokenizes with the
+    fused single-findall kernel (textnorm.tokens_from_html_py); the
+    production shape for the 100 TB pages scan — each page crosses into
+    Python exactly once. ``kernel`` as in :func:`make_token_scanner`."""
     from ontology_mapping_spark.textnorm import tokens_from_html_py
 
     spark = pages.sparkSession
     rows = [(r["uri"], r["phrase"]) for r in phrases.select("uri", "phrase").collect()]
-    trie_bc = spark.sparkContext.broadcast(_build_trie(rows))
+    scan_toks = make_token_scanner(spark, rows, kernel)
 
     def scan(batches):
-        trie = trie_bc.value
         for b in batches:
             urls, uris, surfaces, counts = [], [], [], []
             for url, html in zip(
                 b.column("url").to_pylist(), b.column("html").to_pylist()
             ):
-                for (uri, phrase), c in scan_tokens_py(
-                    trie, tokens_from_html_py(html)
-                ).items():
+                for (uri, phrase), c in scan_toks(tokens_from_html_py(html)).items():
                     urls.append(url)
                     uris.append(uri)
                     surfaces.append(phrase)

@@ -3,9 +3,10 @@
 The north rule requires batch stages "resumable from checkpoint at each
 stage boundary" with "per-partition lineage manifests and metrics". Each
 stage is a pure ``() -> DataFrame`` builder; ``StageRunner.materialize``
-writes the result to ``<workdir>/<name>`` (parquet locally; the writer is
-format-agnostic — on a cluster with an Iceberg catalog the same callsite
-becomes ``writeTo(...)``), plus ``<workdir>/<name>.manifest.json`` holding:
+writes the result to ``<workdir>/<name>`` (parquet locally; passing
+``catalog=`` to the runner switches the SAME callsite to Iceberg
+``writeTo(catalog.name).using("iceberg").createOrReplace()`` — the
+BASELINE's storage layer — with reads via ``spark.read.table``), plus ``<workdir>/<name>.manifest.json`` holding:
 
 * config hash (any knob change invalidates downstream reuse),
 * build id — sha256 chained over (config hash, stage name, input stages'
@@ -46,9 +47,24 @@ def config_hash(cfg: PipelineConfig) -> str:
 
 
 class StageRunner:
-    def __init__(self, spark: SparkSession, workdir: str, cfg: PipelineConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        cfg: PipelineConfig,
+        catalog: str | None = None,
+        table_format: str = "iceberg",
+    ):
+        """``catalog``: optional "<catalog>.<namespace>" prefix. When set,
+        stages land as ``catalog.namespace.stage_name`` tables through the
+        DataFrameWriterV2 (Iceberg in production; ``table_format`` lets
+        tests/other catalogs swap the provider). Manifests stay on the
+        local workdir either way — they carry the build-id chain, which is
+        the runner's own lineage, not the table format's."""
         self.spark = spark
         self.workdir = workdir
+        self.catalog = catalog
+        self.table_format = table_format
         self.cfg = cfg
         self.cfg_hash = config_hash(cfg)
         self.events: list[tuple[str, str]] = []  # (stage, built|skipped)
@@ -63,6 +79,19 @@ class StageRunner:
             os.path.join(self.workdir, name),
             os.path.join(self.workdir, f"{name}.manifest.json"),
         )
+
+    def _table_ident(self, name: str) -> str:
+        return f"{self.catalog}.{name}"
+
+    def _output_exists(self, name: str, path: str) -> bool:
+        if self.catalog:
+            return self.spark.catalog.tableExists(self._table_ident(name))
+        return os.path.exists(path)
+
+    def _read_output(self, name: str, path: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.read.table(self._table_ident(name))
+        return self.spark.read.parquet(path)
 
     def _expected_build_id(self, name: str, inputs: list[str]) -> str:
         # external inputs (no materialized stage) contribute their name
@@ -82,7 +111,7 @@ class StageRunner:
     ) -> DataFrame:
         path, mpath = self._paths(name)
         expected = self._expected_build_id(name, inputs or [])
-        if os.path.exists(mpath) and os.path.exists(path):
+        if os.path.exists(mpath) and self._output_exists(name, path):
             with open(mpath) as f:
                 manifest = json.load(f)
             # build_id covers config + the exact upstream build chain;
@@ -90,26 +119,40 @@ class StageRunner:
             if manifest.get("build_id") == expected:
                 self._build_ids[name] = expected
                 self.events.append((name, "skipped"))
-                return self.spark.read.parquet(path)
+                return self._read_output(name, path)
         df = build()
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
-        written = self.spark.read.parquet(path)
-        per_file = {
-            r["f"]: r["n"]
-            for r in written.groupBy(
-                F.input_file_name().alias("f")
-            ).agg(F.count("*").alias("n")).collect()
-        }
+        if self.catalog:
+            writer = df.writeTo(self._table_ident(name)).using(self.table_format)
+            if partition_by:
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            writer.createOrReplace()
+        else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
+        written = self._read_output(name, path)
+        if self.catalog:
+            # Iceberg keeps per-file metrics in its own manifests; the
+            # runner records only the row count (input_file_name() is not
+            # defined for catalog tables on all providers)
+            rows = written.count()
+            per_file = {}
+        else:
+            per_file = {
+                r["f"]: r["n"]
+                for r in written.groupBy(
+                    F.input_file_name().alias("f")
+                ).agg(F.count("*").alias("n")).collect()
+            }
+            rows = int(sum(per_file.values()))
         manifest = {
             "stage": name,
             "config_hash": self.cfg_hash,
             "build_id": expected,
             "inputs": inputs or [],
-            "rows": int(sum(per_file.values())),
-            "columns": written.columns,
+            "rows": int(rows),
+            "columns": list(written.columns),
             "partition_metrics": {
                 os.path.basename(k): int(v) for k, v in per_file.items()
             },

@@ -82,3 +82,80 @@ def test_extraction_matches_stored_text(spark, fx_dfs):
     cmp = pages.select("url", F.col("text").alias("want")).join(ext, "url")
     bad = cmp.filter(F.col("text") != F.col("want")).count()
     assert bad == 0
+
+
+# ---- kernel equivalence: blocked / automaton vs the trie walker ----------
+
+def test_blocked_kernel_equals_trie_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ontology_mapping_spark.operators.mentions import (
+        _build_blocked_index,
+        _build_trie,
+        scan_tokens_blocked_py,
+        scan_tokens_py,
+    )
+
+    tok = st.sampled_from(["a", "b", "ab", "c", "x1"])
+    phrase = st.lists(tok, min_size=1, max_size=3).map(" ".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        toks=st.lists(tok, min_size=0, max_size=12),
+        phrases=st.lists(phrase, min_size=0, max_size=6),
+    )
+    def check(toks, phrases):
+        rows = [(f"u{i}", p) for i, p in enumerate(phrases)]
+        want = scan_tokens_py(_build_trie(rows), toks)
+        got = scan_tokens_blocked_py(_build_blocked_index(rows), toks)
+        assert got == want
+
+    check()
+
+
+def test_blocked_kernel_overlap_boundary():
+    # "a b" in "a b a b": start positions 0 and 2 share the middle space —
+    # str.count would see 1; the find-step-by-one loop must see 2
+    from ontology_mapping_spark.operators.mentions import (
+        _build_blocked_index,
+        scan_tokens_blocked_py,
+    )
+
+    idx = _build_blocked_index([("u", "a b")])
+    assert scan_tokens_blocked_py(idx, ["a", "b", "a", "b"]) == {("u", "a b"): 2}
+
+
+def test_trie_kernel_via_dataframe(spark, fx, fx_dfs):
+    # kernel='trie' and kernel='blocked' produce identical DataFrames
+    labels_df = extract_labels(fx_dfs["triples"])
+    phrases = label_phrases(labels_df).cache()
+    pages_txt = extracted_pages(fx_dfs["pages"]).cache()
+    a = {
+        (r["url"], r["uri"], r["surface"]): r["n_hits"]
+        for r in mentions_via_trie(pages_txt, phrases, kernel="trie").collect()
+    }
+    b = {
+        (r["url"], r["uri"], r["surface"]): r["n_hits"]
+        for r in mentions_via_trie(pages_txt, phrases, kernel="blocked").collect()
+    }
+    assert a == b and a
+
+
+def test_automaton_kernel_equivalence():
+    # exercised only where pyahocorasick ships; skips cleanly here
+    import pytest
+
+    ahocorasick = pytest.importorskip("ahocorasick")  # noqa: F841
+    from ontology_mapping_spark.operators.mentions import (
+        _build_automaton,
+        _build_trie,
+        scan_tokens_automaton_py,
+        scan_tokens_py,
+    )
+
+    rows = [("u1", "a b"), ("u2", "a b"), ("u3", "b"), ("u4", "a b c")]
+    toks = ["a", "b", "a", "b", "c", "b"]
+    want = scan_tokens_py(_build_trie(rows), toks)
+    got = scan_tokens_automaton_py(_build_automaton(rows), toks)
+    assert got == want

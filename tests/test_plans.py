@@ -102,3 +102,50 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path_factory):
         assert "Exchange" in plan_str(plain, "extended")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_stage_runner_catalog_writer_shape(tmp_path):
+    """catalog= flips the writer to DataFrameWriterV2 (Iceberg on a real
+    cluster): assert the exact call chain with mocks — no Iceberg jars
+    ship in this sandbox, so the shape IS the contract."""
+    from unittest.mock import MagicMock
+
+    from ontology_mapping_spark.config import PipelineConfig
+    from ontology_mapping_spark.plans.stages import StageRunner
+
+    df = MagicMock(name="df")
+    writer = df.writeTo.return_value
+    used = writer.using.return_value
+    parted = used.partitionedBy.return_value
+    written = MagicMock(name="written")
+    written.count.return_value = 7
+    written.columns = ["a", "b"]
+
+    spark = MagicMock(name="spark")
+    spark.catalog.tableExists.return_value = False
+    spark.read.table.return_value = written
+
+    runner = StageRunner(
+        spark, str(tmp_path), PipelineConfig(), catalog="ice.kg"
+    )
+    out = runner.materialize("labels", lambda: df, partition_by=["side"])
+
+    df.writeTo.assert_called_once_with("ice.kg.labels")
+    writer.using.assert_called_once_with("iceberg")
+    assert used.partitionedBy.call_count == 1
+    parted.createOrReplace.assert_called_once_with()
+    spark.read.table.assert_called_with("ice.kg.labels")
+    assert out is written
+    man = runner.manifest("labels")
+    assert man["rows"] == 7 and man["columns"] == ["a", "b"]
+
+    # second run with an existing table + manifest skips the build
+    spark.catalog.tableExists.return_value = True
+    built = []
+    runner2 = StageRunner(
+        spark, str(tmp_path), PipelineConfig(), catalog="ice.kg"
+    )
+    out2 = runner2.materialize("labels", lambda: built.append(1) or df,
+                               partition_by=["side"])
+    assert not built and out2 is written
+    assert runner2.events == [("labels", "skipped")]

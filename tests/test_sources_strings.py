@@ -45,3 +45,69 @@ def test_mint_uri_injective_encoding(spark):
     )
     out = [r["m"] for r in df.select(mint_uri("kg:", "a", "b").alias("m")).collect()]
     assert len(set(out)) == 5
+
+
+# ---- real-model embedding slot (functions/vectors.py) --------------------
+
+def test_model_embed_udf_loads_once_per_worker(spark):
+    from ontology_mapping_spark.functions.vectors import make_model_embed_udf
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "banana" if i % 2 else "kiwi") for i in range(40)], "id long, text string"
+    ).repartition(4)
+    udf = make_model_embed_udf("tests.fake_model:factory", dim=8)
+    rows = df.select("id", "text", udf(F.col("text")).alias("vec")).collect()
+    by_text = {r["text"]: list(r["vec"]) for r in rows}
+    assert by_text["banana"][:2] == [6.0, 3.0]
+    assert by_text["kiwi"][:2] == [4.0, 0.0]
+    assert all(len(r["vec"]) == 8 for r in rows)
+    # second query through the same workers: the worker-side cache serves
+    # the model (LOADS is per worker process; repeated queries must not
+    # multiply it). Probe the per-worker count from inside the workers.
+    df.select(udf(F.col("text")).alias("v")).collect()
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.IntegerType())
+    def loads_probe(x: pd.Series) -> pd.Series:
+        import tests.fake_model as fm
+
+        return pd.Series([fm.LOADS] * len(x))
+
+    loads = {r[0] for r in df.select(loads_probe(F.col("id"))).collect()}
+    # every worker that embedded loaded exactly once (0 allowed: a probe
+    # task can land on a fresh worker that never ran the embed UDF)
+    assert loads <= {0, 1}
+
+
+def test_model_embed_udf_dim_mismatch_raises(spark):
+    from ontology_mapping_spark.functions.vectors import make_model_embed_udf
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("x",)], "text string")
+    udf = make_model_embed_udf("tests.fake_model:factory", dim=5)
+    import pytest
+
+    with pytest.raises(Exception, match="dim"):
+        df.select(udf(F.col("text"))).collect()
+
+
+def test_model_embed_udf_spacy_when_present(spark):
+    """Runs the reference's actual spaCy path when the model ships;
+    skips cleanly in this container (no spacy)."""
+    import pytest
+
+    spacy = pytest.importorskip("spacy")
+    try:
+        spacy.load("en_core_web_md")
+    except OSError:
+        pytest.skip("en_core_web_md not downloaded")
+    from ontology_mapping_spark.functions.vectors import make_model_embed_udf
+    from pyspark.sql import functions as F
+
+    udf = make_model_embed_udf("spacy:en_core_web_md", dim=300)
+    df = spark.createDataFrame([("left lung",), ("kidney",)], "text string")
+    rows = df.select(udf(F.col("text")).alias("vec")).collect()
+    assert all(len(r["vec"]) == 300 for r in rows)
+    assert any(any(abs(x) > 0 for x in r["vec"]) for r in rows)
