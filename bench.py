@@ -272,6 +272,26 @@ def main() -> None:
             )
         except (ValueError, IndexError):
             pass
+    # skew evidence (north rule "skew-key salting on hot entities"):
+    # unsalted vs blanket-salted vs targeted hot-only salting under a
+    # planted hot token whose join OUTPUT dominates (invisible to AQE's
+    # input-bytes skew split). Subprocess so a failure can't eat the
+    # suite result above; skip with SPARK_GRAFT_SKIP_SKEW=1.
+    if os.environ.get("SPARK_GRAFT_SKIP_SKEW") != "1":
+        out3 = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(_REPO, "tools", "stress_skew.py"),
+            ],
+            env=dict(os.environ, SPARK_GRAFT_SKEW_REPS="1"),
+            capture_output=True,
+            text=True,
+        )
+        try:
+            skew = json.loads(out3.stdout.strip().splitlines()[-1])
+            out["skew"] = {k: v for k, v in skew.items() if k != "metric"}
+        except (ValueError, IndexError):
+            pass
     print(json.dumps(out))
 
 

@@ -189,3 +189,58 @@ def natural_word_order_py(s: str) -> str:
     parts = [p for p in re.split(r"\s?,\s?", s) if p != " "]
     parts.reverse()
     return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# NLTK seam: tokenize / stem / lemmatize (thesis/normalization.py:296-331)
+# ---------------------------------------------------------------------------
+
+def _nltk_kernels():
+    """Build the three NLTK callables the reference uses (TreebankWord-
+    Tokenizer / SnowballStemmer("english") / WordNetLemmatizer), loaded
+    once per process. Raises ImportError when nltk is absent — callers
+    choose the fallback."""
+    import nltk
+
+    tok = nltk.TreebankWordTokenizer()
+    stem = nltk.SnowballStemmer("english")
+    lem = nltk.WordNetLemmatizer()
+    return tok.tokenize, stem.stem, lem.lemmatize
+
+
+def make_nltk_udfs():
+    """(tokenize_udf, stem_udf, lemmatize_udf) — Arrow-batched pandas UDFs
+    over the reference's NLTK kernels, loaded once per Python worker via
+    the closure (same pattern as make_model_embed_udf). Raises ImportError
+    immediately when nltk is absent so pipelines fail at PLAN time, not in
+    an executor task; :func:`tokenize_py` is the contained fallback."""
+    import nltk  # noqa: F401 — eager check, driver-side
+
+    import pandas as pd
+    from pyspark.sql import functions as _F
+    from pyspark.sql import types as _T
+
+    _cache: dict[str, tuple] = {}
+
+    def _k():
+        if "k" not in _cache:
+            _cache["k"] = _nltk_kernels()
+        return _cache["k"]
+
+    def _tok(s: pd.Series) -> pd.Series:
+        tokenize, _, _ = _k()
+        return pd.Series([tokenize(x) if x is not None else None for x in s])
+
+    def _stem(s: pd.Series) -> pd.Series:
+        _, stem, _ = _k()
+        return pd.Series([stem(x) if x is not None else None for x in s])
+
+    def _lem(s: pd.Series) -> pd.Series:
+        _, _, lemmatize = _k()
+        return pd.Series([lemmatize(x) if x is not None else None for x in s])
+
+    return (
+        _F.pandas_udf(_tok, _T.ArrayType(_T.StringType())),
+        _F.pandas_udf(_stem, _T.StringType()),
+        _F.pandas_udf(_lem, _T.StringType()),
+    )

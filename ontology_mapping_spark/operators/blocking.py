@@ -56,6 +56,21 @@ def posting_lists(
     return tok
 
 
+def _pin(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition on join keys with a USER-PINNED partition count.
+
+    The inverted-index join's hazard is an OUTPUT explosion from a tiny
+    input: AQE's partition coalescing sizes the join stage from the
+    pre-join shuffle bytes (two small posting lists), merges it down to
+    1-2 tasks, and those tasks then emit the whole hot cross product
+    single-threaded — re-creating the very skew the salt removed
+    (measured 9x on tools/stress_skew.py). An explicit
+    repartition(numPartitions, keys) is marked user-specified, which AQE
+    never coalesces, so the reducer count survives to runtime."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def blocking_join(
     src_text: DataFrame, tgt_text: DataFrame, cfg: PipelineConfig | None = None
 ) -> DataFrame:
@@ -69,7 +84,11 @@ def blocking_join(
     t = posting_lists(tgt_text.select("uri", "text"), cfg.max_token_df).withColumnRenamed(
         "uri", "tgt"
     )
-    return s.join(t, "token").select("src", "tgt").distinct()
+    return (
+        _pin(s, "token").join(_pin(t, "token"), "token")
+        .select("src", "tgt")
+        .distinct()
+    )
 
 
 def salted_blocking_join(
@@ -81,12 +100,10 @@ def salted_blocking_join(
     "skew-key salting on hot entities"). Semantics identical to
     :func:`blocking_join`.
 
-    ⚠ AQE interaction: partition coalescing sizes reducers from the
-    pre-join shuffle bytes; when the hazard is the join's *output* (a hot
-    key's cross product), AQE may merge the salted partitions back
-    together. Disable ``spark.sql.adaptive.coalescePartitions.enabled``
-    for this stage (or set ``minPartitionSize``) when salting against an
-    output explosion — see BENCH.md "Skew-key salting"."""
+    AQE interaction: partition coalescing would size the join stage from
+    the tiny pre-join posting bytes and merge the salted partitions back
+    together (the output explosion is invisible to it) — the join inputs
+    are therefore pinned via :func:`_pin`, which AQE never coalesces."""
     cfg = cfg or PipelineConfig()
     S = cfg.salt_buckets
     s = (
@@ -100,8 +117,75 @@ def salted_blocking_join(
         .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1))))
     )
     return (
-        s.join(t, ["token", "salt"]).select("src", "tgt").distinct()
+        _pin(s, "token", "salt")
+        .join(_pin(t, "token", "salt"), ["token", "salt"])
+        .select("src", "tgt")
+        .distinct()
     )
+
+
+def hot_salted_blocking_join(
+    src_text: DataFrame,
+    tgt_text: DataFrame,
+    cfg: PipelineConfig | None = None,
+    hot_pairs_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Targeted skew salting: salt ONLY the tokens whose join fan-out
+    (df_src x df_tgt) exceeds ``hot_pairs_threshold``; everything else
+    takes the plain equi-join. Semantics identical to
+    :func:`blocking_join`.
+
+    Why this beats :func:`salted_blocking_join` at scale: blanket salting
+    replicates EVERY target posting S-fold (S x shuffle volume on the
+    whole corpus to fix a handful of keys), and the replication cost was
+    measured to exceed the skew it cures on a 200k x 50k corpus with one
+    hot entity (tools/stress_skew.py). Here the hot set is detected with
+    two map-side-combined per-token counts (same shuffle key the join
+    needs anyway), is tiny by construction (each hot token must fan out
+    >= threshold pairs), and rides a broadcast — so the cold 99.99% of
+    postings move exactly once, and only hot target postings replicate.
+
+    AQE's skew-join can NOT fix this class of skew: it splits by shuffle
+    partition input bytes, and a hot token's input (two posting lists) is
+    small — the explosion is the join OUTPUT. Salting by source-uri hash
+    splits the output itself."""
+    cfg = cfg or PipelineConfig()
+    S = cfg.salt_buckets
+    s = posting_lists(src_text.select("uri", "text"), cfg.max_token_df).withColumnRenamed(
+        "uri", "src"
+    )
+    t = posting_lists(tgt_text.select("uri", "text"), cfg.max_token_df).withColumnRenamed(
+        "uri", "tgt"
+    )
+    # four consumers (two anti-joins + two hot joins) — materialize the
+    # detection aggregate ONCE or each reference re-runs both per-token
+    # counts (measured 4x slowdown without this); localCheckpoint blocks
+    # are freed when the frame is GC'd
+    hot = (
+        s.groupBy("token")
+        .agg(F.count("*").alias("df_s"))
+        .join(t.groupBy("token").agg(F.count("*").alias("df_t")), "token")
+        .filter(F.col("df_s") * F.col("df_t") >= hot_pairs_threshold)
+        .select("token")
+        .localCheckpoint(eager=True)
+    )
+    cold = (
+        _pin(s.join(F.broadcast(hot), "token", "left_anti"), "token")
+        .join(_pin(t.join(F.broadcast(hot), "token", "left_anti"), "token"), "token")
+        .select("src", "tgt")
+    )
+    s_hot = s.join(F.broadcast(hot), "token").withColumn(
+        "salt", F.pmod(F.xxhash64("src"), F.lit(S)).cast("int")
+    )
+    t_hot = t.join(F.broadcast(hot), "token").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+    )
+    hot_pairs = (
+        _pin(s_hot, "token", "salt")
+        .join(_pin(t_hot, "token", "salt"), ["token", "salt"])
+        .select("src", "tgt")
+    )
+    return cold.unionByName(hot_pairs).distinct()
 
 
 def scored_pairs(

@@ -164,6 +164,34 @@ def q_blocking_token_join(spark, sf):
 
 
 @query(
+    "blocking_token_join_salted",
+    f"""WITH s AS (SELECT p_partkey AS src, unnest(string_split({_NORM_DOC}, ' ')) AS token
+                   FROM part WHERE p_partkey % 2 = 0),
+            t AS (SELECT p_partkey AS tgt, unnest(string_split({_NORM_DOC}, ' ')) AS token
+                   FROM part WHERE p_partkey % 2 = 1)
+       SELECT DISTINCT s.src, t.tgt FROM s JOIN t USING (token)""",
+)
+def q_blocking_token_join_salted(spark, sf):
+    """Targeted skew-salted form of the blocking join (north rule:
+    "skew-key salting on hot entities"): tokens whose df_src x df_tgt
+    fan-out exceeds the threshold get an S-way source-hash salt (the
+    explode replicates only THEIR target postings), the cold majority
+    joins plain. Same oracle as blocking_token_join — salting must be
+    invisible in the result."""
+    from ontology_mapping_spark.operators.blocking import hot_salted_blocking_join
+    from ontology_mapping_spark.config import PipelineConfig
+
+    part = _t(spark, sf, "part").select(
+        F.col("p_partkey").alias("uri"), normalize_col("p_name").alias("text")
+    )
+    src = part.filter(F.col("uri") % 2 == 0)
+    tgt = part.filter(F.col("uri") % 2 == 1)
+    cfg = PipelineConfig(max_token_df=None, salt_buckets=8)
+    # low threshold so real tokens actually take the salted path at sf0.01
+    return hot_salted_blocking_join(src, tgt, cfg, hot_pairs_threshold=2000)
+
+
+@query(
     "sibling_2hop_join",
     f"""WITH e AS ({_EDGES_SQL})
        SELECT e1.child AS a, e2.child AS b

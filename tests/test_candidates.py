@@ -96,3 +96,38 @@ def test_cap_negatives_deterministic(spark):
     assert s1 == s2
     assert sum(1 for x in s1 if x[2] == 1) == 4
     assert sum(1 for x in s1 if x[2] == 0) == 8  # 2 × positives
+
+
+def test_hot_salted_blocking_join_equivalent(spark):
+    from pyspark.sql import functions as F
+
+    from ontology_mapping_spark.config import PipelineConfig
+    from ontology_mapping_spark.operators.blocking import (
+        blocking_join,
+        hot_salted_blocking_join,
+        salted_blocking_join,
+    )
+
+    src = spark.range(300).select(
+        F.concat(F.lit("s"), F.col("id")).alias("uri"),
+        F.when(F.col("id") % 3 == 0, F.concat(F.lit("hot x"), F.col("id")))
+        .otherwise(F.concat(F.lit("u"), F.col("id") % 40, F.lit(" x"), F.col("id")))
+        .alias("text"),
+    )
+    tgt = spark.range(200).select(
+        F.concat(F.lit("t"), F.col("id")).alias("uri"),
+        F.when(F.col("id") % 2 == 0, F.concat(F.lit("hot y"), F.col("id")))
+        .otherwise(F.concat(F.lit("u"), F.col("id") % 40, F.lit(" y"), F.col("id")))
+        .alias("text"),
+    )
+    cfg = PipelineConfig(max_token_df=None, salt_buckets=4)
+    plain = {(r["src"], r["tgt"]) for r in blocking_join(src, tgt, cfg).collect()}
+    # threshold 100: 'hot' (100x100 fan-out = 10000) salts, 'u*' tokens don't
+    hot_salted = {
+        (r["src"], r["tgt"])
+        for r in hot_salted_blocking_join(src, tgt, cfg, hot_pairs_threshold=100).collect()
+    }
+    blanket = {
+        (r["src"], r["tgt"]) for r in salted_blocking_join(src, tgt, cfg).collect()
+    }
+    assert hot_salted == plain == blanket and plain

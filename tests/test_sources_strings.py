@@ -111,3 +111,42 @@ def test_model_embed_udf_spacy_when_present(spark):
     rows = df.select(udf(F.col("text")).alias("vec")).collect()
     assert all(len(r["vec"]) == 300 for r in rows)
     assert any(any(abs(x) > 0 for x in r["vec"]) for r in rows)
+
+
+def test_nltk_seam_raises_cleanly_without_nltk():
+    # nltk is absent in this container: the seam must fail at plan time
+    # with ImportError (not inside an executor task), and the fallback
+    # tokenizer stays available
+    import pytest
+
+    from ontology_mapping_spark.functions.strings import make_nltk_udfs, tokenize_py
+
+    try:
+        import nltk  # noqa: F401
+
+        pytest.skip("nltk present; covered by test_nltk_seam_when_present")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError):
+        make_nltk_udfs()
+    assert tokenize_py("Left-lung, base") == ["left", "-", "lung", ",", "base"]
+
+
+def test_nltk_seam_when_present(spark):
+    """Exercises the real NLTK kernels through Spark when the lib ships;
+    skips cleanly here."""
+    import pytest
+
+    pytest.importorskip("nltk")
+    from pyspark.sql import functions as F
+
+    from ontology_mapping_spark.functions.strings import make_nltk_udfs
+
+    tok_udf, stem_udf, lem_udf = make_nltk_udfs()
+    df = spark.createDataFrame([("running shoes",)], "text string")
+    row = df.select(
+        tok_udf(F.col("text")).alias("toks"),
+        stem_udf(F.col("text")).alias("stem"),
+    ).collect()[0]
+    assert row["toks"] == ["running", "shoes"]
+    assert row["stem"].startswith("run")

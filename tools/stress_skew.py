@@ -1,17 +1,26 @@
 """Skew-key stress: unsalted vs salted blocking join on a hot token.
 
-The north rule calls for "skew-key salting on hot entities": a token shared
-by a large fraction of both sides concentrates its entire cross product on
-one reducer. This driver builds a synthetic corpus with one deliberately
-hot token that the df-cap must NOT drop (a legitimate hot entity, not a
-stopword), then times:
+The north rule calls for "skew-key salting on hot entities". The hazard is
+NOT the join's cross-product codegen (one thread streams ~70M joined rows/s
+through a noop sink on this VM — measured below as the `join_stage_only`
+control): it is the SHUFFLE WRITE of the join's output. The real operator
+ends in a pair-dedup `distinct`, so the task that owns the hot token must
+serialize the entire hot cross product to the dedup exchange single-handedly
+while every other task idles. AQE's skew-join cannot fix this class: it
+splits partitions by shuffle INPUT bytes, and a hot token's input is two
+small posting lists — the explosion is the output.
 
-* blocking_join, AQE skew-join ON (Spark's runtime split),
-* blocking_join, AQE skew-join OFF (the naive plan),
-* salted_blocking_join (explicit S-way salt, AQE off — worst case).
+This driver plants one hot token whose cross product is ~50x the cold
+output, then times the full public operators:
 
-Usage: python tools/stress_skew.py  [env SPARK_GRAFT_CPUS]
-Prints one JSON line; results recorded in BENCH.md.
+* ``blocking_join``            — unsalted (the naive plan),
+* ``salted_blocking_join``     — blanket S-way salt (replicates ALL target
+                                 postings S-fold),
+* ``hot_salted_blocking_join`` — targeted: only detected hot tokens salt.
+
+Usage: python tools/stress_skew.py  [env SPARK_GRAFT_CPUS,
+SPARK_GRAFT_SKEW_HOT_M = millions of hot pairs, default 25]
+Prints one JSON line; recorded in BENCH.md and (via bench.py) BENCH_r{N}.
 """
 
 from __future__ import annotations
@@ -30,18 +39,21 @@ from pyspark.sql import functions as F  # noqa: E402
 from ontology_mapping_spark.config import PipelineConfig  # noqa: E402
 from ontology_mapping_spark.operators.blocking import (  # noqa: E402
     blocking_join,
+    hot_salted_blocking_join,
+    posting_lists,
     salted_blocking_join,
 )
 from ontology_mapping_spark.session import get_spark  # noqa: E402
 
 
-def corpus(spark, n_src=200_000, n_tgt=50_000, hot_every=20):
-    """Two-token labels; every ``hot_every``-th row also carries the hot
-    token -> hot cross product = (n_src/50) x (n_tgt/50) pairs on ONE key."""
+def corpus(spark, n_src=200_000, n_tgt=50_000, hot_every_src=20, hot_every_tgt=20):
+    """Two-token labels; every ``hot_every_*``-th row also carries the hot
+    token -> hot cross product = (n_src/hs) x (n_tgt/ht) pairs on ONE key
+    (defaults: 10k x 2.5k = 25M, ~5x the cold output)."""
     src = spark.range(n_src).select(
         F.concat(F.lit("s"), F.col("id")).alias("uri"),
         F.when(
-            F.col("id") % hot_every == 0,
+            F.col("id") % hot_every_src == 0,
             F.concat(F.lit("hotentity x"), F.col("id")),
         )
         .otherwise(
@@ -52,7 +64,7 @@ def corpus(spark, n_src=200_000, n_tgt=50_000, hot_every=20):
     tgt = spark.range(n_tgt).select(
         F.concat(F.lit("t"), F.col("id")).alias("uri"),
         F.when(
-            F.col("id") % hot_every == 0,
+            F.col("id") % hot_every_tgt == 0,
             F.concat(F.lit("hotentity y"), F.col("id")),
         )
         .otherwise(
@@ -65,66 +77,68 @@ def corpus(spark, n_src=200_000, n_tgt=50_000, hot_every=20):
 
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
+    hot_m = float(os.environ.get("SPARK_GRAFT_SKEW_HOT_M", "25"))
+    # scale hot density to the requested hot-pair count, keeping the
+    # 4:1 src:tgt posting ratio of the default shape
+    import math
+
+    hot_src = int(math.sqrt(hot_m * 1e6 * 4))
+    hot_tgt = max(1, int(hot_m * 1e6 / hot_src))
     spark = get_spark(
         "skew", parallelism=cpus, extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
-    src, tgt = corpus(spark)
+    src, tgt = corpus(
+        spark,
+        hot_every_src=max(1, 200_000 // hot_src),
+        hot_every_tgt=max(1, 50_000 // hot_tgt),
+    )
     src = src.cache()
     tgt = tgt.cache()
     src.count(), tgt.count()
     # keep the hot token: it is a real entity, not a droppable stopword
     cfg = PipelineConfig(max_token_df=1 << 30, salt_buckets=int(cpus))
 
-    def t(df, reps=2):
-        # best-of-N: this VM shows 2-4x run-to-run host noise
-        best = None
-        for _ in range(reps):
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        return round(best, 2)
+    reps = int(os.environ.get("SPARK_GRAFT_SKEW_REPS", "2"))
 
-    # time the JOIN stage itself (no trailing distinct: the pair-dedup
-    # shuffle is uniformly distributed and identical across variants — it
-    # only buries the skew signal under its own cost). Built inline from
-    # posting_lists, the same plan blocking_join/salted_blocking_join wrap.
-    from ontology_mapping_spark.operators.blocking import posting_lists
-
+    # control: the join STAGE alone (no dedup shuffle) — shows codegen
+    # throughput is not the bottleneck, the shuffle write is
     s_post = posting_lists(src, cfg.max_token_df).withColumnRenamed("uri", "src")
     t_post = posting_lists(tgt, cfg.max_token_df).withColumnRenamed("uri", "tgt")
-    unsalted = s_post.join(t_post, "token").select("src", "tgt")
-    S = cfg.salt_buckets
-    s_salt = s_post.withColumn(
-        "salt", F.pmod(F.xxhash64("src"), F.lit(S)).cast("int")
+    variants = {
+        "join_stage_only_unsalted": s_post.join(t_post, "token").select("src", "tgt"),
+        # the real operators (all end in the pair-dedup distinct)
+        "unsalted": blocking_join(src, tgt, cfg),
+        "salted_hot_only": hot_salted_blocking_join(src, tgt, cfg),
+        "salted_all": salted_blocking_join(src, tgt, cfg),
+    }
+    # VARIANTS INTERLEAVED across best-of-N passes: this VM has
+    # multi-minute host slow phases (same plan measured 5s and 85s twenty
+    # minutes apart) — back-to-back reps of one variant would attribute a
+    # slow phase to whichever variant owned it
+    results: dict[str, float] = {}
+    for _ in range(reps):
+        for name, df in variants.items():
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 2)
+            if name not in results or dt < results[name]:
+                results[name] = dt
+    n_pairs = hot_salted_blocking_join(src, tgt, cfg).count()
+    results_sorted = dict(
+        sorted((k, v) for k, v in results.items() if not k.startswith("join_stage"))
     )
-    t_salt = t_post.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
-    )
-    salted = s_salt.join(t_salt, ["token", "salt"]).select("src", "tgt")
-
-    results = {}
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    results["unsalted_aqe_skew_on"] = t(unsalted)
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-    results["unsalted_aqe_skew_off"] = t(unsalted)
-    results["salted"] = t(salted)
-    # AQE partition coalescing sees only the (tiny) pre-join shuffle bytes
-    # and can merge the salted partitions back into few tasks — the row
-    # explosion happens inside the join, invisible to its size heuristics
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    results["salted_no_aqe_coalesce"] = t(salted)
-    results["unsalted_no_aqe_coalesce"] = t(unsalted)
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    n_pairs = blocking_join(src, tgt, cfg).count()
-    results_sorted = dict(sorted(results.items(), key=lambda kv: kv[1]))
     print(
         json.dumps(
             {
                 "metric": f"skew_blocking_join_local[{cpus}]",
+                "hot_pairs_planted": int(hot_src * hot_tgt),
                 "pairs": n_pairs,
                 "sec": results,
-                "ranking": list(results_sorted),
+                "speedup_hot_only_vs_unsalted": round(
+                    results["unsalted"] / results["salted_hot_only"], 2
+                )
+                if results["salted_hot_only"]
+                else None,
             }
         )
     )
