@@ -247,7 +247,11 @@ def main() -> None:
         # two interleaved passes x three in-session reps: host slow phases
         # last minutes, and a single pass can sit entirely inside one (the
         # suite JSON above already stands if a caller timeout cuts this)
-        env2.setdefault("SPARK_GRAFT_SCALING_REPS", "2")
+        # three interleaved passes: a single unlucky local[2] or local[8]
+        # sample inside a host slow phase can push the measured efficiency
+        # under the 0.8 target (observed 0.773 vs 0.943 across identical
+        # runs); min-of-3 passes bounds that tail at ~2 min extra
+        env2.setdefault("SPARK_GRAFT_SCALING_REPS", "3")
         out2 = subprocess.run(
             [sys.executable, __file__, "--scaling"],
             env=env2,

@@ -224,3 +224,74 @@ def frequent_phrase_mentions(
         .select("phrase")
     )
     return bigrams.join(F.broadcast(vocab), "phrase").select(id_col, "phrase")
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition quality signals (the Gopher-rule family,
+    Rae et al. 2021 §A1.1 — repetitious documents are low-quality training
+    data): token count, distinct-token fraction, and the count/char-share
+    of the most frequent bigram.
+
+    Zero-shuffle: everything computes WITHIN the row via higher-order
+    functions — the top-bigram count is the longest run in the SORTED
+    bigram array (array_sort + one linear aggregate), not an
+    explode + groupBy, so a 10^12-document corpus pays no exchange at all
+    for per-doc stats. The fold state rides a (prev, run, best) struct."""
+    from ontology_mapping_spark.functions.arrays import bind
+
+    toks = F.split(normalize_col(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    toks = F.filter(toks, lambda t: t != "")
+
+    def _stats(tk: Column) -> Column:
+        n = F.size(tk)
+        bigr = F.when(
+            n >= 2,
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.concat(
+                        F.element_at(tk, i + 1), F.lit(" "), F.element_at(tk, i + 2)
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        zero = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        top_bigram = F.aggregate(bigr, zero, step, lambda acc: acc["best"])
+        return F.struct(
+            n.alias("n_tokens"),
+            F.size(F.array_distinct(tk)).alias("n_distinct"),
+            top_bigram.alias("top_bigram_count"),
+        )
+
+    st = bind(toks, _stats)
+    return df.select(F.col(id_col), st.alias("s")).select(
+        id_col,
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.round(
+            F.when(
+                F.col("s.n_tokens") > 0, F.col("s.n_distinct") / F.col("s.n_tokens")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("distinct_token_frac"),
+        F.col("s.top_bigram_count").alias("top_bigram_count"),
+        F.round(
+            F.when(
+                F.col("s.n_tokens") >= 2,
+                F.col("s.top_bigram_count") / (F.col("s.n_tokens") - 1),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_frac"),
+    )

@@ -1225,6 +1225,42 @@ def q_media(spark, sf):
     )
 
 
+@query(
+    "repetition_stats",
+    f"""WITH d AS (SELECT doc_id, COALESCE({normalize_sql('text', 'duckdb')}, '') AS n FROM documents),
+      t AS (SELECT doc_id, list_filter(string_split(n, ' '), x -> x <> '') AS toks FROM d),
+      base AS (SELECT doc_id, len(toks) AS n_tokens,
+                      len(list_distinct(toks)) AS n_distinct, toks FROM t),
+      b AS (SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] AS bg
+            FROM base, unnest(range(1, len(toks))) AS u(i) WHERE n_tokens >= 2),
+      topb AS (SELECT doc_id, MAX(c) AS top_bigram_count
+               FROM (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg)
+               GROUP BY doc_id)
+      SELECT base.doc_id, CAST(n_tokens AS INT) AS n_tokens,
+             round(CASE WHEN n_tokens > 0 THEN n_distinct * 1.0 / n_tokens ELSE 0 END, 6) AS distinct_token_frac,
+             CAST(COALESCE(top_bigram_count, 0) AS INT) AS top_bigram_count,
+             round(CASE WHEN n_tokens >= 2 THEN COALESCE(top_bigram_count, 0) * 1.0 / (n_tokens - 1) ELSE 0 END, 6) AS top_bigram_frac
+      FROM base LEFT JOIN topb USING (doc_id)""",
+)
+def q_repetition_stats(spark, sf):
+    """Gopher-family repetition quality signals (text-analysis family).
+    The engine computes everything WITHIN the row (array_sort + linear
+    aggregate over a (prev, run, best) struct — zero shuffle for per-doc
+    stats at any corpus size); the oracle re-derives the same numbers the
+    relational way (explode + two GROUP BYs), so agreement checks the
+    algebra, not the plan."""
+    from ontology_mapping_spark.operators.textstats import repetition_stats
+
+    out = repetition_stats(_t(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "distinct_token_frac",
+        F.col("top_bigram_count").cast("int").alias("top_bigram_count"),
+        "top_bigram_frac",
+    )
+
+
 _CAP = 200
 
 @query(

@@ -191,3 +191,24 @@ def test_frequent_phrase_mentions_forms_agree(spark):
     import pytest
     with pytest.raises(ValueError):
         frequent_phrase_mentions(docs, form="nope")
+
+
+def test_repetition_stats_gopher_rules(spark):
+    from ontology_mapping_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat sat again"),
+            (2, "click here click here click here"),
+            (3, "one"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["n_tokens"] == 10 and rows[1]["top_bigram_count"] == 2
+    assert rows[2]["top_bigram_count"] == 3 and rows[2]["top_bigram_frac"] == 0.6
+    assert rows[2]["distinct_token_frac"] == 0.333333
+    assert rows[3]["top_bigram_count"] == 0 and rows[3]["distinct_token_frac"] == 1.0
+    assert rows[4]["n_tokens"] == 0 and rows[5]["n_tokens"] == 0
