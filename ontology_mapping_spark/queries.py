@@ -1261,6 +1261,56 @@ def q_repetition_stats(spark, sf):
     )
 
 
+@query(
+    "mentions_join_scan",
+    f"""WITH ph AS (
+        SELECT CAST(doc_id AS VARCHAR) AS uri,
+               array_to_string(list_filter(string_split({normalize_sql('text', 'duckdb')}, ' '), x -> x <> '')[1:2], ' ') AS phrase
+        FROM documents WHERE doc_id % 20 = 0),
+      ph2 AS (SELECT uri, phrase, list_filter(string_split(phrase, ' '), x -> x <> '') AS pt
+              FROM ph WHERE phrase <> ''),
+      d AS (SELECT CAST(doc_id AS VARCHAR) AS url,
+                   list_filter(string_split({normalize_sql('text', 'duckdb')}, ' '), x -> x <> '') AS toks
+            FROM documents),
+      hits AS (
+        SELECT d.url, ph2.uri, ph2.phrase AS surface,
+               CASE WHEN len(toks) >= len(pt) THEN
+                 len(list_filter(range(1, len(toks) - len(pt) + 2),
+                     i -> toks[CAST(i AS INT):CAST(i + len(pt) - 1 AS INT)] = pt))
+               ELSE 0 END AS n_hits
+        FROM d CROSS JOIN ph2)
+      SELECT DISTINCT url, uri, surface, CAST(n_hits AS INT) AS n_hits
+      FROM hits WHERE n_hits > 0""",
+)
+def q_mentions_join_scan(spark, sf):
+    """The core declarative mention detector (mentions_via_join: first-token
+    blocking + JVM whole-phrase verify) driver-verified on the shared
+    tables: 2-token document prefixes act as the ontology labels, the
+    documents corpus as the pages. The oracle re-counts overlap-safe
+    start positions with list lambdas — same n_hits contract the trie and
+    streaming paths share (phrase_hit_count_expr)."""
+    from ontology_mapping_spark.operators.mentions import mentions_via_join
+
+    docs = _t(spark, sf, "documents")
+    toks = F.filter(F.split(normalize_col("text"), " "), lambda t: t != "")
+    # every 20th document's 2-token prefix acts as an ontology label —
+    # guaranteed to occur (at least in its own document), so the gate
+    # checks real hit counts, not an empty result
+    phrases = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            F.col("doc_id").cast("string").alias("uri"),
+            F.array_join(F.slice(toks, 1, 2), " ").alias("phrase"),
+        )
+        .filter(F.col("phrase") != "")
+    )
+    pages = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    out = mentions_via_join(pages, phrases)
+    return out.select("url", "uri", "surface", F.col("n_hits").cast("int").alias("n_hits"))
+
+
 _CAP = 200
 
 @query(
