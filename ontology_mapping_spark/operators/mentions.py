@@ -230,11 +230,6 @@ def scan_tokens_py(trie: dict, toks: list[str]) -> dict[tuple[str, str], int]:
     return out
 
 
-def scan_text_py(trie: dict, text: str) -> dict[tuple[str, str], int]:
-    """:func:`scan_tokens_py` over golden-normalized text."""
-    return scan_tokens_py(trie, normalize_py(text).split())
-
-
 def _emit_batch(urls: list, uris: list, surfaces: list, counts: list):
     import pyarrow as pa
 
