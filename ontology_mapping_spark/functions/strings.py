@@ -208,24 +208,29 @@ def _nltk_kernels():
     return tok.tokenize, stem.stem, lem.lemmatize
 
 
+# worker-side kernel cache: a closure-level dict would NOT survive task
+# deserialization (each task gets a fresh closure copy) — module state is
+# the once-per-worker-process scope, same pattern as vectors._MODEL_CACHE
+_NLTK_CACHE: dict[str, tuple] = {}
+
+
 def make_nltk_udfs():
     """(tokenize_udf, stem_udf, lemmatize_udf) — Arrow-batched pandas UDFs
     over the reference's NLTK kernels, loaded once per Python worker via
-    the closure (same pattern as make_model_embed_udf). Raises ImportError
-    immediately when nltk is absent so pipelines fail at PLAN time, not in
-    an executor task; :func:`tokenize_py` is the contained fallback."""
+    the module-level cache (same pattern as make_model_embed_udf). Raises
+    ImportError immediately when nltk is absent so pipelines fail at PLAN
+    time, not in an executor task; :func:`tokenize_py` is the contained
+    fallback."""
     import nltk  # noqa: F401 — eager check, driver-side
 
     import pandas as pd
     from pyspark.sql import functions as _F
     from pyspark.sql import types as _T
 
-    _cache: dict[str, tuple] = {}
-
     def _k():
-        if "k" not in _cache:
-            _cache["k"] = _nltk_kernels()
-        return _cache["k"]
+        if "k" not in _NLTK_CACHE:
+            _NLTK_CACHE["k"] = _nltk_kernels()
+        return _NLTK_CACHE["k"]
 
     def _tok(s: pd.Series) -> pd.Series:
         tokenize, _, _ = _k()

@@ -67,7 +67,11 @@ def _pin(df: DataFrame, *cols: str) -> DataFrame:
     (measured 9x on tools/stress_skew.py). An explicit
     repartition(numPartitions, keys) is marked user-specified, which AQE
     never coalesces, so the reducer count survives to runtime."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    try:
+        n = int(conf)
+    except (TypeError, ValueError):  # e.g. "auto" on managed platforms
+        n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *[F.col(c) for c in cols])
 
 

@@ -159,11 +159,13 @@ def _build_automaton(phrase_rows: list[tuple[str, str]]):
     """pyahocorasick automaton over space-padded phrases; word value is
     the LIST of (uri, phrase) keys sharing that surface (add_word
     overwrites duplicates, and distinct uris can share a phrase)."""
-    auto = _ahocorasick.Automaton()
     words: dict[str, list] = {}
     for uri, phrase in phrase_rows:
         if phrase.strip():
             words.setdefault(" " + phrase + " ", []).append((uri, phrase))
+    if not words:
+        return None  # iter() on a word-less automaton raises; scanner no-ops
+    auto = _ahocorasick.Automaton()
     for w, keys in words.items():
         auto.add_word(w, keys)
     auto.make_automaton()
@@ -174,7 +176,7 @@ def scan_tokens_automaton_py(auto, toks: list[str]) -> dict[tuple[str, str], int
     """Aho-Corasick kernel: one C pass over the padded text; ``iter``
     reports every (overlapping) occurrence of every padded phrase."""
     out: dict[tuple[str, str], int] = {}
-    if not toks:
+    if not toks or auto is None:
         return out
     for _end, keys in auto.iter(" " + " ".join(toks) + " "):
         for key in keys:

@@ -187,10 +187,13 @@ def frequent_phrase_mentions(
       aggregate counts per phrase — map-side combine collapses hot
       phrases BEFORE the shuffle, so a boilerplate bigram appearing in
       every document ("click here") moves one row per map task, not one
-      row per document. The surviving vocabulary (df >= min_df is small
-      by construction) is broadcast back onto a re-derived shingle scan:
-      a second map-side pass over the corpus, but zero second shuffle
-      and no skew exposure.
+      row per document. The surviving vocabulary joins back onto a
+      re-derived shingle scan WITHOUT a broadcast hint: at web scale the
+      df >= min_df vocabulary itself grows with the corpus (an 8 GB
+      broadcast ceiling would be a silent cliff), so Catalyst/AQE picks
+      broadcast when the vocab is actually small and a shuffle join —
+      whose per-phrase input skew AQE's skew-split CAN see and split,
+      unlike output explosions — otherwise.
     * ``"window"`` — single-shuffle count-over-window variant. Shuffles
       the corpus' shingles once, but WindowExec buffers each phrase
       partition in memory, so one pathologically hot phrase OOMs an
@@ -223,7 +226,7 @@ def frequent_phrase_mentions(
         .filter(F.col("df") >= min_df)
         .select("phrase")
     )
-    return bigrams.join(F.broadcast(vocab), "phrase").select(id_col, "phrase")
+    return bigrams.join(vocab, "phrase").select(id_col, "phrase")
 
 
 def repetition_stats(

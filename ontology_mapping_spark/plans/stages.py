@@ -167,7 +167,7 @@ class StageRunner:
         """True when the stage's manifest matches this config AND the
         upstream build chain (a re-run would skip the build)."""
         path, mpath = self._paths(name)
-        if not (os.path.exists(mpath) and os.path.exists(path)):
+        if not (os.path.exists(mpath) and self._output_exists(name, path)):
             return False
         with open(mpath) as f:
             m = json.load(f)

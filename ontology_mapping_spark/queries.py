@@ -1195,8 +1195,8 @@ def q_winnow(spark, sf):
 @query(
     "media_feature_plumbing",
     """SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS kind,
-              concat_ws(',', CAST(('0x' || substr(md5('0|' || text), 1, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || text), 5, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || text), 9, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || text), 13, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || text), 17, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || text), 21, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || text), 25, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || text), 29, 4))::BIGINT AS VARCHAR)) AS feature_str,
-              CAST(octet_length(encode(text)) AS INT) AS n_bytes
+              concat_ws(',', CAST(('0x' || substr(md5('0|' || COALESCE(text, '')), 1, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || COALESCE(text, '')), 5, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || COALESCE(text, '')), 9, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || COALESCE(text, '')), 13, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || COALESCE(text, '')), 17, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || COALESCE(text, '')), 21, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || COALESCE(text, '')), 25, 4))::BIGINT AS VARCHAR), CAST(('0x' || substr(md5('0|' || COALESCE(text, '')), 29, 4))::BIGINT AS VARCHAR)) AS feature_str,
+              CAST(octet_length(encode(COALESCE(text, ''))) AS INT) AS n_bytes
        FROM documents WHERE doc_id < 50""",
 )
 def q_media(spark, sf):
@@ -1212,7 +1212,7 @@ def q_media(spark, sf):
     media = docs.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
     )
     feats = extract_media_features(media, dim=8)
     return feats.select(

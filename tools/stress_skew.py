@@ -87,11 +87,13 @@ def main() -> None:
     spark = get_spark(
         "skew", parallelism=cpus, extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
-    src, tgt = corpus(
-        spark,
-        hot_every_src=max(1, 200_000 // hot_src),
-        hot_every_tgt=max(1, 50_000 // hot_tgt),
-    )
+    hot_every_src = max(1, 200_000 // hot_src)
+    hot_every_tgt = max(1, 50_000 // hot_tgt)
+    src, tgt = corpus(spark, hot_every_src=hot_every_src, hot_every_tgt=hot_every_tgt)
+    # actual planted counts (ceil division), not the requested target —
+    # the recorded metric must describe the corpus that actually ran
+    n_hot_src = (200_000 + hot_every_src - 1) // hot_every_src
+    n_hot_tgt = (50_000 + hot_every_tgt - 1) // hot_every_tgt
     src = src.cache()
     tgt = tgt.cache()
     src.count(), tgt.count()
@@ -104,12 +106,19 @@ def main() -> None:
     # throughput is not the bottleneck, the shuffle write is
     s_post = posting_lists(src, cfg.max_token_df).withColumnRenamed("uri", "src")
     t_post = posting_lists(tgt, cfg.max_token_df).withColumnRenamed("uri", "tgt")
+    # variants as THUNKS, rebuilt inside the timed region each rep:
+    # hot_salted_blocking_join runs its hot-token detection eagerly at
+    # plan-construction time (localCheckpoint), so building the plan once
+    # outside the loop would silently exclude the detection cost from the
+    # targeted variant while the others re-run their full plans every rep
     variants = {
-        "join_stage_only_unsalted": s_post.join(t_post, "token").select("src", "tgt"),
+        "join_stage_only_unsalted": lambda: s_post.join(t_post, "token").select(
+            "src", "tgt"
+        ),
         # the real operators (all end in the pair-dedup distinct)
-        "unsalted": blocking_join(src, tgt, cfg),
-        "salted_hot_only": hot_salted_blocking_join(src, tgt, cfg),
-        "salted_all": salted_blocking_join(src, tgt, cfg),
+        "unsalted": lambda: blocking_join(src, tgt, cfg),
+        "salted_hot_only": lambda: hot_salted_blocking_join(src, tgt, cfg),
+        "salted_all": lambda: salted_blocking_join(src, tgt, cfg),
     }
     # VARIANTS INTERLEAVED across best-of-N passes: this VM has
     # multi-minute host slow phases (same plan measured 5s and 85s twenty
@@ -117,21 +126,18 @@ def main() -> None:
     # slow phase to whichever variant owned it
     results: dict[str, float] = {}
     for _ in range(reps):
-        for name, df in variants.items():
+        for name, build in variants.items():
             t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
+            build().write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 2)
             if name not in results or dt < results[name]:
                 results[name] = dt
     n_pairs = hot_salted_blocking_join(src, tgt, cfg).count()
-    results_sorted = dict(
-        sorted((k, v) for k, v in results.items() if not k.startswith("join_stage"))
-    )
     print(
         json.dumps(
             {
                 "metric": f"skew_blocking_join_local[{cpus}]",
-                "hot_pairs_planted": int(hot_src * hot_tgt),
+                "hot_pairs_planted": int(n_hot_src * n_hot_tgt),
                 "pairs": n_pairs,
                 "sec": results,
                 "speedup_hot_only_vs_unsalted": round(
