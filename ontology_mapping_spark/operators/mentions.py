@@ -184,26 +184,84 @@ def scan_tokens_automaton_py(auto, toks: list[str]) -> dict[tuple[str, str], int
     return out
 
 
+def _native_available() -> bool:
+    try:
+        from ontology_mapping_spark.native import load_acscan
+
+        return load_acscan() is not None
+    except Exception:
+        return False
+
+
+# per-worker-process cache of built native automatons, keyed by broadcast
+# id (a ctypes automaton is not picklable, so it must be built executor-
+# side from the broadcast phrase rows — once per worker, not per task)
+_NATIVE_MATCHERS: dict = {}
+
+
 def make_token_scanner(spark, phrase_rows: list[tuple[str, str]], kernel: str = "auto"):
     """Build-once-per-executor scanner: returns scan(toks) -> counts.
 
-    ``kernel``: "auto" picks "ahocorasick" (one C pass per page) when the
-    library is present, else "trie" — the per-token dict walker. "blocked"
-    is an opt-in third kernel, equivalence-tested but MEASURED SLOWER on
-    the fixture workload (5.9k vs 41k pages/s single-threaded: its cost is
-    O(candidate phrases × page chars) in C vs the trie's O(token
-    positions) in Python, and the fixture plants dense label mentions in
-    short pages, the trie's best case); it wins only when first-token
-    overlap between page vocabulary and phrase vocabulary is rare and
-    pages are long. The built structure rides a Spark broadcast, so each
-    executor deserializes it once, not once per task."""
+    ``kernel``:
+
+    * "auto" — "ahocorasick" (pyahocorasick) when that library ships,
+      else "cnative" when a C compiler is available (the repo's own
+      Aho-Corasick in native/acscan.c, compiled once per host and cached),
+      else "trie".
+    * "trie" — the per-token dict walker, the reference implementation the
+      C kernels are equivalence-tested against. Pure Python, always works.
+    * "cnative" / "ahocorasick" — one C pass over the padded page text.
+    * "blocked" — opt-in first-token-pruned str.find kernel; measured
+      SLOWER on the dense-mention fixture workload (5.9k vs 41k pages/s
+      single-threaded: its cost is O(candidate phrases × page chars) vs
+      the trie's O(token positions)); wins only on long pages with rare
+      page-vocabulary overlap.
+
+    Pure-Python structures ride a Spark broadcast (deserialized once per
+    executor); the cnative automaton is rebuilt from broadcast rows once
+    per worker process and falls back to the trie if the target host has
+    no compiler."""
     if kernel == "auto":
-        kernel = "ahocorasick" if _HAS_AHOCORASICK else "trie"
+        if _HAS_AHOCORASICK:
+            kernel = "ahocorasick"
+        elif _native_available():
+            kernel = "cnative"
+        else:
+            kernel = "trie"
     if kernel == "ahocorasick":
         if not _HAS_AHOCORASICK:
-            raise ImportError("pyahocorasick not available; use kernel='blocked'")
+            raise ImportError("pyahocorasick not available; use kernel='cnative'")
         bc = spark.sparkContext.broadcast(_build_automaton(phrase_rows))
         return lambda toks: scan_tokens_automaton_py(bc.value, toks)
+    if kernel == "cnative":
+        bc = spark.sparkContext.broadcast(list(phrase_rows))
+        # worker-side Broadcast objects expose no id — mint the cache key
+        # driver-side and ship it in the closure (unique per scanner)
+        import itertools
+        import os as _os
+
+        if not hasattr(make_token_scanner, "_seq"):
+            make_token_scanner._seq = itertools.count()
+        cache_key = f"cnative-{_os.getpid()}-{next(make_token_scanner._seq)}"
+
+        def scan_native(toks):
+            m = _NATIVE_MATCHERS.get(cache_key)
+            if m is None:
+                try:
+                    from ontology_mapping_spark.native import NativeMatcher
+
+                    m = NativeMatcher(bc.value)
+                except Exception:
+                    # heterogeneous cluster: this host lacks a compiler —
+                    # degrade to the equivalent pure-Python walker
+                    trie = _build_trie(bc.value)
+                    m = _TrieMatcher(trie)
+                if len(_NATIVE_MATCHERS) > 8:
+                    _NATIVE_MATCHERS.clear()
+                _NATIVE_MATCHERS[cache_key] = m
+            return m.scan_tokens(toks)
+
+        return scan_native
     if kernel == "blocked":
         bc = spark.sparkContext.broadcast(_build_blocked_index(phrase_rows))
         return lambda toks: scan_tokens_blocked_py(bc.value, toks)
@@ -211,6 +269,71 @@ def make_token_scanner(spark, phrase_rows: list[tuple[str, str]], kernel: str = 
         bc = spark.sparkContext.broadcast(_build_trie(phrase_rows))
         return lambda toks: scan_tokens_py(bc.value, toks)
     raise ValueError(f"unknown kernel {kernel!r}")
+
+
+class _TrieMatcher:
+    """Adapter giving the trie walker the NativeMatcher interface."""
+
+    def __init__(self, trie):
+        self._trie = trie
+
+    def scan_tokens(self, toks):
+        return scan_tokens_py(self._trie, toks)
+
+
+def make_batch_scanner(spark, phrase_rows: list[tuple[str, str]], kernel: str = "auto"):
+    """Batch-shaped scanner for the Arrow emitters: returns
+    scan_batch(token_lists) -> (page_idx array, keys-per-hit, counts) over
+    unique (page, pattern) pairs. The cnative kernel serves this with ONE
+    C call per Arrow batch (the per-page Python->C transition was the
+    2x overhead that made the naive per-page C path slower than the trie
+    on short pages — measured in BENCH.md); every other kernel emulates
+    the shape with a per-page loop over the scalar scanner."""
+    if kernel == "auto":
+        if _HAS_AHOCORASICK:
+            kernel = "ahocorasick"
+        elif _native_available():
+            kernel = "cnative"
+        else:
+            kernel = "trie"
+    if kernel == "cnative":
+        bc = spark.sparkContext.broadcast(list(phrase_rows))
+        import itertools
+        import os as _os
+
+        if not hasattr(make_token_scanner, "_seq"):
+            make_token_scanner._seq = itertools.count()
+        cache_key = f"cnative-batch-{_os.getpid()}-{next(make_token_scanner._seq)}"
+
+        def scan_batch(token_lists):
+            m = _NATIVE_MATCHERS.get(cache_key)
+            if m is None:
+                try:
+                    from ontology_mapping_spark.native import NativeMatcher
+
+                    m = NativeMatcher(bc.value)
+                except Exception:
+                    m = _TrieMatcher(_build_trie(bc.value))
+                if len(_NATIVE_MATCHERS) > 8:
+                    _NATIVE_MATCHERS.clear()
+                _NATIVE_MATCHERS[cache_key] = m
+            if hasattr(m, "scan_batch_flat"):
+                return m.scan_batch_flat(token_lists)
+            return _emulate_batch(m.scan_tokens, token_lists)
+
+        return scan_batch
+    scan_toks = make_token_scanner(spark, phrase_rows, kernel)
+    return lambda token_lists: _emulate_batch(scan_toks, token_lists)
+
+
+def _emulate_batch(scan_toks, token_lists):
+    page_idx, keys, counts = [], [], []
+    for i, toks in enumerate(token_lists):
+        for key, c in scan_toks(toks).items():
+            page_idx.append(i)
+            keys.append([key])
+            counts.append(c)
+    return page_idx, keys, counts
 
 
 def scan_tokens_py(trie: dict, toks: list[str]) -> dict[tuple[str, str], int]:
@@ -261,19 +384,22 @@ def mentions_via_trie(
     against the token-trie walker."""
     spark = pages_text.sparkSession
     rows = [(r["uri"], r["phrase"]) for r in phrases.select("uri", "phrase").collect()]
-    scan_toks = make_token_scanner(spark, rows, kernel)
+    scan_batch = make_batch_scanner(spark, rows, kernel)
 
     def scan(batches):
         for b in batches:
+            url_list = b.column("url").to_pylist()
+            token_lists = [
+                normalize_py(t).split() for t in b.column("text").to_pylist()
+            ]
             urls, uris, surfaces, counts = [], [], [], []
-            for url, text in zip(
-                b.column("url").to_pylist(), b.column("text").to_pylist()
-            ):
-                for (uri, phrase), c in scan_toks(normalize_py(text).split()).items():
-                    urls.append(url)
+            for p, keys, c in zip(*scan_batch(token_lists)):
+                u = url_list[p]
+                for (uri, phrase) in keys:
+                    urls.append(u)
                     uris.append(uri)
                     surfaces.append(phrase)
-                    counts.append(c)
+                    counts.append(int(c))
             yield _emit_batch(urls, uris, surfaces, counts)
 
     return pages_text.select("url", "text").mapInArrow(scan, schema=MENTIONS)
@@ -295,19 +421,22 @@ def mentions_from_html(
 
     spark = pages.sparkSession
     rows = [(r["uri"], r["phrase"]) for r in phrases.select("uri", "phrase").collect()]
-    scan_toks = make_token_scanner(spark, rows, kernel)
+    scan_batch = make_batch_scanner(spark, rows, kernel)
 
     def scan(batches):
         for b in batches:
+            url_list = b.column("url").to_pylist()
+            token_lists = [
+                tokens_from_html_py(h) for h in b.column("html").to_pylist()
+            ]
             urls, uris, surfaces, counts = [], [], [], []
-            for url, html in zip(
-                b.column("url").to_pylist(), b.column("html").to_pylist()
-            ):
-                for (uri, phrase), c in scan_toks(tokens_from_html_py(html)).items():
-                    urls.append(url)
+            for p, keys, c in zip(*scan_batch(token_lists)):
+                u = url_list[p]
+                for (uri, phrase) in keys:
+                    urls.append(u)
                     uris.append(uri)
                     surfaces.append(phrase)
-                    counts.append(c)
+                    counts.append(int(c))
             yield _emit_batch(urls, uris, surfaces, counts)
 
     df = pages

@@ -159,3 +159,54 @@ def test_automaton_kernel_equivalence():
     want = scan_tokens_py(_build_trie(rows), toks)
     got = scan_tokens_automaton_py(_build_automaton(rows), toks)
     assert got == want
+
+
+def test_cnative_kernel_equals_trie_property():
+    import pytest
+
+    from ontology_mapping_spark.operators.mentions import _native_available
+
+    if not _native_available():
+        pytest.skip("no C compiler on this host")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ontology_mapping_spark.native import NativeMatcher
+    from ontology_mapping_spark.operators.mentions import _build_trie, scan_tokens_py
+
+    tok = st.sampled_from(["a", "b", "ab", "ba", "c", "x1", "κό"])
+    phrase = st.lists(tok, min_size=1, max_size=4).map(" ".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        toks=st.lists(tok, min_size=0, max_size=16),
+        phrases=st.lists(phrase, min_size=0, max_size=8),
+    )
+    def check(toks, phrases):
+        rows = [(f"u{i}", p) for i, p in enumerate(phrases)]
+        want = scan_tokens_py(_build_trie(rows), toks)
+        got = NativeMatcher(rows).scan_tokens(toks)
+        assert got == want
+
+    check()
+
+
+def test_cnative_kernel_via_dataframe(spark, fx, fx_dfs):
+    import pytest
+
+    from ontology_mapping_spark.operators.mentions import _native_available
+
+    if not _native_available():
+        pytest.skip("no C compiler on this host")
+    labels_df = extract_labels(fx_dfs["triples"])
+    phrases = label_phrases(labels_df).cache()
+    pages_txt = extracted_pages(fx_dfs["pages"]).cache()
+    a = {
+        (r["url"], r["uri"], r["surface"]): r["n_hits"]
+        for r in mentions_via_trie(pages_txt, phrases, kernel="trie").collect()
+    }
+    b = {
+        (r["url"], r["uri"], r["surface"]): r["n_hits"]
+        for r in mentions_via_trie(pages_txt, phrases, kernel="cnative").collect()
+    }
+    assert a == b and a
