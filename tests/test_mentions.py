@@ -179,13 +179,27 @@ def test_cnative_kernel_equals_trie_property():
 
     @settings(max_examples=300, deadline=None)
     @given(
-        toks=st.lists(tok, min_size=0, max_size=16),
+        pages=st.lists(st.lists(tok, min_size=0, max_size=16), min_size=0, max_size=4),
         phrases=st.lists(phrase, min_size=0, max_size=8),
     )
-    def check(toks, phrases):
+    def check(pages, phrases):
         rows = [(f"u{i}", p) for i, p in enumerate(phrases)]
-        want = scan_tokens_py(_build_trie(rows), toks)
-        got = NativeMatcher(rows).scan_tokens(toks)
+        trie = _build_trie(rows)
+        nm = NativeMatcher(rows)
+        # per-page path
+        for toks in pages:
+            assert nm.scan_tokens(toks) == scan_tokens_py(trie, toks)
+        # batch path (the production Arrow-emitter path)
+        pi, keys, cnt = nm.scan_batch_flat(pages)
+        got = {}
+        for p, ks, c in zip(pi, keys, cnt):
+            for k in ks:
+                got.setdefault(int(p), {})[k] = int(c)
+        want = {
+            i: d
+            for i, d in ((i, scan_tokens_py(trie, t)) for i, t in enumerate(pages))
+            if d
+        }
         assert got == want
 
     check()
