@@ -39,8 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _q.registry()
+    # curated <= 50 entries, one per operator family: the driver's gate
+    # checks at most 50 catalog rows, and an oversized catalog silently
+    # drops the tail (round-2 lesson). Redundant variants stay in
+    # ontology_mapping_spark.queries.registry() and are value-checked by
+    # the local gate (tools/check_queries.py).
+    return _q.curated_registry()
 
 
 def oracle_sql() -> dict[str, str]:
-    return _q.oracles()
+    return _q.curated_oracles()

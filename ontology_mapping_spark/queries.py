@@ -72,6 +72,43 @@ def oracles() -> dict[str, str]:
     return dict(_ORACLES)
 
 
+# Redundant VARIANTS of operators whose family is already driver-covered.
+# The driver's correctness gate checks at most 50 catalog entries; round 2
+# registered 54 and the tail four (fold_accents, max_depth_per_side,
+# mint_uris, normalization_ops_suite) silently fell out of the checked set.
+# `curated_registry()` (what __spark_entry__.queries() exposes) therefore
+# keeps exactly one entry per operator family and parks the variants here;
+# they stay in the FULL registry, so the local gate (tools/check_queries.py)
+# still value-checks every one of them, and each variant's equality with its
+# primary is additionally pytest-pinned where it matters.
+LOCAL_ONLY: frozenset = frozenset(
+    {
+        # family primary: blocking_token_join_capped (the production df-cap
+        # form); salted==unsalted output equality pinned in test_candidates.py
+        "blocking_token_join",
+        "blocking_token_join_salted",
+        # family primary: ann_ivf_topk (KMeans quantizer + recall@5 oracle);
+        # the fixed-codebook variant keeps its exact SQL oracle locally
+        "ann_ivf_fixed_topk",
+        # subsumed by minhash_lsh_near_dups, which re-derives the same
+        # md5-slice signatures as its first stage
+        "minhash_token_signature",
+        # rolling-hash fingerprint family primary: winnow_fingerprints
+        # (winnowing selects over the same k-gram hashes)
+        "document_fingerprint",
+    }
+)
+
+
+def curated_registry() -> dict[str, QueryFn]:
+    """<= 50 driver-checked entries, one per operator family."""
+    return {k: v for k, v in _REGISTRY.items() if k not in LOCAL_ONLY}
+
+
+def curated_oracles() -> dict[str, str]:
+    return {k: v for k, v in _ORACLES.items() if k not in LOCAL_ONLY}
+
+
 # --------------------------------------------------------------------------
 # §2.2 scans / filters / projections / derived columns
 # --------------------------------------------------------------------------
@@ -1261,9 +1298,10 @@ def q_repetition_stats(spark, sf):
     )
 
 
-@query(
-    "mentions_join_scan",
-    f"""WITH ph AS (
+# shared by mentions_join_scan (batch) and mentions_stream_parity
+# (Structured Streaming): both engines must match the SAME oracle, which is
+# the strongest driver-checkable form of batch/stream parity.
+_MENTIONS_SCAN_SQL = f"""WITH ph AS (
         SELECT CAST(doc_id AS VARCHAR) AS uri,
                array_to_string(list_filter(string_split({normalize_sql('text', 'duckdb')}, ' '), x -> x <> '')[1:2], ' ') AS phrase
         FROM documents WHERE doc_id % 20 = 0),
@@ -1280,8 +1318,10 @@ def q_repetition_stats(spark, sf):
                ELSE 0 END AS n_hits
         FROM d CROSS JOIN ph2)
       SELECT DISTINCT url, uri, surface, CAST(n_hits AS INT) AS n_hits
-      FROM hits WHERE n_hits > 0""",
-)
+      FROM hits WHERE n_hits > 0"""
+
+
+@query("mentions_join_scan", _MENTIONS_SCAN_SQL)
 def q_mentions_join_scan(spark, sf):
     """The core declarative mention detector (mentions_via_join: first-token
     blocking + JVM whole-phrase verify) driver-verified on the shared
@@ -1292,18 +1332,10 @@ def q_mentions_join_scan(spark, sf):
     from ontology_mapping_spark.operators.mentions import mentions_via_join
 
     docs = _t(spark, sf, "documents")
-    toks = F.filter(F.split(normalize_col("text"), " "), lambda t: t != "")
     # every 20th document's 2-token prefix acts as an ontology label —
     # guaranteed to occur (at least in its own document), so the gate
     # checks real hit counts, not an empty result
-    phrases = (
-        docs.filter(F.col("doc_id") % 20 == 0)
-        .select(
-            F.col("doc_id").cast("string").alias("uri"),
-            F.array_join(F.slice(toks, 1, 2), " ").alias("phrase"),
-        )
-        .filter(F.col("phrase") != "")
-    )
+    phrases = _doc_prefix_phrases(docs)
     pages = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("url"), "text"
     )
@@ -1586,3 +1618,79 @@ def q_fold_accents(spark, sf):
         "p_partkey",
         udf(F.concat(F.col("p_name"), F.lit(" émigré naïve São"))).alias("folded"),
     )
+
+def _doc_prefix_phrases(docs: DataFrame) -> DataFrame:
+    """Every 20th document's 2-token normalized prefix as an ontology label
+    (uri = doc_id) — the shared phrase table of the batch mentions_join_scan
+    and the streaming parity query."""
+    toks = F.filter(F.split(normalize_col("text"), " "), lambda t: t != "")
+    return (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            F.col("doc_id").cast("string").alias("uri"),
+            F.array_join(F.slice(toks, 1, 2), " ").alias("phrase"),
+        )
+        .filter(F.col("phrase") != "")
+    )
+
+
+@query("mentions_stream_parity", _MENTIONS_SCAN_SQL)
+def q_mentions_stream_parity(spark, sf):
+    """Structured-Streaming gate row: the streaming mention detector
+    (streaming/mentions_stream.py, availableNow trigger) run to completion
+    over a web_pages drop synthesized from the documents table, checked
+    against the SAME SQL oracle as the batch mentions_join_scan. Batch and
+    stream share phrase_token_table/phrase_hit_count_expr, and this row
+    proves end-to-end parity under the driver's value hash.
+
+    The html column is the escaped document text wrapped in a minimal page:
+    escape -> extract_text (tag strip + entity unescape) round-trips the
+    text exactly, so the oracle can stay on documents.text."""
+    import shutil
+    import tempfile
+
+    from ontology_mapping_spark.streaming.mentions_stream import (
+        stream_mentions,
+        stream_pages,
+    )
+
+    docs = _t(spark, sf, "documents")
+    esc = F.coalesce(F.col("text"), F.lit(""))
+    for raw, rep in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(rep))
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), esc, F.lit("</body></html>")),
+            "utf-8",
+        ).alias("html"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    phrases = _doc_prefix_phrases(docs)
+    tmp = tempfile.mkdtemp(prefix="omsp_stream_parity_")
+    try:
+        pages.coalesce(4).write.mode("overwrite").parquet(f"{tmp}/in")
+        m = stream_mentions(stream_pages(spark, f"{tmp}/in"), phrases)
+        (
+            m.select(
+                "url", "uri", "surface", F.col("n_hits").cast("int").alias("n_hits")
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        out = spark.read.schema(
+            "url string, uri string, surface string, n_hits int"
+        ).parquet(f"{tmp}/out")
+        # materialize before the tmp dir is deleted: the caller holds a lazy
+        # DataFrame that must outlive the sink files (localCheckpoint is the
+        # right tool here — a one-session gate query, not cluster state)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

