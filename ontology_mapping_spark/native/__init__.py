@@ -103,6 +103,8 @@ def load_acscan():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
         ]
+        lib.ac_scan_multi_fold.restype = ctypes.c_int64
+        lib.ac_scan_multi_fold.argtypes = lib.ac_scan_multi.argtypes
         _LIB = lib
     except OSError:
         _LIB = None
@@ -112,9 +114,12 @@ def load_acscan():
 class NativeMatcher:
     """Padded-phrase automaton over the C scanner.
 
-    ``phrase_rows``: (uri, phrase) pairs; duplicate phrases across uris are
-    deduplicated into one pattern whose hits fan back out to every key,
-    matching the Python kernels' contract exactly.
+    ``phrase_rows``: (uri, phrase) pairs, whitespace-canonicalized and
+    (uri, phrase)-deduplicated first (the shared kernel contract —
+    operators/mentions.py canonical_phrase_rows), so every kernel matches
+    the canonical token sequence, emits the canonical surface, and counts
+    each key once however the input was duplicated. Duplicate phrases
+    across uris share one pattern whose hits fan back out to every key.
     """
 
     def __init__(self, phrase_rows):
@@ -125,8 +130,11 @@ class NativeMatcher:
             raise RuntimeError("native scanner unavailable")
         self._lib = lib
         words: dict[bytes, list] = {}
+        seen: set = set()
         for uri, phrase in phrase_rows:
-            if phrase.strip():
+            phrase = " ".join(phrase.split())
+            if phrase and (uri, phrase) not in seen:
+                seen.add((uri, phrase))
                 words.setdefault(
                     (" " + phrase + " ").encode("utf-8"), []
                 ).append((uri, phrase))
@@ -149,6 +157,11 @@ class NativeMatcher:
         if not self._ac:
             raise RuntimeError("ac_build failed")
         self._counts = np.zeros(max(self._n, 1), dtype=np.int32)
+        # lazy flat key arrays for expand_hits (built on first use)
+        self._flat_uris = None
+        self._flat_phrases = None
+        self._key_counts = None
+        self._key_offs = None
 
     def scan_tokens(self, toks: list[str]) -> dict:
         out: dict = {}
@@ -170,22 +183,17 @@ class NativeMatcher:
                 out[key] = c
         return out
 
-    def scan_batch_flat(self, token_lists):
-        """[(tokens)] -> (page_idx int64 array, pattern keys per hit, counts)
-        over UNIQUE (page, pattern) pairs — the flat shape the Arrow batch
-        emitters want. One C call for the whole batch; occurrence pairs are
-        aggregated with np.unique (C-speed)."""
+    def _scan_concat(self, parts, fn):
+        """One C call (``fn``) over concatenated per-page byte buffers;
+        returns unique (page_idx, pat_idx, counts) int64 arrays."""
         np = self._np
-        if self._n == 0 or not token_lists:
-            return np.zeros(0, dtype=np.int64), [], np.zeros(0, dtype=np.int64)
-        parts = [(" " + " ".join(t) + " ").encode("utf-8") if t else b"" for t in token_lists]
         offs = np.zeros(len(parts) + 1, dtype=np.int64)
         np.cumsum([len(p) for p in parts], out=offs[1:])
         buf = b"".join(parts)
-        cap = max(4 * len(token_lists), 4096)
+        cap = max(4 * len(parts), 4096)
         while True:
             out = np.empty(2 * cap, dtype=np.int32)
-            n = self._lib.ac_scan_multi(
+            n = fn(
                 self._ac,
                 buf,
                 offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -199,10 +207,61 @@ class NativeMatcher:
         pairs = out[: 2 * n].reshape(-1, 2).astype(np.int64)
         combo = pairs[:, 0] * (self._n + 1) + pairs[:, 1]
         uniq, counts = np.unique(combo, return_counts=True)
-        page_idx = uniq // (self._n + 1)
-        pat_idx = uniq % (self._n + 1)
+        return uniq // (self._n + 1), uniq % (self._n + 1), counts
+
+    def scan_batch_flat(self, token_lists):
+        """[(tokens)] -> (page_idx int64 array, pattern keys per hit, counts)
+        over UNIQUE (page, pattern) pairs — the flat shape the Arrow batch
+        emitters want. One C call for the whole batch; occurrence pairs are
+        aggregated with np.unique (C-speed)."""
+        np = self._np
+        if self._n == 0 or not token_lists:
+            return np.zeros(0, dtype=np.int64), [], np.zeros(0, dtype=np.int64)
+        parts = [(" " + " ".join(t) + " ").encode("utf-8") if t else b"" for t in token_lists]
+        page_idx, pat_idx, counts = self._scan_concat(parts, self._lib.ac_scan_multi)
         keys = [self._keys[i] for i in pat_idx]
         return page_idx, keys, counts
+
+    def scan_batch_hits_text(self, texts):
+        """[foldable text bytes per page] -> unique (page_idx, pat_idx,
+        counts). The C pass case-folds and tokenizes (ac_scan_multi_fold)
+        — no Python lower/findall/join per page; feed it
+        textnorm.foldable_text_py / foldable_text_from_html_py output."""
+        np = self._np
+        if self._n == 0 or not texts:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        return self._scan_concat(texts, self._lib.ac_scan_multi_fold)
+
+    def expand_hits(self, page_idx, pat_idx, counts):
+        """Vectorized (uri, surface) fan-out of unique (page, pattern) hits:
+        returns (page_sel int64, uris pa.Array, surfaces pa.Array, n_hits
+        int64) with one row per (page, uri, surface) — no per-hit Python.
+        Patterns with multiple keys (same phrase, several uris) repeat."""
+        import pyarrow as pa
+
+        np = self._np
+        if self._flat_uris is None:
+            self._key_counts = np.array(
+                [len(ks) for ks in self._keys], dtype=np.int64
+            )
+            self._key_offs = np.concatenate(
+                ([0], np.cumsum(self._key_counts))
+            )
+            self._flat_uris = pa.array(
+                [u for ks in self._keys for (u, _p) in ks], type=pa.string()
+            )
+            self._flat_phrases = pa.array(
+                [p for ks in self._keys for (_u, p) in ks], type=pa.string()
+            )
+        rep = self._key_counts[pat_idx]
+        total = int(rep.sum())
+        page_sel = np.repeat(page_idx, rep)
+        n_hits = np.repeat(counts, rep)
+        grp_start = np.repeat(np.cumsum(rep) - rep, rep)
+        within = np.arange(total, dtype=np.int64) - grp_start
+        idx = pa.array(np.repeat(self._key_offs[pat_idx], rep) + within)
+        return page_sel, self._flat_uris.take(idx), self._flat_phrases.take(idx), n_hits
 
     def __del__(self):
         try:

@@ -241,3 +241,90 @@ int64_t ac_scan_multi(const AC *ac, const uint8_t *buf, const int64_t *t_offs,
     }
     return n;
 }
+
+/* ------------------------------------------------------------------ */
+/* Folded batch scan: raw (extracted) page text in, token-exact matches
+ * out — the tokenizer leaves Python entirely.
+ *
+ * Folding happens inside the scan loop: 'A'-'Z' -> 'a'-'z', [a-z0-9]
+ * kept, EVERY other byte (including all non-ASCII UTF-8 bytes, which are
+ * always >= 0x80) is a token separator. Separator runs collapse to one
+ * virtual ' ', and each text's token stream gets virtual leading/trailing
+ * pads — i.e. this scans exactly " " + " ".join(tokens) + " " where
+ * tokens are the [a-z0-9]+ runs of the byte-folded text. That equals the
+ * Python tokenizer contract (textnorm._tokens_from_text) for fold-safe
+ * text; the Python caller routes the two divergent code points (U+0130,
+ * U+212A — see textnorm._EXOTIC_LOWER) through the tokenizer first.
+ * Output pairs protocol identical to ac_scan_multi. */
+
+static inline uint8_t fold_byte(uint8_t c) {
+    if (c >= 'a' && c <= 'z') return c;
+    if (c >= 'A' && c <= 'Z') return (uint8_t)(c + 32);
+    if (c >= '0' && c <= '9') return c;
+    return 0;
+}
+
+#define AC_FEED(ch)                                                        \
+    do {                                                                   \
+        uint8_t c_ = (ch);                                                 \
+        int32_t g_;                                                        \
+        for (;;) {                                                         \
+            g_ = (state == 0)       ? (c_ == ' ' ? ac->s1 : 0)             \
+                 : (state == ac->s1) ? ac->s1_next[c_]                     \
+                                     : ht_get(ac, state, c_);              \
+            if (g_ > 0) { state = g_; break; }                             \
+            if (state == 0) break;                                         \
+            state = ac->fail[state];                                       \
+        }                                                                  \
+        if (g_ > 0) {                                                      \
+            int32_t u_ = state;                                            \
+            if (ac->out[u_] >= 0) {                                        \
+                if (n < cap) { out[2 * n] = t; out[2 * n + 1] = ac->out[u_]; } \
+                n++;                                                       \
+            }                                                              \
+            u_ = ac->olink[u_];                                            \
+            while (u_ >= 0) {                                              \
+                if (n < cap) { out[2 * n] = t; out[2 * n + 1] = ac->out[u_]; } \
+                n++;                                                       \
+                u_ = ac->olink[u_];                                        \
+            }                                                              \
+        } else {                                                           \
+            state = 0;                                                     \
+        }                                                                  \
+    } while (0)
+
+int64_t ac_scan_multi_fold(const AC *ac, const uint8_t *buf,
+                           const int64_t *t_offs, int32_t n_texts,
+                           int32_t *out, int64_t cap) {
+    int64_t n = 0;
+    for (int32_t t = 0; t < n_texts; t++) {
+        int32_t state = 0;
+        int pending_sep = 1; /* virtual leading pad, emitted lazily */
+        int emitted = 0;     /* any token byte fed yet */
+        const int64_t end = t_offs[t + 1];
+        for (int64_t i = t_offs[t]; i < end; i++) {
+            uint8_t f = fold_byte(buf[i]);
+            if (!f) {
+                pending_sep = 1;
+                continue;
+            }
+            if (state == 0 && !pending_sep) {
+                /* at root mid-token: no pattern can start before the next
+                 * boundary (patterns begin with ' ') — skip token bytes
+                 * without touching the hash table */
+                while (i + 1 < end && fold_byte(buf[i + 1])) i++;
+                continue;
+            }
+            if (pending_sep) {
+                AC_FEED(' ');
+                pending_sep = 0;
+            }
+            AC_FEED(f);
+            emitted = 1;
+        }
+        if (emitted) AC_FEED(' '); /* trailing pad */
+    }
+    return n;
+}
+
+#undef AC_FEED

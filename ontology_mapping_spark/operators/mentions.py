@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ontology_mapping_spark.schemas import MENTIONS
-from ontology_mapping_spark.textnorm import normalize_col, normalize_py
+from ontology_mapping_spark.textnorm import normalize_col
 
 
 def label_phrases(labels: DataFrame) -> DataFrame:
@@ -97,6 +97,27 @@ try:  # optional C automaton (pyahocorasick); absent in this container
 except ImportError:  # pragma: no cover - exercised when the lib ships
     _ahocorasick = None
     _HAS_AHOCORASICK = False
+
+
+def canonical_phrase_rows(
+    phrase_rows: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """Shared kernel contract, applied by every scanner entry point:
+    whitespace-canonicalize each phrase (``' '.join(split())``) and dedupe
+    (uri, phrase) pairs. All kernels then match the canonical token
+    sequence, emit the canonical surface, and count each key once —
+    however duplicated or oddly-spaced the input was. ``label_phrases``
+    output is already canonical (the golden normalize collapses
+    whitespace), so the production path is unchanged; this pins the
+    contract for arbitrary public-API input (ADVICE round 2)."""
+    out: list[tuple[str, str]] = []
+    seen: set = set()
+    for uri, phrase in phrase_rows:
+        p = " ".join(phrase.split())
+        if p and (uri, p) not in seen:
+            seen.add((uri, p))
+            out.append((uri, p))
+    return out
 
 
 def _build_trie(phrase_rows: list[tuple[str, str]]) -> dict:
@@ -199,6 +220,47 @@ def _native_available() -> bool:
 _NATIVE_MATCHERS: dict = {}
 
 
+def _resolve_kernel(kernel: str) -> str:
+    if kernel != "auto":
+        return kernel
+    if _HAS_AHOCORASICK:
+        return "ahocorasick"
+    if _native_available():
+        return "cnative"
+    return "trie"
+
+
+def _mint_scanner_key(prefix: str) -> str:
+    """Worker-side Broadcast objects expose no id — mint the cache key
+    driver-side and ship it in the closure (unique per scanner)."""
+    import itertools
+    import os as _os
+
+    if not hasattr(_mint_scanner_key, "_seq"):
+        _mint_scanner_key._seq = itertools.count()
+    return f"{prefix}-{_os.getpid()}-{next(_mint_scanner_key._seq)}"
+
+
+def _cached_matcher(bc, cache_key: str):
+    """Build-once-per-worker matcher over broadcast phrase rows, degrading
+    to the pure-Python trie walker on hosts without a C compiler
+    (heterogeneous cluster). Eviction is pop-OLDEST at 8 entries
+    (insertion-ordered dict = FIFO), so a newly built entry can never
+    evict itself under churn."""
+    m = _NATIVE_MATCHERS.get(cache_key)
+    if m is None:
+        try:
+            from ontology_mapping_spark.native import NativeMatcher
+
+            m = NativeMatcher(bc.value)
+        except Exception:
+            m = _TrieMatcher(_build_trie(bc.value))
+        while len(_NATIVE_MATCHERS) >= 8:
+            _NATIVE_MATCHERS.pop(next(iter(_NATIVE_MATCHERS)))
+        _NATIVE_MATCHERS[cache_key] = m
+    return m
+
+
 def make_token_scanner(spark, phrase_rows: list[tuple[str, str]], kernel: str = "auto"):
     """Build-once-per-executor scanner: returns scan(toks) -> counts.
 
@@ -220,48 +282,18 @@ def make_token_scanner(spark, phrase_rows: list[tuple[str, str]], kernel: str = 
     Pure-Python structures ride a Spark broadcast (deserialized once per
     executor); the cnative automaton is rebuilt from broadcast rows once
     per worker process and falls back to the trie if the target host has
-    no compiler."""
-    if kernel == "auto":
-        if _HAS_AHOCORASICK:
-            kernel = "ahocorasick"
-        elif _native_available():
-            kernel = "cnative"
-        else:
-            kernel = "trie"
+    no compiler. Every kernel sees :func:`canonical_phrase_rows` input."""
+    kernel = _resolve_kernel(kernel)
+    phrase_rows = canonical_phrase_rows(phrase_rows)
     if kernel == "ahocorasick":
         if not _HAS_AHOCORASICK:
             raise ImportError("pyahocorasick not available; use kernel='cnative'")
         bc = spark.sparkContext.broadcast(_build_automaton(phrase_rows))
         return lambda toks: scan_tokens_automaton_py(bc.value, toks)
     if kernel == "cnative":
-        bc = spark.sparkContext.broadcast(list(phrase_rows))
-        # worker-side Broadcast objects expose no id — mint the cache key
-        # driver-side and ship it in the closure (unique per scanner)
-        import itertools
-        import os as _os
-
-        if not hasattr(make_token_scanner, "_seq"):
-            make_token_scanner._seq = itertools.count()
-        cache_key = f"cnative-{_os.getpid()}-{next(make_token_scanner._seq)}"
-
-        def scan_native(toks):
-            m = _NATIVE_MATCHERS.get(cache_key)
-            if m is None:
-                try:
-                    from ontology_mapping_spark.native import NativeMatcher
-
-                    m = NativeMatcher(bc.value)
-                except Exception:
-                    # heterogeneous cluster: this host lacks a compiler —
-                    # degrade to the equivalent pure-Python walker
-                    trie = _build_trie(bc.value)
-                    m = _TrieMatcher(trie)
-                if len(_NATIVE_MATCHERS) > 8:
-                    _NATIVE_MATCHERS.clear()
-                _NATIVE_MATCHERS[cache_key] = m
-            return m.scan_tokens(toks)
-
-        return scan_native
+        bc = spark.sparkContext.broadcast(phrase_rows)
+        cache_key = _mint_scanner_key("cnative")
+        return lambda toks: _cached_matcher(bc, cache_key).scan_tokens(toks)
     if kernel == "blocked":
         bc = spark.sparkContext.broadcast(_build_blocked_index(phrase_rows))
         return lambda toks: scan_tokens_blocked_py(bc.value, toks)
@@ -289,34 +321,13 @@ def make_batch_scanner(spark, phrase_rows: list[tuple[str, str]], kernel: str = 
     2x overhead that made the naive per-page C path slower than the trie
     on short pages — measured in BENCH.md); every other kernel emulates
     the shape with a per-page loop over the scalar scanner."""
-    if kernel == "auto":
-        if _HAS_AHOCORASICK:
-            kernel = "ahocorasick"
-        elif _native_available():
-            kernel = "cnative"
-        else:
-            kernel = "trie"
+    kernel = _resolve_kernel(kernel)
     if kernel == "cnative":
-        bc = spark.sparkContext.broadcast(list(phrase_rows))
-        import itertools
-        import os as _os
-
-        if not hasattr(make_token_scanner, "_seq"):
-            make_token_scanner._seq = itertools.count()
-        cache_key = f"cnative-batch-{_os.getpid()}-{next(make_token_scanner._seq)}"
+        bc = spark.sparkContext.broadcast(canonical_phrase_rows(phrase_rows))
+        cache_key = _mint_scanner_key("cnative-batch")
 
         def scan_batch(token_lists):
-            m = _NATIVE_MATCHERS.get(cache_key)
-            if m is None:
-                try:
-                    from ontology_mapping_spark.native import NativeMatcher
-
-                    m = NativeMatcher(bc.value)
-                except Exception:
-                    m = _TrieMatcher(_build_trie(bc.value))
-                if len(_NATIVE_MATCHERS) > 8:
-                    _NATIVE_MATCHERS.clear()
-                _NATIVE_MATCHERS[cache_key] = m
+            m = _cached_matcher(bc, cache_key)
             if hasattr(m, "scan_batch_flat"):
                 return m.scan_batch_flat(token_lists)
             return _emulate_batch(m.scan_tokens, token_lists)
@@ -324,6 +335,62 @@ def make_batch_scanner(spark, phrase_rows: list[tuple[str, str]], kernel: str = 
         return scan_batch
     scan_toks = make_token_scanner(spark, phrase_rows, kernel)
     return lambda token_lists: _emulate_batch(scan_toks, token_lists)
+
+
+def make_hits_scanner(spark, phrase_rows: list[tuple[str, str]], kernel: str = "auto"):
+    """The fused-fold scan entry point: returns
+    ``scan_texts(texts: list[bytes]) -> (page_sel, uris, surfaces, n_hits)``
+    with one row per (page, uri, surface) hit — ``page_sel``/``n_hits``
+    NumPy int64, ``uris``/``surfaces`` Arrow string arrays ready for
+    RecordBatch assembly. Feed it :func:`textnorm.foldable_text_py` /
+    :func:`textnorm.foldable_text_from_html_py` bytes.
+
+    With the cnative kernel the ENTIRE per-page path — case-fold,
+    tokenize, match — is one C call per batch (``ac_scan_multi_fold``)
+    plus vectorized NumPy/Arrow key fan-out; no per-page or per-hit
+    Python. Other kernels (or compiler-less hosts) tokenize in Python and
+    loop the scalar scanner — same results, tested equal."""
+    kernel = _resolve_kernel(kernel)
+    if kernel == "cnative":
+        bc = spark.sparkContext.broadcast(canonical_phrase_rows(phrase_rows))
+        cache_key = _mint_scanner_key("cnative-hits")
+
+        def scan_texts(texts):
+            m = _cached_matcher(bc, cache_key)
+            if hasattr(m, "scan_batch_hits_text"):
+                return m.expand_hits(*m.scan_batch_hits_text(texts))
+            return _emulate_hits(m.scan_tokens, texts)
+
+        return scan_texts
+    scan_toks = make_token_scanner(spark, phrase_rows, kernel)
+    return lambda texts: _emulate_hits(scan_toks, texts)
+
+
+def _emulate_hits(scan_toks, texts):
+    """Python fallback for :func:`make_hits_scanner`: byte-decode +
+    tokenize per page, scalar scan, same flat shape. Fold-safe raw bytes
+    tokenize identically to the C fold; non-fold-safe pages arrive
+    pre-tokenized ascii (textnorm.foldable_text_py), for which
+    _tokens_from_text is the identity split."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ontology_mapping_spark.textnorm import _tokens_from_text
+
+    page_idx, uris, surfaces, counts = [], [], [], []
+    for i, tb in enumerate(texts):
+        toks = _tokens_from_text(tb.decode("utf-8", errors="replace"))
+        for (uri, phrase), c in scan_toks(toks).items():
+            page_idx.append(i)
+            uris.append(uri)
+            surfaces.append(phrase)
+            counts.append(c)
+    return (
+        np.asarray(page_idx, dtype=np.int64),
+        pa.array(uris, type=pa.string()),
+        pa.array(surfaces, type=pa.string()),
+        np.asarray(counts, dtype=np.int64),
+    )
 
 
 def _emulate_batch(scan_toks, token_lists):
@@ -369,6 +436,22 @@ def _emit_batch(urls: list, uris: list, surfaces: list, counts: list):
     )
 
 
+def _emit_hits(url_col, page_sel, uris, surfaces, n_hits):
+    """Assemble the MENTIONS RecordBatch from flat hit arrays with Arrow
+    take — no per-hit Python."""
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [
+            url_col.take(pa.array(page_sel, type=pa.int64())),
+            uris,
+            surfaces,
+            pa.array(n_hits, type=pa.int32()),
+        ],
+        names=["url", "uri", "surface", "n_hits"],
+    )
+
+
 def mentions_via_trie(
     pages_text: DataFrame,
     phrases: DataFrame,
@@ -379,28 +462,23 @@ def mentions_via_trie(
     is built once per executor from a broadcast variable, not per batch).
     Arrow batches are consumed/produced directly — the pandas conversion
     of a binary/string column costs ~2x the whole scan kernel (measured),
-    so mapInPandas is the wrong shape here. ``kernel`` picks the matcher
-    (see :func:`make_token_scanner`); all kernels are equivalence-tested
+    so mapInPandas is the wrong shape here. With the cnative kernel the
+    per-page work is one fold+tokenize+match C call per batch
+    (textnorm.foldable_text_py routes the two non-fold-safe code points
+    through the Python tokenizer); results expand to rows via vectorized
+    NumPy/Arrow, not per-hit appends. ``kernel`` picks the matcher (see
+    :func:`make_token_scanner`); all kernels are equivalence-tested
     against the token-trie walker."""
+    from ontology_mapping_spark.textnorm import foldable_text_py
+
     spark = pages_text.sparkSession
     rows = [(r["uri"], r["phrase"]) for r in phrases.select("uri", "phrase").collect()]
-    scan_batch = make_batch_scanner(spark, rows, kernel)
+    scan_texts = make_hits_scanner(spark, rows, kernel)
 
     def scan(batches):
         for b in batches:
-            url_list = b.column("url").to_pylist()
-            token_lists = [
-                normalize_py(t).split() for t in b.column("text").to_pylist()
-            ]
-            urls, uris, surfaces, counts = [], [], [], []
-            for p, keys, c in zip(*scan_batch(token_lists)):
-                u = url_list[p]
-                for (uri, phrase) in keys:
-                    urls.append(u)
-                    uris.append(uri)
-                    surfaces.append(phrase)
-                    counts.append(int(c))
-            yield _emit_batch(urls, uris, surfaces, counts)
+            texts = [foldable_text_py(t) for t in b.column("text").to_pylist()]
+            yield _emit_hits(b.column("url"), *scan_texts(texts))
 
     return pages_text.select("url", "text").mapInArrow(scan, schema=MENTIONS)
 
@@ -413,31 +491,24 @@ def mentions_from_html(
 ) -> DataFrame:
     """Fused S1+S3: HTML extraction + vocabulary scan in ONE Arrow pass
     per batch (url, html) -> (url, uri, surface, n_hits). Halves the
-    JVM<->Python crossings vs extract-then-scan, and tokenizes with the
-    fused single-findall kernel (textnorm.tokens_from_html_py); the
-    production shape for the 100 TB pages scan — each page crosses into
-    Python exactly once. ``kernel`` as in :func:`make_token_scanner`."""
-    from ontology_mapping_spark.textnorm import tokens_from_html_py
+    JVM<->Python crossings vs extract-then-scan; Python's share is now
+    extraction regex only (textnorm.foldable_text_from_html_py) — with
+    the cnative kernel, case-fold + tokenize + match all happen in one C
+    call per batch and hit rows are assembled with vectorized NumPy/Arrow.
+    The production shape for the 100 TB pages scan — each page crosses
+    into Python exactly once. ``kernel`` as in :func:`make_token_scanner`."""
+    from ontology_mapping_spark.textnorm import foldable_text_from_html_py
 
     spark = pages.sparkSession
     rows = [(r["uri"], r["phrase"]) for r in phrases.select("uri", "phrase").collect()]
-    scan_batch = make_batch_scanner(spark, rows, kernel)
+    scan_texts = make_hits_scanner(spark, rows, kernel)
 
     def scan(batches):
         for b in batches:
-            url_list = b.column("url").to_pylist()
-            token_lists = [
-                tokens_from_html_py(h) for h in b.column("html").to_pylist()
+            texts = [
+                foldable_text_from_html_py(h) for h in b.column("html").to_pylist()
             ]
-            urls, uris, surfaces, counts = [], [], [], []
-            for p, keys, c in zip(*scan_batch(token_lists)):
-                u = url_list[p]
-                for (uri, phrase) in keys:
-                    urls.append(u)
-                    uris.append(uri)
-                    surfaces.append(phrase)
-                    counts.append(int(c))
-            yield _emit_batch(urls, uris, surfaces, counts)
+            yield _emit_hits(b.column("url"), *scan_texts(texts))
 
     df = pages
     if lang is not None:

@@ -129,6 +129,51 @@ def _tokens_from_text(text: str) -> list[str]:
     return _ALNUM.findall(text.lower())
 
 
+# The C scan kernel (native/acscan.c ac_scan_multi_fold) folds bytes on the
+# fly: A-Z -> a-z, [a-z0-9] kept, EVERY other byte (incl. all non-ASCII
+# UTF-8 bytes) a token separator. That equals _tokens_from_text for every
+# character except the ones whose str.lower() contains an ASCII alnum while
+# the char itself is non-ASCII — enumerating all of Unicode yields exactly
+# two: U+0130 (İ -> 'i'+combining dot) and U+212A (KELVIN SIGN -> 'k').
+# Pages containing either take the Python tokenizer; everything else goes
+# to C as raw bytes.
+_EXOTIC_LOWER = re.compile("[İK]")
+
+
+def fold_safe_py(text: str) -> bool:
+    """True when byte-level folding tokenizes identically to
+    :func:`_tokens_from_text` (always true for pure-ASCII text)."""
+    return text.isascii() or _EXOTIC_LOWER.search(text) is None
+
+
+def foldable_text_py(text: str | None) -> bytes:
+    """Bytes the C fold+scan kernel may consume directly: the raw UTF-8
+    text when fold-safe, else the pre-tokenized join (tokens are [a-z0-9]+
+    so the fold pass forwards them unchanged). Skips the whitespace
+    collapse — the C fold collapses separator runs itself."""
+    if text is None:
+        return b""
+    if fold_safe_py(text):
+        return text.encode("utf-8")
+    return " ".join(_tokens_from_text(text)).encode("ascii")
+
+
+def foldable_text_from_html_py(html: bytes | str | None) -> bytes:
+    """HTML -> bytes for the C fold+scan kernel: extraction (comment/
+    boilerplate/tag strip + entity unescape) stays in Python regex, but the
+    lower/tokenize/join work moves into the C pass. Token-equivalent to
+    ``tokens_from_html_py`` (pinned by tests/test_mentions.py)."""
+    if html is None:
+        return b""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    text = _COMMENT.sub(" ", html)
+    text = _BOILER.sub(" ", text)
+    text = _TAG.sub(" ", text)
+    text = _htmlmod.unescape(text)
+    return foldable_text_py(text)
+
+
 def tokens_from_html_py(html: bytes | str | None) -> list[str]:
     """Token stream of ``normalize_py(extract_text_py(html)).split()`` in a
     single pass fewer: the normalize sub()+sub()+split triple is replaced by

@@ -224,3 +224,199 @@ def test_cnative_kernel_via_dataframe(spark, fx, fx_dfs):
         for r in mentions_via_trie(pages_txt, phrases, kernel="cnative").collect()
     }
     assert a == b and a
+
+
+# ---- fused fold path: C-side case-fold + tokenize (round 3) --------------
+
+def test_foldable_text_tokenizes_like_python_property():
+    # foldable_text_py bytes, tokenized by the C fold contract (A-Z->a-z,
+    # [a-z0-9] kept, every other byte a separator), must equal
+    # _tokens_from_text over arbitrary unicode — including the two
+    # non-fold-safe code points it routes through the Python tokenizer.
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ontology_mapping_spark.textnorm import _tokens_from_text, foldable_text_py
+
+    def c_fold_tokens(bs: bytes) -> list[str]:
+        # byte-exact model of acscan.c fold_byte + separator collapsing
+        out, cur = [], []
+        for byte in bs:
+            c = chr(byte)
+            if "A" <= c <= "Z":
+                cur.append(c.lower())
+            elif ("a" <= c <= "z") or ("0" <= c <= "9"):
+                cur.append(c)
+            else:
+                if cur:
+                    out.append("".join(cur))
+                    cur = []
+        if cur:
+            out.append("".join(cur))
+        return out
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        text=st.text(
+            alphabet=st.one_of(
+                st.characters(),
+                st.sampled_from(list("İKK AaZz09 .,-_é台🎉")),
+            ),
+            max_size=80,
+        )
+    )
+    def check(text):
+        assert c_fold_tokens(foldable_text_py(text)) == _tokens_from_text(text)
+
+    check()
+
+
+def test_foldable_html_matches_token_path_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ontology_mapping_spark.textnorm import (
+        _tokens_from_text,
+        foldable_text_from_html_py,
+        tokens_from_html_py,
+    )
+
+    frag = st.sampled_from(
+        [
+            "<p>", "</p>", "<script>var x=1;</script>", "<!-- hi -->",
+            "&amp;", "&lt;b&gt;", "Hello", "WORLD", "café", "İzmir",
+            "x9 ", " , ", "<style>.a{}</style>", "<b title='q'>",
+        ]
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(parts=st.lists(frag, min_size=0, max_size=12))
+    def check(parts):
+        html = "".join(parts)
+        fold_bytes = foldable_text_from_html_py(html)
+        # decode+Python-tokenize the fold bytes: equals the C fold for
+        # fold-safe bytes (property above), so this pins the HTML path
+        assert _tokens_from_text(
+            fold_bytes.decode("utf-8", errors="replace")
+        ) == tokens_from_html_py(html)
+
+    check()
+
+
+def test_hits_scanner_fold_path_equals_trie_property():
+    import pytest
+
+    from ontology_mapping_spark.operators.mentions import _native_available
+
+    if not _native_available():
+        pytest.skip("no C compiler on this host")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ontology_mapping_spark.native import NativeMatcher
+    from ontology_mapping_spark.operators.mentions import (
+        _build_trie,
+        _emulate_hits,
+        canonical_phrase_rows,
+        scan_tokens_py,
+    )
+    from ontology_mapping_spark.textnorm import _tokens_from_text, foldable_text_py
+
+    word = st.sampled_from(["a", "b", "ab", "ba", "c", "x1", "Aa", "κό", "İq"])
+    phrase = st.lists(
+        st.sampled_from(["a", "b", "ab", "ba", "c", "x1", "aa"]),
+        min_size=1,
+        max_size=3,
+    ).map(" ".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        pages=st.lists(
+            st.lists(word, min_size=0, max_size=16).map(" ".join),
+            min_size=0,
+            max_size=5,
+        ),
+        phrases=st.lists(phrase, min_size=0, max_size=8),
+    )
+    def check(pages, phrases):
+        rows = canonical_phrase_rows([(f"u{i}", p) for i, p in enumerate(phrases)])
+        texts = [foldable_text_py(t) for t in pages]
+        want = {}
+        trie = _build_trie(rows)
+        for i, t in enumerate(pages):
+            for (u, s), c in scan_tokens_py(trie, _tokens_from_text(t)).items():
+                want[(i, u, s)] = c
+        nm = NativeMatcher(rows)
+        sel, uris, surfs, nh = nm.expand_hits(*nm.scan_batch_hits_text(texts))
+        got = {
+            (int(p), u, s): int(c)
+            for p, u, s, c in zip(
+                sel.tolist(), uris.to_pylist(), surfs.to_pylist(), nh.tolist()
+            )
+        }
+        assert got == want
+        # the compiler-less fallback produces the identical flat shape
+        esel, euris, esurfs, enh = _emulate_hits(
+            lambda toks: scan_tokens_py(trie, toks), texts
+        )
+        egot = {
+            (int(p), u, s): int(c)
+            for p, u, s, c in zip(
+                esel.tolist(), euris.to_pylist(), esurfs.to_pylist(), enh.tolist()
+            )
+        }
+        assert egot == want
+
+    check()
+
+
+def test_canonical_phrase_rows_contract():
+    # duplicate (uri, phrase) pairs and irregular whitespace: every kernel
+    # must count each key once and emit the canonical surface (ADVICE r2)
+    import pytest
+
+    from ontology_mapping_spark.operators.mentions import (
+        _build_trie,
+        _native_available,
+        canonical_phrase_rows,
+        scan_tokens_py,
+    )
+
+    messy = [("u1", "  a   b "), ("u1", "a b"), ("u2", "a b"), ("u3", "\tc\n"), ("u3", "")]
+    rows = canonical_phrase_rows(messy)
+    assert rows == [("u1", "a b"), ("u2", "a b"), ("u3", "c")]
+    toks = ["a", "b", "c", "a", "b"]
+    want = {("u1", "a b"): 2, ("u2", "a b"): 2, ("u3", "c"): 1}
+    assert scan_tokens_py(_build_trie(rows), toks) == want
+    if _native_available():
+        from ontology_mapping_spark.native import NativeMatcher
+
+        # NativeMatcher applies the same canonicalization internally, so
+        # the messy input itself must already match the canonical trie
+        assert NativeMatcher(messy).scan_tokens(toks) == want
+
+
+def test_mentions_from_html_cnative_equals_trie(spark, fx, fx_dfs):
+    import pytest
+
+    from ontology_mapping_spark.operators.mentions import (
+        _native_available,
+        mentions_from_html,
+    )
+
+    if not _native_available():
+        pytest.skip("no C compiler on this host")
+    labels_df = extract_labels(fx_dfs["triples"])
+    phrases = label_phrases(labels_df).cache()
+    pages = fx_dfs["pages"]
+    a = {
+        (r["url"], r["uri"], r["surface"]): r["n_hits"]
+        for r in mentions_from_html(pages, phrases, kernel="trie").collect()
+    }
+    b = {
+        (r["url"], r["uri"], r["surface"]): r["n_hits"]
+        for r in mentions_from_html(pages, phrases, kernel="cnative").collect()
+    }
+    assert a == b and a
