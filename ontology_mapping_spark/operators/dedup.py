@@ -206,13 +206,16 @@ def near_dup_pairs_minhash(
         )
     # the shingle table feeds three plan branches (signatures + both
     # verification joins) — materialize it once or the corpus-wide
-    # normalize + shingling runs three times. localCheckpoint rather than
-    # persist: the blocks are freed by the ContextCleaner when the frame
-    # is garbage-collected, so repeated calls in a long-lived session
-    # don't leak executor storage (round-1 ADVICE).
-    sets_df = df.select(
-        F.col(id_col), token_shingles(F.col(text_col), shingle_n).alias("sh")
-    ).localCheckpoint(eager=True)
+    # normalize + shingling runs three times (session.materialize: leak-
+    # free by default, conf-switchable to reliable checkpoints for
+    # clusters with executor churn).
+    from ontology_mapping_spark.session import materialize
+
+    sets_df = materialize(
+        df.select(
+            F.col(id_col), token_shingles(F.col(text_col), shingle_n).alias("sh")
+        )
+    )
     sigs = sets_df.select(
         id_col, minhash_values(F.col("sh"), num_hashes).alias("sig")
     )

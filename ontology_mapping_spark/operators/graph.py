@@ -35,9 +35,13 @@ from pyspark.sql import functions as F
 
 def _cut(df: DataFrame) -> DataFrame:
     """Truncate lineage between fixpoint iterations (Spark re-plans the
-    whole iteration chain otherwise; localCheckpoint materializes to
-    executor storage without an external checkpoint dir)."""
-    return df.localCheckpoint(eager=True)
+    whole iteration chain otherwise). session.materialize: executor-local
+    blocks by default — no external checkpoint dir needed — with the
+    conf-switchable reliable-checkpoint mode for clusters where executor
+    loss mid-fixpoint must not fail the job."""
+    from ontology_mapping_spark.session import materialize
+
+    return materialize(df)
 
 
 def transitive_closure(edges: DataFrame, max_iters: int = 20) -> DataFrame:

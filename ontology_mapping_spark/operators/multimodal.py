@@ -2,12 +2,14 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extraction / resize / frame-sampling run as Arrow-batched
-``mapInPandas`` operators. The decode kernels themselves are STUBS in this
-container (no image/audio libraries): :func:`decode_image_real` raises
-``NotImplementedError`` with the integration note, and the default is a
-clearly-marked deterministic fake (md5-seeded feature vector) so the
-Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
-is real and fully tested.
+``mapInPandas`` operators. Image decode (:func:`decode_image_real`,
+``decoder="pillow"``) is implemented behind an optional Pillow import —
+absent in this container it raises ``NotImplementedError`` with the
+integration note and its test skips cleanly. The default decoder remains
+a clearly-marked deterministic fake (md5-seeded feature vector, exactly
+reproducible in SQL) so the Spark-side plumbing — schema, partitioning,
+UDF signature, batch shape — is real, oracle-verified, and fully tested
+with no image library present.
 """
 
 from __future__ import annotations
@@ -51,13 +53,51 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def decode_image_real(payload: bytes):
-    """Real decoder slot. Plug Pillow/torchvision here when the executor
-    image ships those libs (load once per executor at module level)."""
-    raise NotImplementedError(
-        "image decoding requires an image library not present in this "
-        "container; the deterministic fake below exercises the identical "
-        "Spark plumbing"
-    )
+    """Real image decode behind an optional Pillow import (the same seam
+    pattern as the spaCy embedder in functions/vectors.py): returns an
+    RGB float32 ndarray (H, W, 3) scaled to [0, 1]. On hosts without
+    Pillow this raises ``NotImplementedError`` with the integration note —
+    the deterministic fake below exercises the identical Spark plumbing
+    and remains the oracle default."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - exercised lib-less
+        raise NotImplementedError(
+            "image decoding requires Pillow, not present in this "
+            "container; the deterministic fake exercises the identical "
+            "Spark plumbing (install Pillow on the executor image to "
+            "activate this path — no other change needed)"
+        ) from exc
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(bytes(payload))) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
+
+
+def real_image_feature(payload: bytes | None, dim: int = 16) -> list[float]:
+    """Pillow-backed decode -> pooled-pixel feature: the image is decoded,
+    average-pooled onto a fixed grid of ``dim`` cells (row-major over a
+    near-square grid), and each cell's mean intensity becomes one lane.
+    Deterministic for a given payload; same signature/batch shape as
+    :func:`fake_feature`, so the two decoders are drop-in swaps."""
+    if payload is None:
+        return [0.0] * dim
+    import numpy as np
+
+    arr = decode_image_real(payload).mean(axis=2)  # (H, W) intensity
+    rows = max(int(dim**0.5), 1)
+    cols = (dim + rows - 1) // rows
+    h, w = arr.shape
+    out: list[float] = []
+    for j in range(dim):
+        r, c = divmod(j, cols)
+        rs, re = (h * r) // rows, max((h * (r + 1)) // rows, (h * r) // rows + 1)
+        cs, ce = (w * c) // cols, max((w * (c + 1)) // cols, (w * c) // cols + 1)
+        cell = arr[min(rs, h - 1) : min(re, h), min(cs, w - 1) : min(ce, w)]
+        out.append(float(cell.mean()) if cell.size else 0.0)
+    return out
 
 
 def fake_feature(payload: bytes | None, dim: int = 16) -> list[float]:
@@ -81,12 +121,20 @@ def fake_feature(payload: bytes | None, dim: int = 16) -> list[float]:
     return out
 
 
-def extract_media_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """binary payload -> feature vector, one Arrow batch at a time."""
+def extract_media_features(
+    media: DataFrame, dim: int = 16, decoder: str = "fake"
+) -> DataFrame:
+    """binary payload -> feature vector, one Arrow batch at a time.
+
+    ``decoder``: "fake" (deterministic md5 lanes — the SQL-reproducible
+    oracle default) or "pillow" (:func:`real_image_feature`; requires
+    Pillow on the executors, raising ``NotImplementedError`` per batch
+    otherwise)."""
+    kernel = {"fake": fake_feature, "pillow": real_image_feature}[decoder]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [fake_feature(p, dim) for p in pdf["payload"]]
+            feats = [kernel(p, dim) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

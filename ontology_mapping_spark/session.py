@@ -54,3 +54,31 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def materialize(df):
+    """Materialize a reused intermediate and cut its lineage.
+
+    Default is ``localCheckpoint(eager=True)``: blocks are freed by the
+    ContextCleaner when the frame is garbage-collected (no storage leak in
+    long-lived sessions — round-1 ADVICE), but they are EXECUTOR-LOCAL and
+    NON-REPLICATED, so on a real cluster losing an executor mid-job makes
+    those partitions unrecomputable and fails (then retries) the job — a
+    deliberate speed-vs-fault-tolerance tradeoff that is the right default
+    for dedicated executors (round-2 ADVICE made the tradeoff explicit).
+
+    For clusters with expected executor churn (spot/preemptible nodes), set
+    ``spark.ontology_mapping.materialize=reliable`` AND a checkpoint dir
+    (``sc.setCheckpointDir`` on durable shared storage): intermediates are
+    then written as reliable checkpoints that survive executor loss, at the
+    cost of a write to shared storage per materialization.
+    """
+    mode = df.sparkSession.conf.get("spark.ontology_mapping.materialize", "local")
+    if mode == "reliable":
+        return df.checkpoint(eager=True)
+    if mode != "local":
+        raise ValueError(
+            f"spark.ontology_mapping.materialize must be 'local' or "
+            f"'reliable', got {mode!r}"
+        )
+    return df.localCheckpoint(eager=True)

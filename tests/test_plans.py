@@ -149,3 +149,26 @@ def test_stage_runner_catalog_writer_shape(tmp_path):
                                partition_by=["side"])
     assert not built and out2 is written
     assert runner2.events == [("labels", "skipped")]
+
+
+def test_materialize_modes(spark, tmp_path):
+    # default = executor-local blocks; 'reliable' = real checkpoint files
+    # in the configured dir (the churn-tolerant cluster mode); anything
+    # else fails loudly
+    import pytest
+
+    from ontology_mapping_spark.session import materialize
+
+    assert materialize(spark.range(10)).count() == 10
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    spark.conf.set("spark.ontology_mapping.materialize", "reliable")
+    try:
+        assert materialize(spark.range(5)).count() == 5
+        import os
+
+        assert any(os.scandir(tmp_path / "ckpt"))  # files actually written
+        spark.conf.set("spark.ontology_mapping.materialize", "bogus")
+        with pytest.raises(ValueError):
+            materialize(spark.range(1))
+    finally:
+        spark.conf.set("spark.ontology_mapping.materialize", "local")

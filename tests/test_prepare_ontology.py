@@ -144,3 +144,100 @@ def test_parse_ontology_dispatch(tmp_path):
     p.write_text(TGT_OWL)
     got = list(parse_ontology(str(p)))
     assert ("http://tgt/Lung", "rdfs:subClassOf", "http://tgt/BodyPart", None) in got
+
+
+# ---- OAEI-scale shape: ~100 MB striped OWL, constant memory (round 3) ----
+
+_BIG_OWL_HEADER = (
+    '<?xml version="1.0"?>\n'
+    '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"\n'
+    '         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"\n'
+    '         xmlns:owl="http://www.w3.org/2002/07/owl#"\n'
+    '         xmlns:obo="http://www.geneontology.org/formats/oboInOwl#">\n'
+)
+
+_BIG_OWL_CLASS = (
+    '  <owl:Class rdf:about="http://big/C%d">\n'
+    '    <rdfs:label xml:lang="en">concept %d of the synthetic terminology '
+    "with a realistically verbose clinical-style preferred term</rdfs:label>\n"
+    '    <obo:hasExactSynonym>synonym %d padded with enough descriptive '
+    "filler text to emulate an OAEI-class ontology body</obo:hasExactSynonym>\n"
+    '    <rdfs:subClassOf rdf:resource="http://big/C%d"/>\n'
+    "    <rdfs:subClassOf>\n"
+    "      <owl:Restriction>\n"
+    '        <owl:onProperty rdf:resource="http://big/partOf"/>\n'
+    '        <owl:someValuesFrom rdf:resource="http://big/C%d"/>\n'
+    "      </owl:Restriction>\n"
+    "    </rdfs:subClassOf>\n"
+    "  </owl:Class>\n"
+)
+
+
+def write_big_owl(path: str, n_classes: int) -> None:
+    """Stream a striped-syntax OWL body with blank-node restrictions to
+    disk in constant memory (the writer must not be the thing that
+    allocates 100 MB either)."""
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(_BIG_OWL_HEADER)
+        for i in range(n_classes):
+            f.write(_BIG_OWL_CLASS % (i, i, i, i // 2, (i * 7) % n_classes))
+        f.write("</rdf:RDF>\n")
+
+
+_BIG_PARSE_DRIVER = """
+import json, resource, sys
+sys.path.insert(0, "/root/repo")
+from tools.prepare_ontology import parse_rdfxml
+counts = {}
+for s, p, o, lang in parse_rdfxml(sys.argv[1]):
+    counts[p] = counts.get(p, 0) + 1
+peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+print(json.dumps({"counts": counts, "peak_mb": peak_mb}))
+"""
+
+
+def test_big_owl_constant_memory(tmp_path):
+    """~100 MB OWL through the fallback parser in a fresh subprocess:
+    triple counts exact, peak RSS bounded far below the document size
+    (a DOM-building parse holds >= 5x the file; streaming holds ~none)."""
+    import json
+    import os
+    import subprocess
+
+    n = 150_000
+    owl = tmp_path / "big.owl"
+    write_big_owl(str(owl), n)
+    size_mb = os.path.getsize(owl) / 1e6
+    assert size_mb > 90, f"generator produced only {size_mb:.0f} MB"
+    out = subprocess.run(
+        [sys.executable, "-c", _BIG_PARSE_DRIVER, str(owl)],
+        capture_output=True,
+        text=True,
+        check=True,
+        timeout=300,
+    )
+    r = json.loads(out.stdout)
+    # every class: 1 type + 1 label + 1 synonym + 1 resource subClassOf;
+    # the restriction blank node under the second subClassOf yields none
+    assert r["counts"]["http://www.w3.org/1999/02/22-rdf-syntax-ns#type"] == n
+    assert r["counts"]["rdfs:label"] == n
+    assert r["counts"]["obo:hasExactSynonym"] == n
+    assert r["counts"]["rdfs:subClassOf"] == n
+    assert sum(r["counts"].values()) == 4 * n
+    assert r["peak_mb"] < 300, (
+        f"peak RSS {r['peak_mb']:.0f} MB for a {size_mb:.0f} MB document — "
+        "the streaming parse is holding the tree"
+    )
+
+
+def test_prepare_ontologies_parallelism_is_per_file(spark, tmp_path):
+    # one unsplittable XML file = one task: N files must land in N
+    # partitions of the parse stage
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"o{i}.owl"
+        write_big_owl(str(p), 5)
+        paths.append((str(p), "src" if i == 0 else "tgt"))
+    df = prepare_ontologies(spark, paths)
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 3 * 5 * 4

@@ -172,8 +172,50 @@ def test_multimodal_plumbing(spark):
     assert {(r["media_id"], r["frame_idx"]) for r in frames} == {
         ("m2", 0), ("m2", 1), ("m2", 2), ("m2", 3)
     }
-    with pytest.raises(NotImplementedError):
-        decode_image_real(b"x")
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        # lib-less host: the real-decode seam must fail loudly with the
+        # integration note, not with a bare ImportError mid-task
+        with pytest.raises(NotImplementedError):
+            decode_image_real(b"x")
+
+
+def _tiny_png(px):
+    """Minimal in-memory PNG via Pillow (callers importorskip first)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.asarray(px, dtype="uint8")).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_pillow_decode_seam(spark):
+    # exercised only where Pillow ships; skips cleanly in this container
+    pytest.importorskip("PIL")
+    import numpy as np
+
+    from ontology_mapping_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        real_image_feature,
+    )
+
+    px = np.zeros((8, 8, 3), dtype="uint8")
+    px[:4] = 255  # top half white, bottom black
+    payload = _tiny_png(px)
+    arr = decode_image_real(payload)
+    assert arr.shape == (8, 8, 3) and arr.max() <= 1.0
+    feat = real_image_feature(payload, dim=4)
+    assert len(feat) == 4 and feat[0] > 0.9 and feat[3] < 0.1
+    rows = [("p1", "image", bytearray(payload), ("image/png", 8, 8, None))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = extract_media_features(media, dim=4, decoder="pillow").collect()
+    assert [round(v, 5) for v in got[0]["feature"]] == [
+        round(v, 5) for v in feat
+    ]
 
 
 def test_frequent_phrase_mentions_forms_agree(spark):

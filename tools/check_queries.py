@@ -115,7 +115,13 @@ def main():
         else:
             print(f"PASS {name}: {len(gv)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    import __spark_entry__ as _e
+
+    print(
+        f"\n{n_pass} pass, {n_fail} fail "
+        f"(registry {len(_q.registry())} queries; driver catalog "
+        f"{len(_e.queries())} with {len(_e.oracle_sql())} oracles)"
+    )
     spark.stop()
     return 1 if n_fail else 0
 
