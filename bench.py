@@ -297,7 +297,9 @@ def main() -> None:
         # phases (same job measured 2-4x apart), so back-to-back reps of
         # one level would bias the ratio. In-session reps amortize the
         # ~20s JVM startup; min-of-runs estimates the achievable rate.
+        per_pass: list[dict] = []
         for _ in range(passes):
+            pass_r: dict = {}
             for c in levels:
                 env = dict(
                     os.environ,
@@ -319,10 +321,24 @@ def main() -> None:
                     check=True,
                 )
                 r = json.loads(out.stdout.strip().splitlines()[-1])
+                pass_r[c] = r
                 if c not in results or r["value"] < results[c]["value"]:
                     results[c] = r
+            per_pass.append(pass_r)
         lo, hi = levels[0], levels[-1]
         ratio = int(hi) / int(lo)
+        # paired-within-a-pass efficiency: the lo and hi samples of one
+        # pass run minutes apart, so a multi-minute host slow phase hits
+        # both sides of the pair roughly equally; best-of-level aggregates
+        # can pair a healthy lo with a degraded hi (observed: 0.439 from
+        # exactly that mix while the same session's burn control read
+        # 2.5x nominal). Report both, with every burn sample, so a reader
+        # can host-normalize the ratio itself.
+        pass_effs = [
+            round((p[lo]["value"] / p[hi]["value"]) / ratio, 3)
+            for p in per_pass
+            if p.get(hi, {}).get("value")
+        ]
         t_lo, t_hi = results[lo]["value"], results[hi]["value"]
         eff = (t_lo / t_hi) / ratio if t_hi > 0 else 0.0
         print(
@@ -336,6 +352,12 @@ def main() -> None:
                     f"pages_per_sec_local{hi}": results[hi]["pages_per_sec"],
                     "speedup": round(t_lo / t_hi, 3),
                     f"efficiency_vs_{int(ratio)}x": round(eff, 3),
+                    "efficiency_per_pass": pass_effs,
+                    "efficiency_best_pass": max(pass_effs) if pass_effs else None,
+                    "py_burn_secs": {
+                        c: [p[c]["py_burn_sec"] for p in per_pass if c in p]
+                        for c in levels
+                    },
                 }
             )
         )
