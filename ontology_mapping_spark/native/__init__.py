@@ -105,10 +105,139 @@ def load_acscan():
         ]
         lib.ac_scan_multi_fold.restype = ctypes.c_int64
         lib.ac_scan_multi_fold.argtypes = lib.ac_scan_multi.argtypes
+        lib.ent_build.restype = ctypes.c_void_p
+        lib.ent_build.argtypes = [
+            ctypes.c_char_p,                      # names buf
+            ctypes.POINTER(ctypes.c_int64),       # name offs
+            ctypes.c_char_p,                      # repls buf
+            ctypes.POINTER(ctypes.c_int64),       # repl offs
+            ctypes.c_char_p,                      # eflags
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),       # charref nums (sorted)
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),       # invalid cps (sorted)
+            ctypes.c_int32,
+        ]
+        lib.ent_free.restype = None
+        lib.ent_free.argtypes = [ctypes.c_void_p]
+        lib.ac_scan_multi_html.restype = ctypes.c_int64
+        lib.ac_scan_multi_html.argtypes = [
+            ctypes.c_void_p,                      # AC
+            ctypes.c_void_p,                      # EntTable
+            ctypes.c_void_p,                      # html buf (bytes or address)
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),       # per-page flags
+        ]
+        lib.extract_fold_debug.restype = ctypes.c_int64
+        lib.extract_fold_debug.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _LIB = lib
     except OSError:
         _LIB = None
     return _LIB
+
+
+_ENT = None
+_ENT_TRIED = False
+
+
+def load_entity_table():
+    """Process-lifetime EntTable handle for the C HTML path, or None.
+
+    Built from THIS interpreter's ``html`` module tables (html5 named
+    entities, _invalid_charrefs, _invalid_codepoints), so the C decoder
+    can never drift from the Python ``html.unescape`` the golden tests
+    pin — the replacement for each entity is precomputed as its FOLD
+    EFFECT: bytes in [a-z0-9] emit into the token stream, 0x20 is a
+    separator, and entities whose value str.lower()s into ASCII alnums
+    from a non-ASCII char (exactly ``Idot;`` -> U+0130) carry a flag
+    that routes the page to the Python path."""
+    global _ENT, _ENT_TRIED
+    if _ENT_TRIED:
+        return _ENT
+    _ENT_TRIED = True
+    lib = load_acscan()
+    if lib is None:
+        return None
+    import html as _html
+    from html.entities import html5
+
+    import numpy as np
+
+    names, repls, eflags = [], [], []
+    for key, val in html5.items():
+        fold = bytearray()
+        fl = 0
+        for ch in val:
+            o = ord(ch)
+            if 0x61 <= o <= 0x7A or 0x30 <= o <= 0x39:
+                fold.append(o)
+            elif 0x41 <= o <= 0x5A:
+                fold.append(o + 32)
+            elif o in (0x130, 0x212A):
+                fl = 1
+            else:
+                fold.append(0x20)
+        names.append(key.encode("ascii"))
+        repls.append(bytes(fold))
+        eflags.append(fl)
+    nbuf = b"".join(names)
+    rbuf = b"".join(repls)
+    noffs = np.zeros(len(names) + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in names], out=noffs[1:])
+    roffs = np.zeros(len(repls) + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in repls], out=roffs[1:])
+    charrefs = np.array(sorted(_html._invalid_charrefs), dtype=np.int32)
+    invalid = np.array(sorted(_html._invalid_codepoints), dtype=np.int32)
+    # contract check: every charref value must fold to pure separators
+    # (the C table only records membership) — true for the whole
+    # windows-1252 map, asserted so a stdlib change can't silently skew
+    for v in _html._invalid_charrefs.values():
+        assert not any(
+            (c.isascii() and c.isalnum())
+            or (ord(c) >= 128 and any(x.isascii() and x.isalnum() for x in c.lower()))
+            for c in v
+        ), "charref value no longer separator-only; regenerate C tables"
+    handle = lib.ent_build(
+        nbuf,
+        noffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        rbuf,
+        roffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        bytes(eflags),
+        ctypes.c_int32(len(names)),
+        charrefs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(len(charrefs)),
+        invalid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(len(invalid)),
+    )
+    _ENT = ctypes.c_void_p(handle) if handle else None
+    return _ENT
+
+
+def extract_fold_debug(html: bytes) -> tuple[bytes | None, bool]:
+    """(folded token stream, flagged) via the C extractor — the
+    equivalence-test window onto the exact bytes the scan consumes.
+    Returns (None, True) when the page is flagged for the Python path."""
+    lib = load_acscan()
+    ent = load_entity_table()
+    if lib is None or ent is None:
+        raise RuntimeError("native extractor unavailable")
+    out = ctypes.create_string_buffer(max(len(html), 1))
+    flagged = ctypes.c_int32(0)
+    n = lib.extract_fold_debug(
+        ent, html, ctypes.c_int64(len(html)), out, ctypes.byref(flagged)
+    )
+    if flagged.value:
+        return None, True
+    return out.raw[: int(n)], False
 
 
 class NativeMatcher:
@@ -232,6 +361,100 @@ class NativeMatcher:
             z = np.zeros(0, dtype=np.int64)
             return z, z.copy(), z.copy()
         return self._scan_concat(texts, self._lib.ac_scan_multi_fold)
+
+    def _scan_html_raw(self, buf_arg, offs, n_pages):
+        """One ``ac_scan_multi_html`` call (retry on cap overflow):
+        returns (pairs int64 (k, 2), flags uint8[n_pages])."""
+        np = self._np
+        ent = load_entity_table()
+        flags = np.zeros(n_pages, dtype=np.uint8)
+        cap = max(4 * n_pages, 4096)
+        while True:
+            out = np.empty(2 * cap, dtype=np.int32)
+            flags[:] = 0
+            n = self._lib.ac_scan_multi_html(
+                self._ac,
+                ent,
+                buf_arg,
+                offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_int32(n_pages),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_int64(cap),
+                flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+            if n < 0:
+                raise MemoryError("ac_scan_multi_html scratch allocation failed")
+            if n <= cap:
+                break
+            cap = int(n)
+        return out[: 2 * n].reshape(-1, 2).astype(np.int64), flags
+
+    def supports_html(self) -> bool:
+        return load_entity_table() is not None
+
+    def scan_batch_hits_html(self, htmls):
+        """[raw html bytes per page] OR a pyarrow binary/string Array ->
+        unique (page_idx, pat_idx, counts). The WHOLE per-page path —
+        comment strip, boilerplate strip, tag strip, entity decode,
+        case-fold, tokenize, match — is one C call per batch; with an
+        Arrow array the page bytes are consumed zero-copy from the Arrow
+        data buffer (no to_pylist, no join). Pages the C extractor flags
+        as ambiguous (non-ASCII near a boiler name, U+0130/U+212A,
+        ``&Idot;`` — see acscan.c) are re-run through the Python
+        extraction path (textnorm.foldable_text_from_html_py) in a second
+        small C call, so results are exactly the Python pipeline's."""
+        np = self._np
+        n_pages = len(htmls)
+        if self._n == 0 or n_pages == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        arr = None
+        if not isinstance(htmls, (list, tuple)):
+            import pyarrow as pa
+
+            arr = htmls
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if arr.null_count or arr.buffers()[2] is None:
+                htmls = arr.to_pylist()
+                arr = None
+        if arr is not None:
+            import pyarrow as pa
+
+            bufs = arr.buffers()
+            if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type):
+                offs = np.frombuffer(
+                    bufs[1], dtype=np.int64, count=n_pages + 1, offset=arr.offset * 8
+                ).copy()
+            else:
+                offs = np.frombuffer(
+                    bufs[1], dtype=np.int32, count=n_pages + 1, offset=arr.offset * 4
+                ).astype(np.int64)
+            buf_arg = ctypes.c_void_p(bufs[2].address)
+        else:
+            parts = [h if h is not None else b"" for h in htmls]
+            offs = np.zeros(n_pages + 1, dtype=np.int64)
+            np.cumsum([len(p) for p in parts], out=offs[1:])
+            buf_arg = b"".join(parts)
+        pairs, flags = self._scan_html_raw(buf_arg, offs, n_pages)
+        combo = pairs[:, 0] * (self._n + 1) + pairs[:, 1]
+        uniq, counts = np.unique(combo, return_counts=True)
+        page_idx = uniq // (self._n + 1)
+        pat_idx = uniq % (self._n + 1)
+        flagged = np.nonzero(flags)[0]
+        if flagged.size:
+            from ontology_mapping_spark.textnorm import foldable_text_from_html_py
+
+            if arr is not None:
+                get = lambda i: arr[int(i)].as_py()  # noqa: E731
+            else:
+                get = lambda i: htmls[int(i)]  # noqa: E731
+            texts = [foldable_text_from_html_py(get(i)) for i in flagged]
+            p2, pat2, cnt2 = self._scan_concat(texts, self._lib.ac_scan_multi_fold)
+            page_idx = np.concatenate([page_idx, flagged[p2]])
+            pat_idx = np.concatenate([pat_idx, pat2])
+            counts = np.concatenate([counts, cnt2])
+        return page_idx, pat_idx, counts
 
     def expand_hits(self, page_idx, pat_idx, counts):
         """Vectorized (uri, surface) fan-out of unique (page, pattern) hits:

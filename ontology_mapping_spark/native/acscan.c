@@ -328,3 +328,544 @@ int64_t ac_scan_multi_fold(const AC *ac, const uint8_t *buf,
 }
 
 #undef AC_FEED
+
+/* ================================================================== */
+/* HTML extraction in C: the full per-page path — comment strip,
+ * boilerplate-container strip, tag strip, entity decode, case-fold,
+ * tokenize, match — with zero per-page Python.
+ *
+ * Token-stream contract (NOT byte-stream): the output fed to the
+ * automaton must equal " " + " ".join(tokens_from_html_py(html)) + " "
+ * (textnorm.py) — i.e. the [a-z0-9]+ runs of the lowered text of
+ * comment-stripped, boiler-stripped, tag-stripped, html.unescape()d
+ * input. Because only alnum runs survive, every construct that merely
+ * chooses WHICH separator to emit is free; the hard parts are (a) which
+ * spans are visible text at all and (b) entity decodes that emit alnums
+ * (&#65; -> 'a', &fjlig; -> "fj") or join neighbors (&#1; -> '').
+ *
+ * Anything whose Python semantics cannot be decided byte-wise flags the
+ * page (flags[t] = 1, its pairs are rewound) and the caller re-runs just
+ * that page through the Python path:
+ *   - a non-ASCII byte inside a boiler-name window while the ASCII
+ *     prefix so far could still extend to a boiler name (re.IGNORECASE
+ *     has exotic pairs like U+017F~'s'; \b depends on unicode word
+ *     chars; \s includes U+0085/U+00A0/...),
+ *   - U+0130 / U+212A in visible text (str.lower() introduces ASCII
+ *     alnums — same two code points textnorm._EXOTIC_LOWER routes),
+ *   - an entity decoding to one of those (&Idot; or numeric).
+ *
+ * Python-pass replication notes (html.unescape, CPython html/__init__.py):
+ *   - comments first (<!--.*?-->, unterminated -> literal), then boiler
+ *     containers (<(script|...)\b[^>]*>.*?</\1\s*>, nearest closer,
+ *     no-closer -> no match), then tags (<[^>]+>), then entities.
+ *   - the boiler pass is GLOBAL — an opener inside another tag's
+ *     attribute region still matches (verified fixture: pass 2 runs on
+ *     the comment-stripped bytes before any tag logic).
+ *   - named entity: candidate [^\t\n\f <&#;]{1,32};? then longest-prefix
+ *     against html5 (keys with and without ';'); miss -> '&'+s literal.
+ *   - numeric: charref map (windows-1252, all fold to separators) ->
+ *     surrogate/overflow FFFD -> invalid-codepoint set '' (EMITS
+ *     NOTHING, joins neighbors) -> chr(num).
+ */
+
+typedef struct {
+    /* open-addressing entity hash: key bytes (may end with ';') */
+    int64_t *slots;       /* index into entry arrays + 1, 0 = empty */
+    int64_t  cap, mask;
+    uint8_t *names;       /* concatenated key bytes */
+    int64_t *name_offs;   /* n+1 */
+    uint8_t *repls;       /* concatenated folded replacements */
+    int64_t *repl_offs;   /* n+1 */
+    uint8_t *eflags;      /* 1 = decoding flags the page (Idot;) */
+    int32_t  n;
+    int32_t *charref_nums;   /* sorted, values all fold to separator */
+    int32_t  n_charref;
+    int32_t *invalid_cp;     /* sorted, replacement is '' */
+    int32_t  n_invalid;
+} EntTable;
+
+static uint64_t fnv1a(const uint8_t *s, int64_t n) {
+    uint64_t h = 1469598103934665603ULL;
+    for (int64_t i = 0; i < n; i++) { h ^= s[i]; h *= 1099511628211ULL; }
+    return h;
+}
+
+void ent_free(EntTable *et) {
+    if (!et) return;
+    free(et->slots); free(et->names); free(et->name_offs);
+    free(et->repls); free(et->repl_offs); free(et->eflags);
+    free(et->charref_nums); free(et->invalid_cp); free(et);
+}
+
+EntTable *ent_build(const uint8_t *names, const int64_t *name_offs,
+                    const uint8_t *repls, const int64_t *repl_offs,
+                    const uint8_t *eflags, int32_t n,
+                    const int32_t *charref_nums, int32_t n_charref,
+                    const int32_t *invalid_cp, int32_t n_invalid) {
+    EntTable *et = (EntTable *)calloc(1, sizeof(EntTable));
+    if (!et) return NULL;
+    int64_t cap = 16;
+    while (cap < 4 * (int64_t)(n + 1)) cap <<= 1;
+    et->cap = cap; et->mask = cap - 1;
+    et->slots = (int64_t *)calloc(cap, sizeof(int64_t));
+    int64_t nb = name_offs[n], rb = repl_offs[n];
+    et->names = (uint8_t *)malloc(nb ? nb : 1);
+    et->name_offs = (int64_t *)malloc((n + 1) * sizeof(int64_t));
+    et->repls = (uint8_t *)malloc(rb ? rb : 1);
+    et->repl_offs = (int64_t *)malloc((n + 1) * sizeof(int64_t));
+    et->eflags = (uint8_t *)malloc(n ? n : 1);
+    et->charref_nums = (int32_t *)malloc((n_charref ? n_charref : 1) * sizeof(int32_t));
+    et->invalid_cp = (int32_t *)malloc((n_invalid ? n_invalid : 1) * sizeof(int32_t));
+    if (!et->slots || !et->names || !et->name_offs || !et->repls ||
+        !et->repl_offs || !et->eflags || !et->charref_nums || !et->invalid_cp) {
+        ent_free(et); return NULL;
+    }
+    memcpy(et->names, names, nb);
+    memcpy(et->name_offs, name_offs, (n + 1) * sizeof(int64_t));
+    memcpy(et->repls, repls, rb);
+    memcpy(et->repl_offs, repl_offs, (n + 1) * sizeof(int64_t));
+    memcpy(et->eflags, eflags, n);
+    memcpy(et->charref_nums, charref_nums, n_charref * sizeof(int32_t));
+    memcpy(et->invalid_cp, invalid_cp, n_invalid * sizeof(int32_t));
+    et->n = n; et->n_charref = n_charref; et->n_invalid = n_invalid;
+    for (int32_t e = 0; e < n; e++) {
+        const uint8_t *k = et->names + et->name_offs[e];
+        int64_t kl = et->name_offs[e + 1] - et->name_offs[e];
+        int64_t i = fnv1a(k, kl) & et->mask;
+        while (et->slots[i]) i = (i + 1) & et->mask;
+        et->slots[i] = e + 1;
+    }
+    return et;
+}
+
+/* lookup name[0..nlen) + (semi ? ";" : "") -> entry idx or -1 */
+static int32_t ent_lookup(const EntTable *et, const uint8_t *name,
+                          int64_t nlen, int semi) {
+    uint64_t h = fnv1a(name, nlen);
+    if (semi) { h ^= (uint8_t)';'; h *= 1099511628211ULL; }
+    int64_t want = nlen + (semi ? 1 : 0);
+    int64_t i = h & et->mask;
+    while (et->slots[i]) {
+        int32_t e = (int32_t)(et->slots[i] - 1);
+        const uint8_t *k = et->names + et->name_offs[e];
+        int64_t kl = et->name_offs[e + 1] - et->name_offs[e];
+        if (kl == want && !memcmp(k, name, nlen) &&
+            (!semi || k[nlen] == ';'))
+            return e;
+        i = (i + 1) & et->mask;
+    }
+    return -1;
+}
+
+static int i32_member(const int32_t *a, int32_t n, int64_t v) {
+    int32_t lo = 0, hi = n - 1;
+    while (lo <= hi) {
+        int32_t mid = (lo + hi) >> 1;
+        if (a[mid] == v) return 1;
+        if (a[mid] < v) lo = mid + 1; else hi = mid - 1;
+    }
+    return 0;
+}
+
+/* ---- fold sink: match mode feeds the automaton with virtual pads
+ * (same contract as ac_scan_multi_fold); debug mode writes the joined
+ * token stream for the equivalence tests. ---- */
+typedef struct {
+    const AC *ac;
+    int32_t state, t;
+    int32_t *out;
+    int64_t cap, n;
+    int pending_sep, emitted;
+    uint8_t *dbg;          /* debug mode when non-NULL */
+    int64_t dbg_n;
+} Sink;
+
+static inline void sink_feed(Sink *sk, uint8_t c_) {
+    const AC *ac = sk->ac;
+    int32_t state = sk->state, g_;
+    for (;;) {
+        g_ = (state == 0)       ? (c_ == ' ' ? ac->s1 : 0)
+             : (state == ac->s1) ? ac->s1_next[c_]
+                                 : ht_get(ac, state, c_);
+        if (g_ > 0) { state = g_; break; }
+        if (state == 0) break;
+        state = ac->fail[state];
+    }
+    if (g_ > 0) {
+        int32_t u_ = state;
+        if (ac->out[u_] >= 0) {
+            if (sk->n < sk->cap) {
+                sk->out[2 * sk->n] = sk->t;
+                sk->out[2 * sk->n + 1] = ac->out[u_];
+            }
+            sk->n++;
+        }
+        u_ = ac->olink[u_];
+        while (u_ >= 0) {
+            if (sk->n < sk->cap) {
+                sk->out[2 * sk->n] = sk->t;
+                sk->out[2 * sk->n + 1] = ac->out[u_];
+            }
+            sk->n++;
+            u_ = ac->olink[u_];
+        }
+    } else {
+        state = 0;
+    }
+    sk->state = state;
+}
+
+static inline void sink_alnum(Sink *sk, uint8_t c) {
+    if (sk->dbg) {
+        if (sk->pending_sep && sk->emitted) sk->dbg[sk->dbg_n++] = ' ';
+        sk->pending_sep = 0;
+        sk->dbg[sk->dbg_n++] = c;
+        sk->emitted = 1;
+        return;
+    }
+    if (sk->state == 0 && !sk->pending_sep) {
+        /* at root mid-token: patterns start with ' ', nothing can begin
+         * before the next boundary */
+        sk->emitted = 1;
+        return;
+    }
+    if (sk->pending_sep) { sink_feed(sk, ' '); sk->pending_sep = 0; }
+    sink_feed(sk, c);
+    sk->emitted = 1;
+}
+
+static inline void sink_sep(Sink *sk) { sk->pending_sep = 1; }
+
+static inline void sink_finish(Sink *sk) {
+    if (!sk->dbg && sk->emitted) sink_feed(sk, ' '); /* trailing pad */
+}
+
+/* ---- pass 1: <!--.*?--> -> ' ' (unterminated -> literal rest) ---- */
+static int64_t strip_comments(const uint8_t *in, int64_t len, uint8_t *out) {
+    int64_t o = 0, i = 0;
+    while (i < len) {
+        const uint8_t *p = in + i;
+        const uint8_t *lt;
+        int64_t pos = -1;
+        while ((lt = memchr(p, '<', len - (p - in))) != NULL) {
+            int64_t q = lt - in;
+            if (q + 4 <= len && lt[1] == '!' && lt[2] == '-' && lt[3] == '-') {
+                pos = q; break;
+            }
+            p = lt + 1;
+        }
+        if (pos < 0) break;
+        /* nearest "-->" from pos+4 */
+        const uint8_t *d = in + pos + 4;
+        int64_t close = -1;
+        while ((d = memchr(d, '-', len - (d - in))) != NULL) {
+            int64_t q = d - in;
+            if (q + 3 <= len) {
+                if (d[1] == '-' && d[2] == '>') { close = q; break; }
+            } else break;
+            d++;
+        }
+        if (close < 0) break; /* unterminated: literal rest */
+        memcpy(out + o, in + i, pos - i); o += pos - i;
+        out[o++] = ' ';
+        i = close + 3;
+    }
+    memcpy(out + o, in + i, len - i); o += len - i;
+    return o;
+}
+
+/* ---- pass 2: boiler containers -> ' ' ---- */
+static const char *const BOILER_NAMES[8] = {
+    "script", "style", "nav", "header", "footer", "aside", "noscript", "title"
+};
+static const int BOILER_LEN[8] = {6, 5, 3, 6, 6, 5, 8, 5};
+
+static int boiler_prefix_live(const uint8_t *low, int nl) {
+    for (int k = 0; k < 8; k++)
+        if (nl <= BOILER_LEN[k] && !memcmp(low, BOILER_NAMES[k], nl))
+            return 1;
+    return 0;
+}
+
+/* at s[pos]=='<': 0 = not a boiler open, k+1 = boiler k opens here,
+ * -1 = flag (non-ASCII in a live name window: IGNORECASE/\b ambiguity) */
+static int boiler_open_at(const uint8_t *s, int64_t len, int64_t pos) {
+    uint8_t low[9];
+    int nl = 0;
+    int64_t j = pos + 1;
+    while (j < len && nl < 9) {
+        uint8_t c = s[j];
+        if (c >= 'A' && c <= 'Z') c += 32;
+        if (c >= 'a' && c <= 'z') { low[nl++] = c; j++; continue; }
+        if (c >= 0x80) return boiler_prefix_live(low, nl) ? -1 : 0;
+        break;
+    }
+    if (nl == 0 || nl > 8 || j >= len) return 0; /* 9+ letters: \b fails for
+        every complete name; name+EOF: no '>' can follow -> no match */
+    for (int k = 0; k < 8; k++) {
+        if (nl == BOILER_LEN[k] && !memcmp(low, BOILER_NAMES[k], nl)) {
+            uint8_t b = s[j]; /* ASCII non-letter here */
+            if ((b >= '0' && b <= '9') || b == '_') return 0; /* \b fails */
+            return k + 1;
+        }
+    }
+    return 0;
+}
+
+static int is_ascii_space(uint8_t c) {
+    return (c >= 0x09 && c <= 0x0D) || (c >= 0x1C && c <= 0x1F) || c == 0x20;
+}
+
+static int64_t strip_boiler(const uint8_t *s, int64_t len, uint8_t *out,
+                            int *flag) {
+    int64_t o = 0, i = 0, seg = 0;
+    while (i < len) {
+        const uint8_t *lt = memchr(s + i, '<', len - i);
+        if (!lt) break;
+        int64_t pos = lt - s;
+        int r = boiler_open_at(s, len, pos);
+        if (r < 0) { *flag = 1; return 0; }
+        if (r == 0) { i = pos + 1; continue; }
+        int k = r - 1;
+        int nl = BOILER_LEN[k];
+        const uint8_t *gt = memchr(s + pos + 1 + nl, '>', len - pos - 1 - nl);
+        if (!gt) { i = pos + 1; continue; } /* [^>]*> can't complete */
+        int64_t body = (gt - s) + 1;
+        int64_t c = body, close_end = -1;
+        while (c < len) {
+            const uint8_t *l2 = memchr(s + c, '<', len - c);
+            if (!l2) break;
+            int64_t p2 = l2 - s;
+            if (p2 + 1 >= len) break;
+            if (s[p2 + 1] != '/') { c = p2 + 1; continue; }
+            int64_t q = p2 + 2;
+            int m = 0, dead = 0;
+            while (q < len && m < nl) {
+                uint8_t ch = s[q];
+                if (ch >= 0x80) { *flag = 1; return 0; } /* live-prefix zone */
+                if (ch >= 'A' && ch <= 'Z') ch += 32;
+                if (ch != (uint8_t)BOILER_NAMES[k][m]) { dead = 1; break; }
+                m++; q++;
+            }
+            if (dead || m < nl) { c = p2 + 1; continue; }
+            while (q < len && is_ascii_space(s[q])) q++;
+            if (q < len && s[q] >= 0x80) { *flag = 1; return 0; } /* \s ambiguity */
+            if (q < len && s[q] == '>') { close_end = q + 1; break; }
+            c = p2 + 1;
+        }
+        if (close_end < 0) { i = pos + 1; continue; } /* .*?</\1\s*> fails */
+        memcpy(out + o, s + seg, pos - seg); o += pos - seg;
+        out[o++] = ' ';
+        seg = close_end;
+        i = close_end;
+    }
+    memcpy(out + o, s + seg, len - seg); o += len - seg;
+    return o;
+}
+
+/* ---- pass 3: tag strip + entity decode + fold into the sink ---- */
+static void emit_numeric(const EntTable *et, int64_t num, Sink *sk, int *flag) {
+    if (i32_member(et->charref_nums, et->n_charref, num)) { sink_sep(sk); return; }
+    if ((num >= 0xD800 && num <= 0xDFFF) || num > 0x10FFFF) { sink_sep(sk); return; }
+    if (i32_member(et->invalid_cp, et->n_invalid, num)) return; /* '' joins */
+    if (num >= '0' && num <= '9') { sink_alnum(sk, (uint8_t)num); return; }
+    if (num >= 'A' && num <= 'Z') { sink_alnum(sk, (uint8_t)(num + 32)); return; }
+    if (num >= 'a' && num <= 'z') { sink_alnum(sk, (uint8_t)num); return; }
+    if (num == 0x130 || num == 0x212A) { *flag = 1; return; }
+    sink_sep(sk);
+}
+
+/* literal bytes (no entity re-scan: candidates can't contain '&') */
+static void emit_text_plain(const uint8_t *s, int64_t i, int64_t end,
+                            Sink *sk, int *flag) {
+    while (i < end) {
+        uint8_t c = s[i];
+        if (c >= 'a' && c <= 'z') { sink_alnum(sk, c); i++; continue; }
+        if (c >= 'A' && c <= 'Z') { sink_alnum(sk, (uint8_t)(c + 32)); i++; continue; }
+        if (c >= '0' && c <= '9') { sink_alnum(sk, c); i++; continue; }
+        if (c >= 0x80) {
+            if (c == 0xC4 && i + 1 < end && s[i + 1] == 0xB0) { *flag = 1; return; }
+            if (c == 0xE2 && i + 2 < end && s[i + 1] == 0x84 && s[i + 2] == 0xAA) {
+                *flag = 1; return;
+            }
+        }
+        sink_sep(sk); i++;
+    }
+}
+
+static void emit_repl(const EntTable *et, int32_t e, Sink *sk, int *flag) {
+    if (et->eflags[e]) { *flag = 1; return; }
+    for (int64_t r = et->repl_offs[e]; r < et->repl_offs[e + 1]; r++) {
+        uint8_t c = et->repls[r];
+        if (c == ' ') sink_sep(sk); else sink_alnum(sk, c);
+    }
+}
+
+static int ent_name_char(uint8_t c) {
+    /* [^\t\n\f <&#;] — \v \r and all >=0x80 bytes ARE candidate chars */
+    return !(c == 0x09 || c == 0x0A || c == 0x0C || c == ' ' ||
+             c == '<' || c == '&' || c == '#' || c == ';');
+}
+
+static int64_t emit_entity(const EntTable *et, const uint8_t *s, int64_t i,
+                           int64_t end, Sink *sk, int *flag) {
+    int64_t j = i + 1;
+    if (j >= end) { sink_sep(sk); return j; }
+    if (s[j] == '#') {
+        int64_t k = j + 1;
+        int hex = 0;
+        if (k + 1 < end && (s[k] == 'x' || s[k] == 'X') &&
+            ((s[k + 1] >= '0' && s[k + 1] <= '9') ||
+             (s[k + 1] >= 'a' && s[k + 1] <= 'f') ||
+             (s[k + 1] >= 'A' && s[k + 1] <= 'F'))) {
+            hex = 1; k++;
+        }
+        if (!hex && !(k < end && s[k] >= '0' && s[k] <= '9')) {
+            /* no numeric alternative matches: '&' '#' literal */
+            sink_sep(sk); sink_sep(sk);
+            return j + 1;
+        }
+        int64_t num = 0;
+        while (k < end) {
+            uint8_t d = s[k]; int v;
+            if (d >= '0' && d <= '9') v = d - '0';
+            else if (hex && d >= 'a' && d <= 'f') v = d - 'a' + 10;
+            else if (hex && d >= 'A' && d <= 'F') v = d - 'A' + 10;
+            else break;
+            num = num * (hex ? 16 : 10) + v;
+            if (num > 0x110000) num = 0x110000; /* saturate: stays >0x10FFFF,
+                collides with no table key */
+            k++;
+        }
+        if (k < end && s[k] == ';') k++;
+        emit_numeric(et, num, sk, flag);
+        return k;
+    }
+    int64_t k = j;
+    int nlen = 0;
+    while (k < end && nlen < 32 && ent_name_char(s[k])) { nlen++; k++; }
+    if (nlen == 0) { sink_sep(sk); return j; } /* '&' literal */
+    int semi = (k < end && s[k] == ';');
+    int64_t after = k + (semi ? 1 : 0);
+    const uint8_t *name = s + j;
+    int32_t e;
+    if (semi && (e = ent_lookup(et, name, nlen, 1)) >= 0) {
+        emit_repl(et, e, sk, flag);
+        return after;
+    }
+    for (int x = nlen; x >= 2; x--) {
+        if ((e = ent_lookup(et, name, x, 0)) >= 0) {
+            emit_repl(et, e, sk, flag);
+            if (*flag) return after;
+            emit_text_plain(s, j + x, after, sk, flag); /* remainder literal */
+            return after;
+        }
+    }
+    sink_sep(sk); /* '&' literal */
+    emit_text_plain(s, j, after, sk, flag);
+    return after;
+}
+
+static void emit_text_range(const EntTable *et, const uint8_t *s, int64_t i,
+                            int64_t end, Sink *sk, int *flag) {
+    while (i < end && !*flag) {
+        uint8_t c = s[i];
+        if (c == '&') { i = emit_entity(et, s, i, end, sk, flag); continue; }
+        if (c >= 'a' && c <= 'z') { sink_alnum(sk, c); i++; continue; }
+        if (c >= 'A' && c <= 'Z') { sink_alnum(sk, (uint8_t)(c + 32)); i++; continue; }
+        if (c >= '0' && c <= '9') { sink_alnum(sk, c); i++; continue; }
+        if (c >= 0x80) {
+            if (c == 0xC4 && i + 1 < end && s[i + 1] == 0xB0) { *flag = 1; return; }
+            if (c == 0xE2 && i + 2 < end && s[i + 1] == 0x84 && s[i + 2] == 0xAA) {
+                *flag = 1; return;
+            }
+        }
+        sink_sep(sk); i++;
+    }
+}
+
+static void pass3(const EntTable *et, const uint8_t *s, int64_t len,
+                  Sink *sk, int *flag) {
+    int64_t i = 0;
+    while (i < len && !*flag) {
+        if (s[i] == '<') {
+            const uint8_t *gt = memchr(s + i + 1, '>', len - i - 1);
+            if (!gt) { /* <[^>]+> can't match: rest is literal text */
+                emit_text_range(et, s, i, len, sk, flag);
+                return;
+            }
+            if (gt == s + i + 1) { /* "<>" stays literal; folds to seps */
+                sink_sep(sk);
+                i += 2;
+                continue;
+            }
+            sink_sep(sk); /* tag -> ' ' */
+            i = (gt - s) + 1;
+            continue;
+        }
+        const uint8_t *lt = memchr(s + i, '<', len - i);
+        int64_t end = lt ? (lt - s) : len;
+        emit_text_range(et, s, i, end, sk, flag);
+        i = end;
+    }
+}
+
+/* Batch HTML scan: raw html pages concatenated in buf (same offsets
+ * protocol as ac_scan_multi). flags: caller-zeroed uint8[n_texts]; set to
+ * 1 when a page hits an ambiguous construct — its pairs are rewound and
+ * the caller must re-run that page through the Python path. Returns total
+ * pair count (caller re-calls with a larger out when it exceeds cap). */
+int64_t ac_scan_multi_html(const AC *ac, const EntTable *et,
+                           const uint8_t *buf, const int64_t *t_offs,
+                           int32_t n_texts, int32_t *out, int64_t cap,
+                           uint8_t *flags) {
+    int64_t maxlen = 0;
+    for (int32_t t = 0; t < n_texts; t++) {
+        int64_t l = t_offs[t + 1] - t_offs[t];
+        if (l > maxlen) maxlen = l;
+    }
+    uint8_t *sa = (uint8_t *)malloc(maxlen ? maxlen : 1);
+    uint8_t *sb = (uint8_t *)malloc(maxlen ? maxlen : 1);
+    if (!sa || !sb) { free(sa); free(sb); return -1; }
+    int64_t n = 0;
+    for (int32_t t = 0; t < n_texts; t++) {
+        const uint8_t *page = buf + t_offs[t];
+        int64_t len = t_offs[t + 1] - t_offs[t];
+        int64_t n0 = n;
+        int flag = 0;
+        int64_t la = strip_comments(page, len, sa);
+        int64_t lb = strip_boiler(sa, la, sb, &flag);
+        if (!flag) {
+            Sink sk = {ac, 0, t, out, cap, n, 1, 0, NULL, 0};
+            pass3(et, sb, lb, &sk, &flag);
+            if (!flag) { sink_finish(&sk); n = sk.n; }
+        }
+        if (flag) { flags[t] = 1; n = n0; }
+    }
+    free(sa); free(sb);
+    return n;
+}
+
+/* Debug/equivalence entry: folded token stream ("tok1 tok2", no pads)
+ * for ONE page — must equal ' '.join(tokens_from_html_py(html)) when not
+ * flagged. out must hold >= len bytes (output never exceeds input: every
+ * entity replacement is shorter than its source). Returns bytes written;
+ * *flagged = 1 when the page needs the Python path. */
+int64_t extract_fold_debug(const EntTable *et, const uint8_t *in, int64_t len,
+                           uint8_t *out, int32_t *flagged) {
+    uint8_t *sa = (uint8_t *)malloc(len ? len : 1);
+    uint8_t *sb = (uint8_t *)malloc(len ? len : 1);
+    if (!sa || !sb) { free(sa); free(sb); return -1; }
+    int flag = 0;
+    int64_t la = strip_comments(in, len, sa);
+    int64_t lb = strip_boiler(sa, la, sb, &flag);
+    int64_t wrote = 0;
+    if (!flag) {
+        Sink sk = {NULL, 0, 0, NULL, 0, 0, 1, 0, out, 0};
+        pass3(et, sb, lb, &sk, &flag);
+        wrote = sk.dbg_n;
+    }
+    *flagged = flag;
+    free(sa); free(sb);
+    return flag ? 0 : wrote;
+}

@@ -366,6 +366,59 @@ def make_hits_scanner(spark, phrase_rows: list[tuple[str, str]], kernel: str = "
     return lambda texts: _emulate_hits(scan_toks, texts)
 
 
+def make_html_hits_scanner(spark, phrase_rows: list[tuple[str, str]], kernel: str = "auto"):
+    """RAW-HTML scan entry point: returns ``scan_html(col) -> (page_sel,
+    uris, surfaces, n_hits)`` where ``col`` is a pyarrow binary/string
+    Array (or list of bytes) of raw page HTML.
+
+    With the cnative kernel + entity table, extraction ITSELF moves into
+    C: comment strip, boilerplate strip, tag strip, ``html.unescape``
+    (longest-prefix named entities + numeric charrefs, tables generated
+    from this interpreter's ``html`` module), case-fold, tokenize, and
+    match run as ONE C call per Arrow batch, reading the page bytes
+    zero-copy from the Arrow buffer. Per-page Python work: none.
+    Ambiguous pages (non-ASCII in a boiler-name window, U+0130/U+212A,
+    ``&Idot;``) are flagged by the C pass and re-run through the Python
+    extraction path, so output always equals the Python pipeline's
+    (equivalence pinned in tests/test_mentions.py + hypothesis).
+    Other kernels extract in Python (textnorm.foldable_text_from_html_py)
+    and reuse :func:`make_hits_scanner` — same results, tested equal."""
+    kernel = _resolve_kernel(kernel)
+    if kernel == "cnative":
+        bc = spark.sparkContext.broadcast(canonical_phrase_rows(phrase_rows))
+        cache_key = _mint_scanner_key("cnative-html")
+
+        def scan_html(col):
+            m = _cached_matcher(bc, cache_key)
+            if hasattr(m, "scan_batch_hits_html") and m.supports_html():
+                return m.expand_hits(*m.scan_batch_hits_html(col))
+            return _emulate_html_hits(m, col)
+
+        return scan_html
+    scan_texts = make_hits_scanner(spark, phrase_rows, kernel)
+
+    def scan_html_fallback(col):
+        from ontology_mapping_spark.textnorm import foldable_text_from_html_py
+
+        htmls = col.to_pylist() if hasattr(col, "to_pylist") else col
+        return scan_texts([foldable_text_from_html_py(h) for h in htmls])
+
+    return scan_html_fallback
+
+
+def _emulate_html_hits(m, col):
+    """Heterogeneous-host fallback for the html scanner (no C entity
+    table / trie matcher): Python extraction, then whichever batch-text
+    capability the matcher has."""
+    from ontology_mapping_spark.textnorm import foldable_text_from_html_py
+
+    htmls = col.to_pylist() if hasattr(col, "to_pylist") else col
+    texts = [foldable_text_from_html_py(h) for h in htmls]
+    if hasattr(m, "scan_batch_hits_text"):
+        return m.expand_hits(*m.scan_batch_hits_text(texts))
+    return _emulate_hits(m.scan_tokens, texts)
+
+
 def _emulate_hits(scan_toks, texts):
     """Python fallback for :func:`make_hits_scanner`: byte-decode +
     tokenize per page, scalar scan, same flat shape. Fold-safe raw bytes
@@ -491,24 +544,25 @@ def mentions_from_html(
 ) -> DataFrame:
     """Fused S1+S3: HTML extraction + vocabulary scan in ONE Arrow pass
     per batch (url, html) -> (url, uri, surface, n_hits). Halves the
-    JVM<->Python crossings vs extract-then-scan; Python's share is now
-    extraction regex only (textnorm.foldable_text_from_html_py) — with
-    the cnative kernel, case-fold + tokenize + match all happen in one C
-    call per batch and hit rows are assembled with vectorized NumPy/Arrow.
-    The production shape for the 100 TB pages scan — each page crosses
-    into Python exactly once. ``kernel`` as in :func:`make_token_scanner`."""
-    from ontology_mapping_spark.textnorm import foldable_text_from_html_py
-
+    JVM<->Python crossings vs extract-then-scan. With the cnative kernel
+    + entity table, the ENTIRE per-page path — comment/boilerplate/tag
+    strip, entity decode, case-fold, tokenize, match — is one C call per
+    batch consuming the page bytes zero-copy from the Arrow buffer
+    (make_html_hits_scanner); per-page Python work is zero on the
+    overwhelmingly-common unflagged pages, and hit rows are assembled
+    with vectorized NumPy/Arrow. Other kernels extract per page in
+    Python (textnorm.foldable_text_from_html_py) — same results,
+    equivalence-pinned in tests/test_mentions.py. The production shape
+    for the 100 TB pages scan — each page crosses into Python exactly
+    once (cnative: zero times, page bytes never materialize as Python
+    objects). ``kernel`` as in :func:`make_token_scanner`."""
     spark = pages.sparkSession
     rows = [(r["uri"], r["phrase"]) for r in phrases.select("uri", "phrase").collect()]
-    scan_texts = make_hits_scanner(spark, rows, kernel)
+    scan_html = make_html_hits_scanner(spark, rows, kernel)
 
     def scan(batches):
         for b in batches:
-            texts = [
-                foldable_text_from_html_py(h) for h in b.column("html").to_pylist()
-            ]
-            yield _emit_hits(b.column("url"), *scan_texts(texts))
+            yield _emit_hits(b.column("url"), *scan_html(b.column("html")))
 
     df = pages
     if lang is not None:

@@ -420,3 +420,182 @@ def test_mentions_from_html_cnative_equals_trie(spark, fx, fx_dfs):
         for r in mentions_from_html(pages, phrases, kernel="cnative").collect()
     }
     assert a == b and a
+
+
+def test_c_html_extract_fold_matches_python_property():
+    """The C extractor (comment/boiler/tag strip + entity decode + fold)
+    must tokenize every UNFLAGGED page exactly like the Python pipeline,
+    and must NOT flag plain-ASCII entity-free pages (the fast path has to
+    actually cover the common case, or equivalence is vacuous)."""
+    import pytest
+
+    from ontology_mapping_spark.operators.mentions import _native_available
+
+    if not _native_available():
+        pytest.skip("no C compiler on this host")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ontology_mapping_spark.native import extract_fold_debug, load_entity_table
+    from ontology_mapping_spark.textnorm import _tokens_from_text, tokens_from_html_py
+
+    if load_entity_table() is None:
+        pytest.skip("entity table unavailable")
+
+    frag = st.sampled_from(
+        [
+            "<p>", "</p>", "<script>var x=1;</script>", "<SCRIPT>y</script >",
+            "<!-- hi -->", "<!--", "-->", "<style>.a{}</style>", "<b title='q>'>",
+            "&amp;", "&AMP", "&lt;b&gt;", "&notin;", "&Idot;", "&idot;",
+            "&#65;", "&#x41;", "&#151;", "&#0;", "&#x110000;", "&#xD800;",
+            "&bogus;", "&", "&&amp", "&ampx", "&CounterClockwiseContourIntegral;",
+            "Hello", "WORLD", "café", "İzmir", "KK", "x9 ",
+            " , ", "<nav>menu</nav>", "<title>T</title>", "a<b>c",
+            "</", "<", ">", "plain text here", "&frac34;", "&nbsp;",
+        ]
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(parts=st.lists(frag, min_size=0, max_size=14))
+    def check(parts):
+        html = "".join(parts).encode("utf-8")
+        folded, flagged = extract_fold_debug(html)
+        if flagged:
+            return
+        got = _tokens_from_text(folded.decode("utf-8", errors="replace"))
+        assert got == tokens_from_html_py(html)
+
+    check()
+    # fast-path coverage: ASCII page with plain named/numeric entities
+    plain = b"<html><!--c--><script>s</script><p>Hello &amp; WORLD &#65; x9</p></html>"
+    folded, flagged = extract_fold_debug(plain)
+    assert not flagged
+    assert _tokens_from_text(folded.decode()) == ["hello", "world", "a", "x9"]
+
+
+def test_scan_batch_hits_html_matches_python_pipeline_property():
+    """End-to-end C html scan (incl. flagged-page Python reruns) equals the
+    trie walker over tokens_from_html_py, for raw-bytes lists, Arrow
+    binary arrays, large_binary, sliced arrays, and null entries."""
+    import pytest
+
+    from ontology_mapping_spark.operators.mentions import _native_available
+
+    if not _native_available():
+        pytest.skip("no C compiler on this host")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+
+    from ontology_mapping_spark.native import NativeMatcher, load_entity_table
+    from ontology_mapping_spark.operators.mentions import (
+        _build_trie,
+        canonical_phrase_rows,
+        scan_tokens_py,
+    )
+    from ontology_mapping_spark.textnorm import tokens_from_html_py
+
+    if load_entity_table() is None:
+        pytest.skip("entity table unavailable")
+
+    frag = st.sampled_from(
+        [
+            "<p>a b</p>", "a", "b", "ab", "x1", "<script>a b</script>",
+            "&amp;a", "a&#32;b", "&Idot;a", "İ a", "café b",
+            "<!--a-->b", "<b>A B</b>", "&lt;a&gt;", "KK b", "",
+        ]
+    )
+    phrase = st.lists(
+        st.sampled_from(["a", "b", "ab", "x1", "a b", "b a"]),
+        min_size=1,
+        max_size=2,
+    ).map(" ".join)
+
+    def hits_of(nm, res):
+        sel, uris, surfs, nh = nm.expand_hits(*res)
+        return {
+            (int(p), u, s): int(c)
+            for p, u, s, c in zip(
+                sel.tolist(), uris.to_pylist(), surfs.to_pylist(), nh.tolist()
+            )
+        }
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        pages=st.lists(
+            st.lists(frag, min_size=0, max_size=6).map("".join), max_size=5
+        ),
+        phrases=st.lists(phrase, min_size=0, max_size=6),
+    )
+    def check(pages, phrases):
+        rows = canonical_phrase_rows([(f"u{i}", p) for i, p in enumerate(phrases)])
+        trie = _build_trie(rows)
+        want = {}
+        for i, h in enumerate(pages):
+            for (u, s), c in scan_tokens_py(trie, tokens_from_html_py(h)).items():
+                want[(i, u, s)] = c
+        nm = NativeMatcher(rows)
+        raw = [h.encode("utf-8") for h in pages]
+        assert hits_of(nm, nm.scan_batch_hits_html(raw)) == want
+        assert hits_of(nm, nm.scan_batch_hits_html(pa.array(raw, type=pa.binary()))) == want
+        assert (
+            hits_of(nm, nm.scan_batch_hits_html(pa.array(raw, type=pa.large_binary())))
+            == want
+        )
+
+    check()
+
+    # sliced-with-offset and null-bearing Arrow arrays take the copy path
+    # but must produce identical results (null == empty page)
+    rows = canonical_phrase_rows([("u0", "a"), ("u1", "a b")])
+    nm = NativeMatcher(rows)
+    raw = [b"zzz", b"<p>a b</p>", None, b"a &amp; a"]
+    arr = pa.array([b"pad"] + raw, type=pa.binary()).slice(1)
+    want = hits_of(nm, nm.scan_batch_hits_html([h or b"" for h in raw]))
+    assert hits_of(nm, nm.scan_batch_hits_html(arr)) == want
+    assert want == {
+        (1, "u0", "a"): 1,
+        (1, "u1", "a b"): 1,
+        (3, "u0", "a"): 2,
+    }
+
+
+def test_make_html_hits_scanner_kernels_agree(spark):
+    """The public scanner factory returns identical flat hits for every
+    kernel on a corpus that exercises entities, boilerplate, flags."""
+    from ontology_mapping_spark.operators.mentions import (
+        _native_available,
+        make_html_hits_scanner,
+    )
+
+    htmls = [
+        b"<html><script>a b</script><p>Alpha beta &amp; GAMMA</p></html>",
+        b"<p>alpha</p><p>beta gamma</p>",
+        b"&Idot;stanbul alpha \xc4\xb0",  # flagged page -> Python rerun
+        b"",
+        b"gamma &#71;AMMA gamma",
+    ]
+    rows = [("u:a", "alpha"), ("u:bg", "beta gamma"), ("u:g", "gamma")]
+    kernels = ["trie", "blocked"] + (["cnative"] if _native_available() else [])
+    results = {}
+    for k in kernels:
+        sel, uris, surfs, nh = make_html_hits_scanner(spark, rows, kernel=k)(htmls)
+        results[k] = {
+            (int(p), u, s): int(c)
+            for p, u, s, c in zip(
+                sel.tolist(), uris.to_pylist(), surfs.to_pylist(), nh.tolist()
+            )
+        }
+    want = {
+        (0, "u:a", "alpha"): 1,
+        (0, "u:bg", "beta gamma"): 1,
+        (0, "u:g", "gamma"): 1,
+        (1, "u:a", "alpha"): 1,
+        (1, "u:bg", "beta gamma"): 1,
+        (1, "u:g", "gamma"): 1,
+        (2, "u:a", "alpha"): 1,
+        (4, "u:g", "gamma"): 3,
+    }
+    for k in kernels:
+        assert results[k] == want, k
