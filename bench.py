@@ -56,7 +56,7 @@ HEADLINE = [
 ]
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "400000"))
-_CACHE = os.path.join(_REPO, ".bench_cache", f"pages_v3_{BENCH_PAGES}")
+_CACHE = os.path.join(_REPO, ".bench_cache", f"pages_v4_{BENCH_PAGES}")
 
 
 def _py_burn_sec() -> float:
@@ -132,20 +132,32 @@ def run_kernel_ab(spark, passes: int = 2) -> dict:
 
 
 def _ensure_pages_corpus(spark) -> str:
-    """Deterministic web-realistic corpus (~200-token pages), cached."""
-    if not os.path.exists(os.path.join(_CACHE, "_SUCCESS_ALL")):
-        from ontology_mapping_spark.fixtures import fixture_dataframes, make_fixture
+    """Deterministic web-realistic corpus (~200-token pages), cached.
 
-        fx = make_fixture(
-            n_pairs=150,
-            n_extra_per_side=50,
-            n_pages=BENCH_PAGES,
+    The ontology (small) is built driver-side; the PAGES are generated
+    distributed (fixtures.synth_pages_distributed — per-page-id rng, so
+    output is identical at any parallelism). The old driver-side loop was
+    O(corpus) single-core Python: >25 min for a 2.4M-page scaling corpus,
+    vs ~1 min distributed at local[32]."""
+    if not os.path.exists(os.path.join(_CACHE, "_SUCCESS_ALL")):
+        from ontology_mapping_spark.fixtures import (
+            fixture_dataframes,
+            make_fixture,
+            synth_pages_distributed,
+        )
+
+        fx = make_fixture(n_pairs=150, n_extra_per_side=50, n_pages=0, seed=7)
+        triples, _, _, _ = fixture_dataframes(spark, fx)
+        pages = synth_pages_distributed(
+            spark,
+            BENCH_PAGES,
+            fx.pref_labels,
             seed=7,
             mentions_per_page=(0, 8),
             filler_sentences=(25, 50),
+            partitions=128,
         )
-        triples, _, _, pages = fixture_dataframes(spark, fx)
-        pages.repartition(128).write.mode("overwrite").parquet(f"{_CACHE}/pages")
+        pages.write.mode("overwrite").parquet(f"{_CACHE}/pages")
         triples.coalesce(1).write.mode("overwrite").parquet(f"{_CACHE}/triples")
         open(os.path.join(_CACHE, "_SUCCESS_ALL"), "w").close()
     return _CACHE
@@ -281,15 +293,17 @@ def main() -> None:
         # SPARK_GRAFT_SCALING_LEVELS="8,32" on real hardware.
         levels = os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8").split(",")
         passes = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
-        # 3x corpus for the scaling measurement (round 3): the fused C
-        # kernel cut the 400k-page job to ~5s at local[8], where the ~2s
-        # constant per-job cost (task launch, Arrow pipeline fill, commit)
-        # dominates and masks the kernel's scaling (measured 0.67 "eff" =
-        # pure Amdahl artifact; T = W/n + f fits with f~2.2s). At the
-        # 100 TB design point tasks run for hours and f vanishes; the
-        # bigger corpus keeps the sandbox measurement in that regime.
+        # 6x corpus for the scaling measurement: the C kernels keep
+        # shrinking the compute share, so the constant per-job cost (task
+        # launch, Arrow pipeline fill, commit; T = W/n + f fits with
+        # f~2-3.5s) masks scaling on small corpora (measured 0.67 "eff" on
+        # 1x = pure Amdahl artifact; 3x still capped ideal-eff at ~0.83
+        # once extraction moved into C). At the 100 TB design point tasks
+        # run for hours and f vanishes; the bigger corpus keeps the
+        # sandbox measurement in that regime — affordable now that the
+        # corpus generator is distributed (one-off ~1 min, cached).
         scaling_pages = os.environ.get(
-            "SPARK_GRAFT_SCALING_PAGES", str(3 * BENCH_PAGES)
+            "SPARK_GRAFT_SCALING_PAGES", str(6 * BENCH_PAGES)
         )
         results = {}
         # best-of-(passes x in-session reps) per level, with the levels

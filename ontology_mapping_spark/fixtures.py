@@ -202,67 +202,126 @@ def make_fixture(
 
     # --- web pages -----------------------------------------------------------
     all_uris = [uri(s, i) for s in ("src", "tgt") for i in range(n_side)]
-    templates = [
-        "The study of {m} has advanced considerably in recent years.",
-        "Researchers described the {m} in detail.",
-        "A new atlas covers the {m} and adjacent structures.",
-        "Clinical notes often reference the {m}.",
-        "This section reviews anatomy of the {m}.",
-    ]
-    filler = [
-        "General methods are described elsewhere.",
-        "Results were consistent across cohorts.",
-        "See the appendix for protocols.",
-        "The dataset was collected over two years.",
-    ]
     for p in range(n_pages):
-        url = f"https://example.org/p/{p:08d}"
-        lang = "en" if rng.random() >= 0.05 else "de"
-        k = rng.randint(*mentions_per_page) if lang == "en" else 0
-        sentences: list[str] = []
-        mentioned = rng.sample(all_uris, k=k) if k else []
-        for u in mentioned:
-            t = rng.choice(templates)
-            sentences.append(t.format(m=fx.pref_labels[u]))
-            fx.gold_mentions.append((url, u))
-        for _ in range(rng.randint(*filler_sentences)):
-            if rng.random() < 0.3:
-                sentences.append(rng.choice(filler))
-            else:
-                # filler vocabulary is DISJOINT from concept labels so
-                # mention density stays realistic (~0-8 per page)
-                sentences.append(
-                    "The %s %s was recorded during the %s %s phase."
-                    % (
-                        rng.choice(_FILLER_ADJ),
-                        rng.choice(_FILLER_NOUN),
-                        rng.choice(_FILLER_ADJ),
-                        rng.choice(_FILLER_NOUN),
-                    )
-                )
-        rng.shuffle(sentences)
-        if lang != "en":
-            sentences = ["Dieser Text ist nicht englisch."] + sentences
-        text = " ".join(sentences)
-        html = (
-            "<html><head><title>Page {p}</title>"
-            "<script>var x = {p};</script>"
-            "<style>body {{ margin: 0 }}</style></head>"
-            "<body><nav><a href='/'>home</a> | <a href='/about'>about</a></nav>"
-            "<!-- tracking -->"
-            "<main><p>{text}</p></main>"
-            "<footer>© example.org</footer></body></html>"
-        ).format(p=p, text=text)
-        fx.web_pages.append(
-            {
-                "url": url,
-                "warc_ts": _EPOCH + _dt.timedelta(seconds=p),
-                "html": html.encode("utf-8"),
-                "text": text,
-                "lang": lang,
-            }
+        row, mentioned = _gen_page(
+            rng, p, all_uris, fx.pref_labels, mentions_per_page, filler_sentences
         )
+        for u in mentioned:
+            fx.gold_mentions.append((row["url"], u))
+        fx.web_pages.append(row)
     return fx
+
+
+_PAGE_TEMPLATES = [
+    "The study of {m} has advanced considerably in recent years.",
+    "Researchers described the {m} in detail.",
+    "A new atlas covers the {m} and adjacent structures.",
+    "Clinical notes often reference the {m}.",
+    "This section reviews anatomy of the {m}.",
+]
+_PAGE_FILLER = [
+    "General methods are described elsewhere.",
+    "Results were consistent across cohorts.",
+    "See the appendix for protocols.",
+    "The dataset was collected over two years.",
+]
+
+
+def _gen_page(rng, p, all_uris, pref_labels, mentions_per_page, filler_sentences):
+    """One synthetic page row from an rng — the SINGLE page-content
+    generator, shared by the sequential fixture (one rng stream for the
+    whole corpus) and the distributed generator (one rng per page id), so
+    the two can never drift in content shape. Returns (row, mentioned)."""
+    url = f"https://example.org/p/{p:08d}"
+    lang = "en" if rng.random() >= 0.05 else "de"
+    k = rng.randint(*mentions_per_page) if lang == "en" else 0
+    sentences: list[str] = []
+    mentioned = rng.sample(all_uris, k=k) if k else []
+    for u in mentioned:
+        t = rng.choice(_PAGE_TEMPLATES)
+        sentences.append(t.format(m=pref_labels[u]))
+    for _ in range(rng.randint(*filler_sentences)):
+        if rng.random() < 0.3:
+            sentences.append(rng.choice(_PAGE_FILLER))
+        else:
+            # filler vocabulary is DISJOINT from concept labels so
+            # mention density stays realistic (~0-8 per page)
+            sentences.append(
+                "The %s %s was recorded during the %s %s phase."
+                % (
+                    rng.choice(_FILLER_ADJ),
+                    rng.choice(_FILLER_NOUN),
+                    rng.choice(_FILLER_ADJ),
+                    rng.choice(_FILLER_NOUN),
+                )
+            )
+    rng.shuffle(sentences)
+    if lang != "en":
+        sentences = ["Dieser Text ist nicht englisch."] + sentences
+    text = " ".join(sentences)
+    html = (
+        "<html><head><title>Page {p}</title>"
+        "<script>var x = {p};</script>"
+        "<style>body {{ margin: 0 }}</style></head>"
+        "<body><nav><a href='/'>home</a> | <a href='/about'>about</a></nav>"
+        "<!-- tracking -->"
+        "<main><p>{text}</p></main>"
+        "<footer>© example.org</footer></body></html>"
+    ).format(p=p, text=text)
+    row = {
+        "url": url,
+        "warc_ts": _EPOCH + _dt.timedelta(seconds=p),
+        "html": html.encode("utf-8"),
+        "text": text,
+        "lang": lang,
+    }
+    return row, mentioned
+
+
+def synth_pages_distributed(
+    spark,
+    n_pages: int,
+    pref_labels: dict[str, str],
+    seed: int = 7,
+    mentions_per_page: tuple[int, int] = (0, 8),
+    filler_sentences: tuple[int, int] = (25, 50),
+    partitions: int | None = None,
+):
+    """Spark-parallel deterministic page synthesis — the scale-shape twin
+    of the driver-side fixture loop. A 10^12-row synthetic table cannot be
+    built on the driver (the sequential generator is O(corpus) single-core
+    Python: a 2.4M-page bench corpus took >25 min); here every executor
+    generates its own id range via mapInPandas over ``spark.range``.
+
+    Content comes from the SAME :func:`_gen_page` as ``make_fixture``, but
+    seeded per page id (``random.Random(f"{seed}:{p}")``) instead of one
+    sequential stream, so output is byte-deterministic AND independent of
+    partitioning, task order, and cluster size — re-running at any
+    parallelism yields identical rows (pinned in tests/test_catalog.py)."""
+    from ontology_mapping_spark import schemas
+
+    labels = dict(pref_labels)
+    uris = sorted(labels)  # any fixed order; sorted = partition-independent
+    mpp, fs = tuple(mentions_per_page), tuple(filler_sentences)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["id"]:
+                p = int(p)
+                rng = random.Random(f"{seed}:{p}")
+                row, _ = _gen_page(rng, p, uris, labels, mpp, fs)
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    n_part = partitions or spark.sparkContext.defaultParallelism * 4
+    return spark.range(0, n_pages, numPartitions=n_part).mapInPandas(
+        gen, schema=schemas.WEB_PAGES
+    )
 
 
 def fixture_dataframes(spark, fx: Fixture):

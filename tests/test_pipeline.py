@@ -79,3 +79,31 @@ def test_manifests_record_lineage_and_metrics(spark, e2e):
     assert m["inputs"] == ["mentions", "components", "predictions"]
     assert sum(m["partition_metrics"].values()) == m["rows"]
     assert res.runner.manifest("closure")["inputs"] == ["edges"]
+
+
+def test_synth_pages_distributed_deterministic_any_parallelism(spark):
+    """The distributed corpus generator must yield byte-identical rows at
+    any partition count (per-page-id rng — the property that makes a
+    synthetic 10^12-row table reproducible across cluster sizes), match
+    the WEB_PAGES schema, and share make_fixture's content shape."""
+    from ontology_mapping_spark import schemas
+    from ontology_mapping_spark.fixtures import (
+        make_fixture,
+        synth_pages_distributed,
+    )
+
+    fx = make_fixture(n_pairs=12, n_extra_per_side=6, n_pages=0)
+    a = synth_pages_distributed(spark, 300, fx.pref_labels, seed=7, partitions=3)
+    b = synth_pages_distributed(spark, 300, fx.pref_labels, seed=7, partitions=17)
+    assert a.schema == schemas.WEB_PAGES
+    rows_a = {r["url"]: r for r in a.collect()}
+    rows_b = {r["url"]: r for r in b.collect()}
+    assert rows_a == rows_b and len(rows_a) == 300
+    # content shape: langs, planted mentions present, html wraps text
+    langs = {r["lang"] for r in rows_a.values()}
+    assert langs <= {"en", "de"} and "en" in langs
+    some = rows_a["https://example.org/p/00000000"]
+    assert some["text"] in some["html"].decode("utf-8")
+    # a different seed changes content
+    c = synth_pages_distributed(spark, 300, fx.pref_labels, seed=8, partitions=3)
+    assert {r["url"]: r for r in c.collect()} != rows_a
