@@ -311,6 +311,17 @@ def main() -> None:
         # phases (same job measured 2-4x apart), so back-to-back reps of
         # one level would bias the ratio. In-session reps amortize the
         # ~20s JVM startup; min-of-runs estimates the achievable rate.
+        # Pin each level to EXACTLY that many CPUs (taskset -c 0..N-1):
+        # a local[N] JVM also runs GC/scheduler/Arrow-pipe threads and the
+        # Python workers beyond its N task slots, so on an idle 32-core
+        # host the small level borrows extra cores and deflates the
+        # measured ratio (observed: local[2] 41.1k pages/s unpinned vs
+        # 27.8k pinned — a fake 0.69 "efficiency" from real 0.86). Real
+        # N-executor clusters don't get free extra cores; pinning is the
+        # faithful "N vs 4N cores" proxy the scaling criterion asks for.
+        import shutil as _shutil
+
+        taskset = _shutil.which("taskset")
         per_pass: list[dict] = []
         for _ in range(passes):
             pass_r: dict = {}
@@ -327,8 +338,12 @@ def main() -> None:
                         "SPARK_GRAFT_PAGES_REPS", "2"
                     ),
                 )
+                cmd = [sys.executable, __file__, "--pages-only"]
+                ncpu = os.cpu_count() or 0
+                if taskset and int(c) <= ncpu:
+                    cmd = [taskset, "-c", f"0-{int(c) - 1}"] + cmd
                 out = subprocess.run(
-                    [sys.executable, __file__, "--pages-only"],
+                    cmd,
                     env=env,
                     capture_output=True,
                     text=True,
@@ -359,6 +374,7 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": f"pages_pipeline_scaling_local{lo}_vs_local{hi}",
+                    "cpu_pinned": bool(taskset),
                     "pages": results[lo]["pages"],
                     f"t_local{lo}_sec": t_lo,
                     f"t_local{hi}_sec": t_hi,

@@ -324,6 +324,56 @@ def synth_pages_distributed(
     )
 
 
+def synth_gold_mentions_distributed(
+    spark,
+    n_pages: int,
+    pref_labels: dict[str, str],
+    seed: int = 7,
+    mentions_per_page: tuple[int, int] = (0, 8),
+    filler_sentences: tuple[int, int] = (25, 50),
+    partitions: int | None = None,
+):
+    """(url, uri) gold mention pairs for the distributed corpus — the
+    replay twin of :func:`synth_pages_distributed`. Each page id reseeds
+    the SAME per-id rng and calls the SAME :func:`_gen_page`, so the gold
+    set is exactly the mentions that generator planted; pass identical
+    (n_pages, pref_labels, seed, mentions_per_page, filler_sentences).
+    This is what makes the north-star P/R metric measurable at corpus
+    scale: planted ground truth exists for ANY corpus size without ever
+    materializing it on the driver (tests pin pages/gold consistency and
+    partition-independence)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    labels = dict(pref_labels)
+    uris = sorted(labels)  # same fixed order as synth_pages_distributed
+    mpp, fs = tuple(mentions_per_page), tuple(filler_sentences)
+    schema = StructType(
+        [
+            StructField("url", StringType(), False),
+            StructField("uri", StringType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_url, out_uri = [], []
+            for p in pdf["id"]:
+                p = int(p)
+                rng = random.Random(f"{seed}:{p}")
+                row, mentioned = _gen_page(rng, p, uris, labels, mpp, fs)
+                for u in mentioned:
+                    out_url.append(row["url"])
+                    out_uri.append(u)
+            yield pd.DataFrame({"url": out_url, "uri": out_uri})
+
+    n_part = partitions or spark.sparkContext.defaultParallelism * 4
+    return spark.range(0, n_pages, numPartitions=n_part).mapInPandas(
+        gen, schema=schema
+    )
+
+
 def fixture_dataframes(spark, fx: Fixture):
     """Fixture lists -> Spark DataFrames with the fixed schemas."""
     from ontology_mapping_spark import schemas

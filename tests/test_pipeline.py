@@ -107,3 +107,49 @@ def test_synth_pages_distributed_deterministic_any_parallelism(spark):
     # a different seed changes content
     c = synth_pages_distributed(spark, 300, fx.pref_labels, seed=8, partitions=3)
     assert {r["url"]: r for r in c.collect()} != rows_a
+
+
+def test_distributed_gold_matches_pages_and_recall_is_one(spark):
+    """The gold twin must replay exactly what the page generator planted
+    (same per-page-id rng), be partition-independent, and the mention
+    pipeline must re-find every planted pair — the corpus-scale form of
+    the planted-gold recall contract (tools/eval_mentions_scale.py)."""
+    from ontology_mapping_spark.fixtures import (
+        fixture_dataframes,
+        make_fixture,
+        synth_gold_mentions_distributed,
+        synth_pages_distributed,
+    )
+    from ontology_mapping_spark.operators.labels import extract_labels
+    from ontology_mapping_spark.operators.mentions import (
+        label_phrases,
+        mentions_from_html,
+    )
+
+    fx = make_fixture(n_pairs=15, n_extra_per_side=5, n_pages=0, seed=7)
+    kw = dict(seed=7, mentions_per_page=(0, 4), filler_sentences=(2, 5))
+    pages = synth_pages_distributed(spark, 250, fx.pref_labels, partitions=4, **kw)
+    gold = synth_gold_mentions_distributed(
+        spark, 250, fx.pref_labels, partitions=4, **kw
+    )
+    g2 = synth_gold_mentions_distributed(
+        spark, 250, fx.pref_labels, partitions=13, **kw
+    )
+    gold_rows = sorted((r["url"], r["uri"]) for r in gold.collect())
+    assert gold_rows == sorted((r["url"], r["uri"]) for r in g2.collect())
+    assert gold_rows, "fixture should plant at least one mention"
+    # every gold url is an 'en' page whose text contains the planted label
+    texts = {r["url"]: (r["text"], r["lang"]) for r in pages.collect()}
+    for url, uri in gold_rows:
+        text, lang = texts[url]
+        assert lang == "en" and fx.pref_labels[uri] in text
+    # the pipeline re-finds every planted pair (recall 1.0)
+    triples, _, _, _ = fixture_dataframes(spark, fx)
+    detected = {
+        (r["url"], r["uri"])
+        for r in mentions_from_html(
+            pages, label_phrases(extract_labels(triples))
+        ).collect()
+    }
+    missing = set(gold_rows) - detected
+    assert not missing, f"planted mentions missed: {sorted(missing)[:5]}"

@@ -112,12 +112,24 @@ def main() -> None:
     else:
         from ontology_mapping_spark.fixtures import fixture_dataframes, make_fixture
 
+        # pages above this size are generated ON THE EXECUTORS (per-page-id
+        # rng, byte-deterministic at any parallelism) — the driver-side
+        # loop is O(corpus) single-core Python and stops being viable
+        # around ~100k pages; the ontology/alignments are small and stay
+        # driver-side either way
+        big = args.fixture_pages > 20_000
         fx = make_fixture(
             n_pairs=args.fixture_pairs,
             n_extra_per_side=args.fixture_pairs // 3,
-            n_pages=args.fixture_pages,
+            n_pages=0 if big else args.fixture_pages,
         )
         triples, align_train, align_test, pages = fixture_dataframes(spark, fx)
+        if big:
+            from ontology_mapping_spark.fixtures import synth_pages_distributed
+
+            pages = synth_pages_distributed(
+                spark, args.fixture_pages, fx.pref_labels, seed=42
+            )
 
     res = run_pipeline(spark, triples, align_train, align_test, pages, args.workdir)
     n_triples = res.triples.count()
