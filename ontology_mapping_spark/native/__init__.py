@@ -105,6 +105,10 @@ def load_acscan():
         ]
         lib.ac_scan_multi_fold.restype = ctypes.c_int64
         lib.ac_scan_multi_fold.argtypes = lib.ac_scan_multi.argtypes
+        lib.ac_scan_multi_agg.restype = ctypes.c_int64
+        lib.ac_scan_multi_agg.argtypes = lib.ac_scan_multi.argtypes
+        lib.ac_scan_multi_fold_agg.restype = ctypes.c_int64
+        lib.ac_scan_multi_fold_agg.argtypes = lib.ac_scan_multi.argtypes
         lib.ent_build.restype = ctypes.c_void_p
         lib.ent_build.argtypes = [
             ctypes.c_char_p,                      # names buf
@@ -131,6 +135,8 @@ def load_acscan():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),       # per-page flags
         ]
+        lib.ac_scan_multi_html_agg.restype = ctypes.c_int64
+        lib.ac_scan_multi_html_agg.argtypes = lib.ac_scan_multi_html.argtypes
         lib.extract_fold_debug.restype = ctypes.c_int64
         lib.extract_fold_debug.argtypes = [
             ctypes.c_void_p,
@@ -286,6 +292,12 @@ class NativeMatcher:
         if not self._ac:
             raise RuntimeError("ac_build failed")
         self._counts = np.zeros(max(self._n, 1), dtype=np.int32)
+        # adaptive output-capacity estimate (unique pairs per page): the
+        # C batch calls size their buffer from the LAST batch's observed
+        # rate x1.5 headroom — a fixed low guess made every batch overflow
+        # and re-scan (a measured full 2x on the bench corpus, which hits
+        # ~10 unique pairs/page against the old 4/page guess)
+        self._rate = 16.0
         # lazy flat key arrays for expand_hits (built on first use)
         self._flat_uris = None
         self._flat_phrases = None
@@ -313,30 +325,41 @@ class NativeMatcher:
         return out
 
     def _scan_concat(self, parts, fn):
-        """One C call (``fn``) over concatenated per-page byte buffers;
-        returns unique (page_idx, pat_idx, counts) int64 arrays."""
+        """One C call (``fn``, an *_agg entry point) over concatenated
+        per-page byte buffers; returns unique (page_idx, pat_idx, counts)
+        int64 arrays. Aggregation over occurrences happens IN the C pass
+        (per-pattern stamp array — see acscan.c emit_pair), replacing the
+        former np.unique sort over raw occurrence pairs; the capacity
+        guess is adaptive so a typical batch never overflow-rescans."""
         np = self._np
         offs = np.zeros(len(parts) + 1, dtype=np.int64)
         np.cumsum([len(p) for p in parts], out=offs[1:])
         buf = b"".join(parts)
-        cap = max(4 * len(parts), 4096)
+        n_pages = len(parts)
+        cap = max(int(self._rate * n_pages) + 64, 4096)
         while True:
-            out = np.empty(2 * cap, dtype=np.int32)
+            out = np.empty(3 * cap, dtype=np.int32)
             n = fn(
                 self._ac,
                 buf,
                 offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                ctypes.c_int32(len(parts)),
+                ctypes.c_int32(n_pages),
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 ctypes.c_int64(cap),
             )
+            if n < 0:
+                raise MemoryError("native scan scratch allocation failed")
             if n <= cap:
                 break
             cap = int(n)
-        pairs = out[: 2 * n].reshape(-1, 2).astype(np.int64)
-        combo = pairs[:, 0] * (self._n + 1) + pairs[:, 1]
-        uniq, counts = np.unique(combo, return_counts=True)
-        return uniq // (self._n + 1), uniq % (self._n + 1), counts
+        if n_pages:
+            self._rate = n / n_pages * 1.5 + 1.0
+        tri = out[: 3 * n].reshape(-1, 3)
+        return (
+            tri[:, 0].astype(np.int64),
+            tri[:, 1].astype(np.int64),
+            tri[:, 2].astype(np.int64),
+        )
 
     def scan_batch_flat(self, token_lists):
         """[(tokens)] -> (page_idx int64 array, pattern keys per hit, counts)
@@ -347,7 +370,7 @@ class NativeMatcher:
         if self._n == 0 or not token_lists:
             return np.zeros(0, dtype=np.int64), [], np.zeros(0, dtype=np.int64)
         parts = [(" " + " ".join(t) + " ").encode("utf-8") if t else b"" for t in token_lists]
-        page_idx, pat_idx, counts = self._scan_concat(parts, self._lib.ac_scan_multi)
+        page_idx, pat_idx, counts = self._scan_concat(parts, self._lib.ac_scan_multi_agg)
         keys = [self._keys[i] for i in pat_idx]
         return page_idx, keys, counts
 
@@ -360,19 +383,20 @@ class NativeMatcher:
         if self._n == 0 or not texts:
             z = np.zeros(0, dtype=np.int64)
             return z, z.copy(), z.copy()
-        return self._scan_concat(texts, self._lib.ac_scan_multi_fold)
+        return self._scan_concat(texts, self._lib.ac_scan_multi_fold_agg)
 
     def _scan_html_raw(self, buf_arg, offs, n_pages):
-        """One ``ac_scan_multi_html`` call (retry on cap overflow):
-        returns (pairs int64 (k, 2), flags uint8[n_pages])."""
+        """One ``ac_scan_multi_html_agg`` call (retry on cap overflow,
+        adaptive capacity): returns unique (page_idx, pat_idx, counts)
+        int64 arrays plus flags uint8[n_pages]."""
         np = self._np
         ent = load_entity_table()
         flags = np.zeros(n_pages, dtype=np.uint8)
-        cap = max(4 * n_pages, 4096)
+        cap = max(int(self._rate * n_pages) + 64, 4096)
         while True:
-            out = np.empty(2 * cap, dtype=np.int32)
+            out = np.empty(3 * cap, dtype=np.int32)
             flags[:] = 0
-            n = self._lib.ac_scan_multi_html(
+            n = self._lib.ac_scan_multi_html_agg(
                 self._ac,
                 ent,
                 buf_arg,
@@ -387,7 +411,15 @@ class NativeMatcher:
             if n <= cap:
                 break
             cap = int(n)
-        return out[: 2 * n].reshape(-1, 2).astype(np.int64), flags
+        if n_pages:
+            self._rate = n / n_pages * 1.5 + 1.0
+        tri = out[: 3 * n].reshape(-1, 3)
+        return (
+            tri[:, 0].astype(np.int64),
+            tri[:, 1].astype(np.int64),
+            tri[:, 2].astype(np.int64),
+            flags,
+        )
 
     def supports_html(self) -> bool:
         return load_entity_table() is not None
@@ -436,11 +468,9 @@ class NativeMatcher:
             offs = np.zeros(n_pages + 1, dtype=np.int64)
             np.cumsum([len(p) for p in parts], out=offs[1:])
             buf_arg = b"".join(parts)
-        pairs, flags = self._scan_html_raw(buf_arg, offs, n_pages)
-        combo = pairs[:, 0] * (self._n + 1) + pairs[:, 1]
-        uniq, counts = np.unique(combo, return_counts=True)
-        page_idx = uniq // (self._n + 1)
-        pat_idx = uniq % (self._n + 1)
+        page_idx, pat_idx, counts, flags = self._scan_html_raw(
+            buf_arg, offs, n_pages
+        )
         flagged = np.nonzero(flags)[0]
         if flagged.size:
             from ontology_mapping_spark.textnorm import foldable_text_from_html_py
@@ -450,7 +480,9 @@ class NativeMatcher:
             else:
                 get = lambda i: htmls[int(i)]  # noqa: E731
             texts = [foldable_text_from_html_py(get(i)) for i in flagged]
-            p2, pat2, cnt2 = self._scan_concat(texts, self._lib.ac_scan_multi_fold)
+            p2, pat2, cnt2 = self._scan_concat(
+                texts, self._lib.ac_scan_multi_fold_agg
+            )
             page_idx = np.concatenate([page_idx, flagged[p2]])
             pat_idx = np.concatenate([pat_idx, pat2])
             counts = np.concatenate([counts, cnt2])

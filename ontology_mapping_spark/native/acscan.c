@@ -27,6 +27,7 @@ typedef struct {
     int32_t *olink;   /* nearest suffix node with a pattern, -1 none */
     int32_t *out;     /* pattern id ending exactly here, -1 none */
     int32_t  n_nodes;
+    int32_t  n_patterns;
     /* dense fast paths for the two hottest states: the root (state 0,
      * where the scan sits between tokens) and s1 = goto(root, ' ') (the
      * token-boundary state every candidate match enters). All patterns
@@ -94,6 +95,7 @@ AC *ac_build(const uint8_t *buf, const int64_t *offs, int32_t n_patterns) {
     memset(ac->out, 0xff, max_nodes * sizeof(int32_t));       /* -1 */
     memset(ac->olink, 0xff, max_nodes * sizeof(int32_t));     /* -1 */
     ac->n_nodes = 1;
+    ac->n_patterns = n_patterns;
 
     /* trie insert */
     for (int32_t p = 0; p < n_patterns; p++) {
@@ -170,6 +172,47 @@ AC *ac_build(const uint8_t *buf, const int64_t *offs, int32_t n_patterns) {
     return ac;
 }
 
+/* ---- occurrence emitter: pair mode writes one (text, pattern) int32
+ * pair per occurrence; aggregated mode (stamp != NULL) folds occurrences
+ * into (text, pattern, count) int32 triples AS THEY ARE EMITTED via a
+ * per-pattern stamp array — pages are scanned in increasing t, so
+ * stamp[pat] == t+1 identifies "this pattern already has a triple for
+ * the current page" in O(1), no sort, no hash. This replaces the
+ * caller-side np.unique over ~10 raw pairs/page (a measured ~6% of the
+ * single-thread scan cost at bench shape, growing with hit density).
+ * In both modes `n` counts TOTAL entries; entries beyond cap are not
+ * written and the caller re-calls with a larger buffer. */
+typedef struct {
+    int32_t *out;
+    int64_t  cap, n;
+    int32_t *stamp;   /* n_patterns; t+1 of the page last seen, 0 = never */
+    int64_t *slot;    /* n_patterns; out-index of that page's triple */
+} Emit;
+
+static inline void emit_pair(Emit *em, int32_t t, int32_t pat) {
+    if (em->stamp) {
+        if (em->stamp[pat] == t + 1) {
+            int64_t s = em->slot[pat];
+            if (s < em->cap) em->out[3 * s + 2]++;
+            return;
+        }
+        em->stamp[pat] = t + 1;
+        em->slot[pat] = em->n;
+        if (em->n < em->cap) {
+            em->out[3 * em->n] = t;
+            em->out[3 * em->n + 1] = pat;
+            em->out[3 * em->n + 2] = 1;
+        }
+        em->n++;
+    } else {
+        if (em->n < em->cap) {
+            em->out[2 * em->n] = t;
+            em->out[2 * em->n + 1] = pat;
+        }
+        em->n++;
+    }
+}
+
 /* counts: caller-zeroed int32[n_patterns]; += occurrences per pattern. */
 void ac_scan(const AC *ac, const uint8_t *text, int64_t len, int32_t *counts) {
     int32_t state = 0;
@@ -195,9 +238,9 @@ void ac_scan(const AC *ac, const uint8_t *text, int64_t len, int32_t *counts) {
  * writing only the first `cap` — caller re-calls with a bigger buffer when
  * the return exceeds cap. Automaton state resets per text. One C call per
  * Arrow batch amortizes the Python->C transition over thousands of pages. */
-int64_t ac_scan_multi(const AC *ac, const uint8_t *buf, const int64_t *t_offs,
-                      int32_t n_texts, int32_t *out, int64_t cap) {
-    int64_t n = 0;
+static int64_t scan_multi_impl(const AC *ac, const uint8_t *buf,
+                               const int64_t *t_offs, int32_t n_texts,
+                               Emit *em) {
     for (int32_t t = 0; t < n_texts; t++) {
         int32_t state = 0;
         int64_t i = t_offs[t];
@@ -227,18 +270,35 @@ int64_t ac_scan_multi(const AC *ac, const uint8_t *buf, const int64_t *t_offs,
             i++;
             if (g <= 0) continue;  /* back at root: memchr path resumes */
             int32_t u = state;
-            if (ac->out[u] >= 0) {
-                if (n < cap) { out[2 * n] = t; out[2 * n + 1] = ac->out[u]; }
-                n++;
-            }
+            if (ac->out[u] >= 0) emit_pair(em, t, ac->out[u]);
             u = ac->olink[u];
             while (u >= 0) {
-                if (n < cap) { out[2 * n] = t; out[2 * n + 1] = ac->out[u]; }
-                n++;
+                emit_pair(em, t, ac->out[u]);
                 u = ac->olink[u];
             }
         }
     }
+    return em->n;
+}
+
+int64_t ac_scan_multi(const AC *ac, const uint8_t *buf, const int64_t *t_offs,
+                      int32_t n_texts, int32_t *out, int64_t cap) {
+    Emit em = {out, cap, 0, NULL, NULL};
+    return scan_multi_impl(ac, buf, t_offs, n_texts, &em);
+}
+
+/* aggregated form: out holds (text, pattern, count) int32 triples over
+ * UNIQUE (text, pattern) pairs; returns the unique-pair count. */
+int64_t ac_scan_multi_agg(const AC *ac, const uint8_t *buf,
+                          const int64_t *t_offs, int32_t n_texts,
+                          int32_t *out, int64_t cap) {
+    int32_t np = ac->n_patterns > 0 ? ac->n_patterns : 1;
+    int32_t *stamp = (int32_t *)calloc(np, sizeof(int32_t));
+    int64_t *slot = (int64_t *)malloc(np * sizeof(int64_t));
+    if (!stamp || !slot) { free(stamp); free(slot); return -1; }
+    Emit em = {out, cap, 0, stamp, slot};
+    int64_t n = scan_multi_impl(ac, buf, t_offs, n_texts, &em);
+    free(stamp); free(slot);
     return n;
 }
 
@@ -278,14 +338,10 @@ static inline uint8_t fold_byte(uint8_t c) {
         }                                                                  \
         if (g_ > 0) {                                                      \
             int32_t u_ = state;                                            \
-            if (ac->out[u_] >= 0) {                                        \
-                if (n < cap) { out[2 * n] = t; out[2 * n + 1] = ac->out[u_]; } \
-                n++;                                                       \
-            }                                                              \
+            if (ac->out[u_] >= 0) emit_pair(em, t, ac->out[u_]);           \
             u_ = ac->olink[u_];                                            \
             while (u_ >= 0) {                                              \
-                if (n < cap) { out[2 * n] = t; out[2 * n + 1] = ac->out[u_]; } \
-                n++;                                                       \
+                emit_pair(em, t, ac->out[u_]);                             \
                 u_ = ac->olink[u_];                                        \
             }                                                              \
         } else {                                                           \
@@ -293,10 +349,9 @@ static inline uint8_t fold_byte(uint8_t c) {
         }                                                                  \
     } while (0)
 
-int64_t ac_scan_multi_fold(const AC *ac, const uint8_t *buf,
-                           const int64_t *t_offs, int32_t n_texts,
-                           int32_t *out, int64_t cap) {
-    int64_t n = 0;
+static int64_t scan_multi_fold_impl(const AC *ac, const uint8_t *buf,
+                                    const int64_t *t_offs, int32_t n_texts,
+                                    Emit *em) {
     for (int32_t t = 0; t < n_texts; t++) {
         int32_t state = 0;
         int pending_sep = 1; /* virtual leading pad, emitted lazily */
@@ -324,10 +379,30 @@ int64_t ac_scan_multi_fold(const AC *ac, const uint8_t *buf,
         }
         if (emitted) AC_FEED(' '); /* trailing pad */
     }
-    return n;
+    return em->n;
 }
 
 #undef AC_FEED
+
+int64_t ac_scan_multi_fold(const AC *ac, const uint8_t *buf,
+                           const int64_t *t_offs, int32_t n_texts,
+                           int32_t *out, int64_t cap) {
+    Emit em = {out, cap, 0, NULL, NULL};
+    return scan_multi_fold_impl(ac, buf, t_offs, n_texts, &em);
+}
+
+int64_t ac_scan_multi_fold_agg(const AC *ac, const uint8_t *buf,
+                               const int64_t *t_offs, int32_t n_texts,
+                               int32_t *out, int64_t cap) {
+    int32_t np = ac->n_patterns > 0 ? ac->n_patterns : 1;
+    int32_t *stamp = (int32_t *)calloc(np, sizeof(int32_t));
+    int64_t *slot = (int64_t *)malloc(np * sizeof(int64_t));
+    if (!stamp || !slot) { free(stamp); free(slot); return -1; }
+    Emit em = {out, cap, 0, stamp, slot};
+    int64_t n = scan_multi_fold_impl(ac, buf, t_offs, n_texts, &em);
+    free(stamp); free(slot);
+    return n;
+}
 
 /* ================================================================== */
 /* HTML extraction in C: the full per-page path — comment strip,
@@ -473,8 +548,7 @@ static int i32_member(const int32_t *a, int32_t n, int64_t v) {
 typedef struct {
     const AC *ac;
     int32_t state, t;
-    int32_t *out;
-    int64_t cap, n;
+    Emit *em;
     int pending_sep, emitted;
     uint8_t *dbg;          /* debug mode when non-NULL */
     int64_t dbg_n;
@@ -493,20 +567,10 @@ static inline void sink_feed(Sink *sk, uint8_t c_) {
     }
     if (g_ > 0) {
         int32_t u_ = state;
-        if (ac->out[u_] >= 0) {
-            if (sk->n < sk->cap) {
-                sk->out[2 * sk->n] = sk->t;
-                sk->out[2 * sk->n + 1] = ac->out[u_];
-            }
-            sk->n++;
-        }
+        if (ac->out[u_] >= 0) emit_pair(sk->em, sk->t, ac->out[u_]);
         u_ = ac->olink[u_];
         while (u_ >= 0) {
-            if (sk->n < sk->cap) {
-                sk->out[2 * sk->n] = sk->t;
-                sk->out[2 * sk->n + 1] = ac->out[u_];
-            }
-            sk->n++;
+            emit_pair(sk->em, sk->t, ac->out[u_]);
             u_ = ac->olink[u_];
         }
     } else {
@@ -815,10 +879,10 @@ static void pass3(const EntTable *et, const uint8_t *s, int64_t len,
  * 1 when a page hits an ambiguous construct — its pairs are rewound and
  * the caller must re-run that page through the Python path. Returns total
  * pair count (caller re-calls with a larger out when it exceeds cap). */
-int64_t ac_scan_multi_html(const AC *ac, const EntTable *et,
-                           const uint8_t *buf, const int64_t *t_offs,
-                           int32_t n_texts, int32_t *out, int64_t cap,
-                           uint8_t *flags) {
+static int64_t scan_multi_html_impl(const AC *ac, const EntTable *et,
+                                    const uint8_t *buf, const int64_t *t_offs,
+                                    int32_t n_texts, Emit *em,
+                                    uint8_t *flags) {
     int64_t maxlen = 0;
     for (int32_t t = 0; t < n_texts; t++) {
         int64_t l = t_offs[t + 1] - t_offs[t];
@@ -827,22 +891,45 @@ int64_t ac_scan_multi_html(const AC *ac, const EntTable *et,
     uint8_t *sa = (uint8_t *)malloc(maxlen ? maxlen : 1);
     uint8_t *sb = (uint8_t *)malloc(maxlen ? maxlen : 1);
     if (!sa || !sb) { free(sa); free(sb); return -1; }
-    int64_t n = 0;
     for (int32_t t = 0; t < n_texts; t++) {
         const uint8_t *page = buf + t_offs[t];
         int64_t len = t_offs[t + 1] - t_offs[t];
-        int64_t n0 = n;
+        int64_t n0 = em->n;
         int flag = 0;
         int64_t la = strip_comments(page, len, sa);
         int64_t lb = strip_boiler(sa, la, sb, &flag);
         if (!flag) {
-            Sink sk = {ac, 0, t, out, cap, n, 1, 0, NULL, 0};
+            Sink sk = {ac, 0, t, em, 1, 0, NULL, 0};
             pass3(et, sb, lb, &sk, &flag);
-            if (!flag) { sink_finish(&sk); n = sk.n; }
+            if (!flag) sink_finish(&sk);
         }
-        if (flag) { flags[t] = 1; n = n0; }
+        /* rewind a flagged page's entries; stale stamp slots are harmless
+         * (stamp matches on t+1, and t only increases) */
+        if (flag) { flags[t] = 1; em->n = n0; }
     }
     free(sa); free(sb);
+    return em->n;
+}
+
+int64_t ac_scan_multi_html(const AC *ac, const EntTable *et,
+                           const uint8_t *buf, const int64_t *t_offs,
+                           int32_t n_texts, int32_t *out, int64_t cap,
+                           uint8_t *flags) {
+    Emit em = {out, cap, 0, NULL, NULL};
+    return scan_multi_html_impl(ac, et, buf, t_offs, n_texts, &em, flags);
+}
+
+int64_t ac_scan_multi_html_agg(const AC *ac, const EntTable *et,
+                               const uint8_t *buf, const int64_t *t_offs,
+                               int32_t n_texts, int32_t *out, int64_t cap,
+                               uint8_t *flags) {
+    int32_t np = ac->n_patterns > 0 ? ac->n_patterns : 1;
+    int32_t *stamp = (int32_t *)calloc(np, sizeof(int32_t));
+    int64_t *slot = (int64_t *)malloc(np * sizeof(int64_t));
+    if (!stamp || !slot) { free(stamp); free(slot); return -1; }
+    Emit em = {out, cap, 0, stamp, slot};
+    int64_t n = scan_multi_html_impl(ac, et, buf, t_offs, n_texts, &em, flags);
+    free(stamp); free(slot);
     return n;
 }
 
@@ -861,7 +948,7 @@ int64_t extract_fold_debug(const EntTable *et, const uint8_t *in, int64_t len,
     int64_t lb = strip_boiler(sa, la, sb, &flag);
     int64_t wrote = 0;
     if (!flag) {
-        Sink sk = {NULL, 0, 0, NULL, 0, 0, 1, 0, out, 0};
+        Sink sk = {NULL, 0, 0, NULL, 1, 0, out, 0};
         pass3(et, sb, lb, &sk, &flag);
         wrote = sk.dbg_n;
     }
