@@ -599,3 +599,48 @@ def test_make_html_hits_scanner_kernels_agree(spark):
     }
     for k in kernels:
         assert results[k] == want, k
+
+
+def test_agg_scan_overflow_retry_path():
+    """The adaptive capacity estimate makes overflow rare, so the retry
+    branch (unique pairs > cap -> re-call with the exact count) needs a
+    forced exercise: shrink the matcher's rate estimate below the true
+    hit density and check results are identical to an ample-capacity run
+    on all three aggregated entry points."""
+    import pytest
+
+    from ontology_mapping_spark.operators.mentions import _native_available
+
+    if not _native_available():
+        pytest.skip("no C compiler on this host")
+    from ontology_mapping_spark.native import NativeMatcher, load_entity_table
+
+    rows = [(f"u{i}", w) for i, w in enumerate(["a", "b", "a b", "b a"])]
+    texts = [b"a b a b a", b"b a", b""] * 2000  # 6000 pages, ~4 pairs/page
+    token_lists = [t.decode().split() for t in texts]
+    htmls = [b"<p>" + t + b"</p>" for t in texts]
+
+    def snap(res):
+        p, u, c = res
+        return sorted(zip(p.tolist(), u.tolist(), c.tolist()))
+
+    ample = NativeMatcher(rows)
+    want_text = snap(ample.scan_batch_hits_text(texts))
+    want_flat = ample.scan_batch_flat(token_lists)
+    assert ample._rate < 16.0  # estimate adapted downward after a batch
+
+    tight = NativeMatcher(rows)
+    tight._rate = 0.0  # cap floor 4096 < ~16k unique pairs -> retry fires
+    assert snap(tight.scan_batch_hits_text(texts)) == want_text
+    assert tight._rate > 0.0  # estimate recovered from the observed rate
+
+    tight._rate = 0.0
+    got_flat = tight.scan_batch_flat(token_lists)
+    assert got_flat[0].tolist() == want_flat[0].tolist()
+    assert [k for k in got_flat[1]] == [k for k in want_flat[1]]
+    assert got_flat[2].tolist() == want_flat[2].tolist()
+
+    if load_entity_table() is not None:
+        want_html = snap(ample.scan_batch_hits_html(htmls))
+        tight._rate = 0.0
+        assert snap(tight.scan_batch_hits_html(htmls)) == want_html
