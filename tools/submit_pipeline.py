@@ -89,8 +89,17 @@ def main() -> None:
     launched_by_spark_submit = "PYSPARK_GATEWAY_PORT" in os.environ
     if not launched_by_spark_submit and not os.environ.get("SPARK_MASTER"):
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
-        builder = builder.master(f"local[{cpus}]").config(
-            "spark.sql.shuffle.partitions", str(max(int(cpus), 4))
+        builder = (
+            builder.master(f"local[{cpus}]")
+            .config("spark.sql.shuffle.partitions", str(max(int(cpus), 4)))
+            # local mode runs driver+executors in ONE JVM whose default
+            # heap is 1g — OOMs on a >=100k-page fixture; under
+            # spark-submit the cluster config owns memory and this branch
+            # never runs
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            )
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
