@@ -47,8 +47,16 @@ def canon(df, float_dp=9):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="type-strict value-hash gate: every registry query vs "
+        "its DuckDB oracle"
+    )
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("name_filter", nargs="?", default="")
+    args = ap.parse_args()
+    sf_dir, name_filter = args.sf_dir, args.name_filter
 
     # the FULL registry (curated driver catalog + LOCAL_ONLY variants): the
     # local gate is the coverage backstop for entries the <=50-row driver
