@@ -365,7 +365,7 @@ class NativeMatcher:
         """[(tokens)] -> (page_idx int64 array, pattern keys per hit, counts)
         over UNIQUE (page, pattern) pairs — the flat shape the Arrow batch
         emitters want. One C call for the whole batch; occurrence pairs are
-        aggregated with np.unique (C-speed)."""
+        aggregated inside the C pass (per-pattern stamp array)."""
         np = self._np
         if self._n == 0 or not token_lists:
             return np.zeros(0, dtype=np.int64), [], np.zeros(0, dtype=np.int64)

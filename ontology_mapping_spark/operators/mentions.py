@@ -346,7 +346,7 @@ def make_hits_scanner(spark, phrase_rows: list[tuple[str, str]], kernel: str = "
     :func:`textnorm.foldable_text_from_html_py` bytes.
 
     With the cnative kernel the ENTIRE per-page path — case-fold,
-    tokenize, match — is one C call per batch (``ac_scan_multi_fold``)
+    tokenize, match — is one C call per batch (``ac_scan_multi_fold_agg``)
     plus vectorized NumPy/Arrow key fan-out; no per-page or per-hit
     Python. Other kernels (or compiler-less hosts) tokenize in Python and
     loop the scalar scanner — same results, tested equal."""
