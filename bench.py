@@ -112,13 +112,13 @@ def run_kernel_ab(spark, passes: int = 2) -> dict:
         mentions_from_html(pages.limit(2000), phrases, kernel=k).write.format(
             "noop"
         ).mode("overwrite").save()
-    best: dict[str, float] = {}
+    samples: dict[str, list[float]] = {k: [] for k in kernels}
     for _ in range(passes):
         for k in kernels:
             t0 = time.time()
             plans[k].write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best[k] = min(best.get(k, float("inf")), dt)
+            samples[k].append(round(time.time() - t0, 3))
+    best = {k: min(v) for k, v in samples.items()}
     out = {
         "pages": n_pages,
         "passes": passes,
@@ -127,6 +127,7 @@ def run_kernel_ab(spark, passes: int = 2) -> dict:
     for k in kernels:
         out[f"{k}_sec"] = round(best[k], 3)
         out[f"{k}_pages_per_sec"] = round(n_pages / best[k], 1)
+        out[f"{k}_sec_per_pass"] = samples[k]  # variance visible in-artifact
     out["speedup_cnative_vs_trie"] = round(best["trie"] / best["cnative"], 2)
     return out
 
