@@ -56,7 +56,22 @@ HEADLINE = [
 ]
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "400000"))
-_CACHE = os.path.join(_REPO, ".bench_cache", f"pages_v4_{BENCH_PAGES}")
+
+# THE corpus recipe — the single source of truth shared with
+# tools/eval_mentions_scale.py (which replays the same per-page-id rng
+# for gold mentions). Changing any of these MUST bump the cache version
+# in corpus_cache_dir, or a stale cached corpus would silently stop
+# corresponding to the freshly-generated gold.
+CORPUS_SEED = 7
+CORPUS_ONTOLOGY = {"n_pairs": 150, "n_extra_per_side": 50}
+CORPUS_PAGE_KW = {"mentions_per_page": (0, 8), "filler_sentences": (25, 50)}
+
+
+def corpus_cache_dir(n_pages: int) -> str:
+    return os.path.join(_REPO, ".bench_cache", f"pages_v4_{n_pages}")
+
+
+_CACHE = corpus_cache_dir(BENCH_PAGES)
 
 
 def _py_burn_sec() -> float:
@@ -147,16 +162,15 @@ def _ensure_pages_corpus(spark) -> str:
             synth_pages_distributed,
         )
 
-        fx = make_fixture(n_pairs=150, n_extra_per_side=50, n_pages=0, seed=7)
+        fx = make_fixture(n_pages=0, seed=CORPUS_SEED, **CORPUS_ONTOLOGY)
         triples, _, _, _ = fixture_dataframes(spark, fx)
         pages = synth_pages_distributed(
             spark,
             BENCH_PAGES,
             fx.pref_labels,
-            seed=7,
-            mentions_per_page=(0, 8),
-            filler_sentences=(25, 50),
+            seed=CORPUS_SEED,
             partitions=128,
+            **CORPUS_PAGE_KW,
         )
         pages.write.mode("overwrite").parquet(f"{_CACHE}/pages")
         triples.coalesce(1).write.mode("overwrite").parquet(f"{_CACHE}/triples")
@@ -323,6 +337,14 @@ def main() -> None:
         import shutil as _shutil
 
         taskset = _shutil.which("taskset")
+        try:
+            # the cgroup/affinity-ALLOWED cores, not the host count: in a
+            # restricted cpuset, pinning to literal cores 0..N-1 would
+            # fail sched_setaffinity and kill the run
+            allowed = sorted(os.sched_getaffinity(0))
+        except AttributeError:  # non-Linux
+            allowed = list(range(os.cpu_count() or 0))
+        pinned: dict[str, bool] = {}
         per_pass: list[dict] = []
         for _ in range(passes):
             pass_r: dict = {}
@@ -340,9 +362,10 @@ def main() -> None:
                     ),
                 )
                 cmd = [sys.executable, __file__, "--pages-only"]
-                ncpu = os.cpu_count() or 0
-                if taskset and int(c) <= ncpu:
-                    cmd = [taskset, "-c", f"0-{int(c) - 1}"] + cmd
+                pinned[c] = bool(taskset) and int(c) <= len(allowed)
+                if pinned[c]:
+                    cores = ",".join(str(x) for x in allowed[: int(c)])
+                    cmd = [taskset, "-c", cores] + cmd
                 out = subprocess.run(
                     cmd,
                     env=env,
@@ -375,7 +398,9 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": f"pages_pipeline_scaling_local{lo}_vs_local{hi}",
-                    "cpu_pinned": bool(taskset),
+                    # per-level truth: a pinned-lo/free-hi mix is exactly
+                    # the asymmetry pinning exists to prevent — label it
+                    "cpu_pinned": {c: pinned.get(c, False) for c in levels},
                     "pages": results[lo]["pages"],
                     f"t_local{lo}_sec": t_lo,
                     f"t_local{hi}_sec": t_hi,

@@ -227,16 +227,26 @@ _PAGE_FILLER = [
 ]
 
 
+def _gen_page_head(rng, p, all_uris, mentions_per_page):
+    """The rng-draw PREFIX of :func:`_gen_page`: url, lang and the
+    planted-mention list — everything the gold twin needs. MUST stay the
+    exact draw sequence _gen_page starts with (it calls this helper), so
+    replaying only the head yields the same mentions as generating the
+    whole page. Returns (url, lang, mentioned)."""
+    url = f"https://example.org/p/{p:08d}"
+    lang = "en" if rng.random() >= 0.05 else "de"
+    k = rng.randint(*mentions_per_page) if lang == "en" else 0
+    mentioned = rng.sample(all_uris, k=k) if k else []
+    return url, lang, mentioned
+
+
 def _gen_page(rng, p, all_uris, pref_labels, mentions_per_page, filler_sentences):
     """One synthetic page row from an rng — the SINGLE page-content
     generator, shared by the sequential fixture (one rng stream for the
     whole corpus) and the distributed generator (one rng per page id), so
     the two can never drift in content shape. Returns (row, mentioned)."""
-    url = f"https://example.org/p/{p:08d}"
-    lang = "en" if rng.random() >= 0.05 else "de"
-    k = rng.randint(*mentions_per_page) if lang == "en" else 0
+    url, lang, mentioned = _gen_page_head(rng, p, all_uris, mentions_per_page)
     sentences: list[str] = []
-    mentioned = rng.sample(all_uris, k=k) if k else []
     for u in mentioned:
         t = rng.choice(_PAGE_TEMPLATES)
         sentences.append(t.format(m=pref_labels[u]))
@@ -344,9 +354,12 @@ def synth_gold_mentions_distributed(
     partition-independence)."""
     from pyspark.sql.types import StringType, StructField, StructType
 
-    labels = dict(pref_labels)
-    uris = sorted(labels)  # same fixed order as synth_pages_distributed
-    mpp, fs = tuple(mentions_per_page), tuple(filler_sentences)
+    del filler_sentences  # accepted for signature parity; gold needs only
+    # the rng-draw HEAD of the page generator (url/lang/mentions all draw
+    # before any filler) — skipping filler+HTML makes the gold pass ~30x
+    # cheaper than regenerating full pages
+    uris = sorted(pref_labels)  # same fixed order as synth_pages_distributed
+    mpp = tuple(mentions_per_page)
     schema = StructType(
         [
             StructField("url", StringType(), False),
@@ -362,11 +375,14 @@ def synth_gold_mentions_distributed(
             for p in pdf["id"]:
                 p = int(p)
                 rng = random.Random(f"{seed}:{p}")
-                row, mentioned = _gen_page(rng, p, uris, labels, mpp, fs)
+                url, _lang, mentioned = _gen_page_head(rng, p, uris, mpp)
                 for u in mentioned:
-                    out_url.append(row["url"])
+                    out_url.append(url)
                     out_uri.append(u)
-            yield pd.DataFrame({"url": out_url, "uri": out_uri})
+            yield pd.DataFrame(
+                {"url": pd.Series(out_url, dtype=object),
+                 "uri": pd.Series(out_uri, dtype=object)}
+            )
 
     n_part = partitions or spark.sparkContext.defaultParallelism * 4
     return spark.range(0, n_pages, numPartitions=n_part).mapInPandas(

@@ -94,8 +94,7 @@ def load_acscan():
         ]
         lib.ac_free.restype = None
         lib.ac_free.argtypes = [ctypes.c_void_p]
-        lib.ac_scan_multi.restype = ctypes.c_int64
-        lib.ac_scan_multi.argtypes = [
+        multi_argtypes = [
             ctypes.c_void_p,
             ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int64),
@@ -103,12 +102,10 @@ def load_acscan():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
         ]
-        lib.ac_scan_multi_fold.restype = ctypes.c_int64
-        lib.ac_scan_multi_fold.argtypes = lib.ac_scan_multi.argtypes
         lib.ac_scan_multi_agg.restype = ctypes.c_int64
-        lib.ac_scan_multi_agg.argtypes = lib.ac_scan_multi.argtypes
+        lib.ac_scan_multi_agg.argtypes = multi_argtypes
         lib.ac_scan_multi_fold_agg.restype = ctypes.c_int64
-        lib.ac_scan_multi_fold_agg.argtypes = lib.ac_scan_multi.argtypes
+        lib.ac_scan_multi_fold_agg.argtypes = multi_argtypes
         lib.ent_build.restype = ctypes.c_void_p
         lib.ent_build.argtypes = [
             ctypes.c_char_p,                      # names buf
@@ -124,19 +121,17 @@ def load_acscan():
         ]
         lib.ent_free.restype = None
         lib.ent_free.argtypes = [ctypes.c_void_p]
-        lib.ac_scan_multi_html.restype = ctypes.c_int64
-        lib.ac_scan_multi_html.argtypes = [
+        lib.ac_scan_multi_html_agg.restype = ctypes.c_int64
+        lib.ac_scan_multi_html_agg.argtypes = [
             ctypes.c_void_p,                      # AC
             ctypes.c_void_p,                      # EntTable
             ctypes.c_void_p,                      # html buf (bytes or address)
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),       # out triples
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),       # per-page flags
         ]
-        lib.ac_scan_multi_html_agg.restype = ctypes.c_int64
-        lib.ac_scan_multi_html_agg.argtypes = lib.ac_scan_multi_html.argtypes
         lib.extract_fold_debug.restype = ctypes.c_int64
         lib.extract_fold_debug.argtypes = [
             ctypes.c_void_p,
@@ -324,13 +319,16 @@ class NativeMatcher:
                 out[key] = c
         return out
 
-    def _scan_concat(self, parts, fn):
+    def _scan_concat(self, parts, fn, update_rate=True):
         """One C call (``fn``, an *_agg entry point) over concatenated
         per-page byte buffers; returns unique (page_idx, pat_idx, counts)
         int64 arrays. Aggregation over occurrences happens IN the C pass
         (per-pattern stamp array — see acscan.c emit_pair), replacing the
         former np.unique sort over raw occurrence pairs; the capacity
-        guess is adaptive so a typical batch never overflow-rescans."""
+        guess is adaptive so a typical batch never overflow-rescans.
+        ``update_rate=False`` for unrepresentative inputs (the flagged-page
+        fallback scans a tiny subset whose density would clobber the
+        estimate for the NEXT full batch — re-creating the double-scan)."""
         np = self._np
         offs = np.zeros(len(parts) + 1, dtype=np.int64)
         np.cumsum([len(p) for p in parts], out=offs[1:])
@@ -352,7 +350,7 @@ class NativeMatcher:
             if n <= cap:
                 break
             cap = int(n)
-        if n_pages:
+        if n_pages and update_rate:
             self._rate = n / n_pages * 1.5 + 1.0
         tri = out[: 3 * n].reshape(-1, 3)
         return (
@@ -376,7 +374,7 @@ class NativeMatcher:
 
     def scan_batch_hits_text(self, texts):
         """[foldable text bytes per page] -> unique (page_idx, pat_idx,
-        counts). The C pass case-folds and tokenizes (ac_scan_multi_fold)
+        counts). The C pass case-folds and tokenizes (ac_scan_multi_fold_agg)
         — no Python lower/findall/join per page; feed it
         textnorm.foldable_text_py / foldable_text_from_html_py output."""
         np = self._np
@@ -481,7 +479,7 @@ class NativeMatcher:
                 get = lambda i: htmls[int(i)]  # noqa: E731
             texts = [foldable_text_from_html_py(get(i)) for i in flagged]
             p2, pat2, cnt2 = self._scan_concat(
-                texts, self._lib.ac_scan_multi_fold_agg
+                texts, self._lib.ac_scan_multi_fold_agg, update_rate=False
             )
             page_idx = np.concatenate([page_idx, flagged[p2]])
             pat_idx = np.concatenate([pat_idx, pat2])

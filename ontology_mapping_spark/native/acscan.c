@@ -172,16 +172,15 @@ AC *ac_build(const uint8_t *buf, const int64_t *offs, int32_t n_patterns) {
     return ac;
 }
 
-/* ---- occurrence emitter: pair mode writes one (text, pattern) int32
- * pair per occurrence; aggregated mode (stamp != NULL) folds occurrences
- * into (text, pattern, count) int32 triples AS THEY ARE EMITTED via a
- * per-pattern stamp array — pages are scanned in increasing t, so
- * stamp[pat] == t+1 identifies "this pattern already has a triple for
- * the current page" in O(1), no sort, no hash. This replaces the
- * caller-side np.unique over ~10 raw pairs/page (a measured ~6% of the
- * single-thread scan cost at bench shape, growing with hit density).
- * In both modes `n` counts TOTAL entries; entries beyond cap are not
- * written and the caller re-calls with a larger buffer. */
+/* ---- occurrence emitter: folds occurrences into (text, pattern, count)
+ * int32 triples AS THEY ARE EMITTED via a per-pattern stamp array —
+ * pages are scanned in increasing t, so stamp[pat] == t+1 identifies
+ * "this pattern already has a triple for the current page" in O(1), no
+ * sort, no hash. This replaces the caller-side np.unique over ~10 raw
+ * pairs/page (a measured ~6% of the single-thread scan cost at bench
+ * shape, growing with hit density). `n` counts TOTAL unique pairs;
+ * entries beyond cap are not written and the caller re-calls with a
+ * larger buffer. */
 typedef struct {
     int32_t *out;
     int64_t  cap, n;
@@ -190,27 +189,19 @@ typedef struct {
 } Emit;
 
 static inline void emit_pair(Emit *em, int32_t t, int32_t pat) {
-    if (em->stamp) {
-        if (em->stamp[pat] == t + 1) {
-            int64_t s = em->slot[pat];
-            if (s < em->cap) em->out[3 * s + 2]++;
-            return;
-        }
-        em->stamp[pat] = t + 1;
-        em->slot[pat] = em->n;
-        if (em->n < em->cap) {
-            em->out[3 * em->n] = t;
-            em->out[3 * em->n + 1] = pat;
-            em->out[3 * em->n + 2] = 1;
-        }
-        em->n++;
-    } else {
-        if (em->n < em->cap) {
-            em->out[2 * em->n] = t;
-            em->out[2 * em->n + 1] = pat;
-        }
-        em->n++;
+    if (em->stamp[pat] == t + 1) {
+        int64_t s = em->slot[pat];
+        if (s < em->cap) em->out[3 * s + 2]++;
+        return;
     }
+    em->stamp[pat] = t + 1;
+    em->slot[pat] = em->n;
+    if (em->n < em->cap) {
+        em->out[3 * em->n] = t;
+        em->out[3 * em->n + 1] = pat;
+        em->out[3 * em->n + 2] = 1;
+    }
+    em->n++;
 }
 
 /* counts: caller-zeroed int32[n_patterns]; += occurrences per pattern. */
@@ -233,11 +224,9 @@ void ac_scan(const AC *ac, const uint8_t *text, int64_t len, int32_t *counts) {
 }
 
 /* Batch scan: texts concatenated in buf, text i = buf[t_offs[i]..t_offs[i+1]].
- * Emits one (text_idx, pattern_id) int32 pair per OCCURRENCE into out
- * (capacity `cap` pairs); always returns the total number of occurrences,
- * writing only the first `cap` — caller re-calls with a bigger buffer when
- * the return exceeds cap. Automaton state resets per text. One C call per
- * Arrow batch amortizes the Python->C transition over thousands of pages. */
+ * Every OCCURRENCE feeds the Emit aggregator (triples protocol above);
+ * automaton state resets per text. One C call per Arrow batch amortizes
+ * the Python->C transition over thousands of pages. */
 static int64_t scan_multi_impl(const AC *ac, const uint8_t *buf,
                                const int64_t *t_offs, int32_t n_texts,
                                Emit *em) {
@@ -281,14 +270,8 @@ static int64_t scan_multi_impl(const AC *ac, const uint8_t *buf,
     return em->n;
 }
 
-int64_t ac_scan_multi(const AC *ac, const uint8_t *buf, const int64_t *t_offs,
-                      int32_t n_texts, int32_t *out, int64_t cap) {
-    Emit em = {out, cap, 0, NULL, NULL};
-    return scan_multi_impl(ac, buf, t_offs, n_texts, &em);
-}
-
-/* aggregated form: out holds (text, pattern, count) int32 triples over
- * UNIQUE (text, pattern) pairs; returns the unique-pair count. */
+/* out holds (text, pattern, count) int32 triples over UNIQUE
+ * (text, pattern) pairs; returns the unique-pair count. */
 int64_t ac_scan_multi_agg(const AC *ac, const uint8_t *buf,
                           const int64_t *t_offs, int32_t n_texts,
                           int32_t *out, int64_t cap) {
@@ -315,7 +298,7 @@ int64_t ac_scan_multi_agg(const AC *ac, const uint8_t *buf,
  * Python tokenizer contract (textnorm._tokens_from_text) for fold-safe
  * text; the Python caller routes the two divergent code points (U+0130,
  * U+212A — see textnorm._EXOTIC_LOWER) through the tokenizer first.
- * Output pairs protocol identical to ac_scan_multi. */
+ * Output triples protocol identical to ac_scan_multi_agg. */
 
 static inline uint8_t fold_byte(uint8_t c) {
     if (c >= 'a' && c <= 'z') return c;
@@ -383,13 +366,6 @@ static int64_t scan_multi_fold_impl(const AC *ac, const uint8_t *buf,
 }
 
 #undef AC_FEED
-
-int64_t ac_scan_multi_fold(const AC *ac, const uint8_t *buf,
-                           const int64_t *t_offs, int32_t n_texts,
-                           int32_t *out, int64_t cap) {
-    Emit em = {out, cap, 0, NULL, NULL};
-    return scan_multi_fold_impl(ac, buf, t_offs, n_texts, &em);
-}
 
 int64_t ac_scan_multi_fold_agg(const AC *ac, const uint8_t *buf,
                                const int64_t *t_offs, int32_t n_texts,
@@ -875,10 +851,11 @@ static void pass3(const EntTable *et, const uint8_t *s, int64_t len,
 }
 
 /* Batch HTML scan: raw html pages concatenated in buf (same offsets
- * protocol as ac_scan_multi). flags: caller-zeroed uint8[n_texts]; set to
- * 1 when a page hits an ambiguous construct — its pairs are rewound and
- * the caller must re-run that page through the Python path. Returns total
- * pair count (caller re-calls with a larger out when it exceeds cap). */
+ * protocol as ac_scan_multi_agg). flags: caller-zeroed uint8[n_texts];
+ * set to 1 when a page hits an ambiguous construct — its triples are
+ * rewound and the caller must re-run that page through the Python path.
+ * Returns total unique-pair count (caller re-calls with a larger out
+ * when it exceeds cap). */
 static int64_t scan_multi_html_impl(const AC *ac, const EntTable *et,
                                     const uint8_t *buf, const int64_t *t_offs,
                                     int32_t n_texts, Emit *em,
@@ -909,14 +886,6 @@ static int64_t scan_multi_html_impl(const AC *ac, const EntTable *et,
     }
     free(sa); free(sb);
     return em->n;
-}
-
-int64_t ac_scan_multi_html(const AC *ac, const EntTable *et,
-                           const uint8_t *buf, const int64_t *t_offs,
-                           int32_t n_texts, int32_t *out, int64_t cap,
-                           uint8_t *flags) {
-    Emit em = {out, cap, 0, NULL, NULL};
-    return scan_multi_html_impl(ac, et, buf, t_offs, n_texts, &em, flags);
 }
 
 int64_t ac_scan_multi_html_agg(const AC *ac, const EntTable *et,

@@ -42,10 +42,14 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 os.environ.setdefault("PYTHONPATH", _REPO)
 
-# MUST match bench.py's corpus parameters so the parquet cache is shared
-SEED = 7
-N_PAIRS, N_EXTRA = 150, 50
-MPP, FS = (0, 8), (25, 50)
+# corpus recipe imported from bench.py — ONE source of truth, so the
+# cached corpus and the replayed gold can never drift apart
+from bench import (  # noqa: E402
+    CORPUS_ONTOLOGY,
+    CORPUS_PAGE_KW,
+    CORPUS_SEED,
+    corpus_cache_dir,
+)
 
 
 def main() -> None:
@@ -76,11 +80,11 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
-    fx = make_fixture(n_pairs=N_PAIRS, n_extra_per_side=N_EXTRA, n_pages=0, seed=SEED)
+    fx = make_fixture(n_pages=0, seed=CORPUS_SEED, **CORPUS_ONTOLOGY)
     triples, _, _, _ = fixture_dataframes(spark, fx)
     phrases = label_phrases(extract_labels(triples))
 
-    cache = os.path.join(_REPO, ".bench_cache", f"pages_v4_{args.pages}")
+    cache = corpus_cache_dir(args.pages)
     if os.path.exists(os.path.join(cache, "_SUCCESS_ALL")):
         pages = spark.read.parquet(f"{cache}/pages")
     else:
@@ -88,17 +92,15 @@ def main() -> None:
             spark,
             args.pages,
             fx.pref_labels,
-            seed=SEED,
-            mentions_per_page=MPP,
-            filler_sentences=FS,
+            seed=CORPUS_SEED,
+            **CORPUS_PAGE_KW,
         )
     gold = synth_gold_mentions_distributed(
         spark,
         args.pages,
         fx.pref_labels,
-        seed=SEED,
-        mentions_per_page=MPP,
-        filler_sentences=FS,
+        seed=CORPUS_SEED,
+        **CORPUS_PAGE_KW,
     ).distinct()
 
     t0 = time.time()
