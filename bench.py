@@ -529,7 +529,16 @@ def main() -> None:
                 sys.executable,
                 os.path.join(_REPO, "tools", "stress_skew.py"),
             ],
-            env=dict(os.environ, SPARK_GRAFT_SKEW_REPS="1"),
+            # keep stress_skew's interleaved best-of-2 (its default):
+            # forcing 1 rep removed the interleaving protection and a
+            # mid-stage host phase shift once recorded salted SLOWER than
+            # unsalted (0.6x) while adjacent runs read 2.7x
+            env=dict(
+                os.environ,
+                SPARK_GRAFT_SKEW_REPS=os.environ.get(
+                    "SPARK_GRAFT_SKEW_REPS", "2"
+                ),
+            ),
             capture_output=True,
             text=True,
         )
