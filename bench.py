@@ -485,15 +485,12 @@ def main() -> None:
     # append the north-rule N-vs-4N scaling evidence (best-of-N subprocess
     # runs at the two parallelism levels) unless explicitly skipped
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        # the --scaling branch owns the pass policy (adaptive: stop at
+        # the target efficiency, retry up to its default max inside a
+        # slow phase) — don't cap it here; a stale setdefault("2") was
+        # silently limiting the adaptive loop to 2 passes. The suite JSON
+        # above already stands if a caller timeout cuts this stage short.
         env2 = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-        # two interleaved passes x two in-session reps: host slow phases
-        # last minutes, and a single pass can sit entirely inside one (the
-        # suite JSON above already stands if a caller timeout cuts this).
-        # Round 3 moved robustness from rep count to corpus size — the 3x
-        # scaling corpus amortizes per-job cost AND lengthens each sample
-        # past the worst observed jitter; 2x2 keeps the whole default
-        # bench under ~12 minutes.
-        env2.setdefault("SPARK_GRAFT_SCALING_REPS", "2")
         out2 = subprocess.run(
             [sys.executable, __file__, "--scaling"],
             env=env2,
