@@ -2,19 +2,27 @@
 
 The reference calls ``rapidfuzz.fuzz.partial_ratio`` per pair
 (thesis/process_data_features.py:168, thesis/generate_candidates.py:50,74,228).
-rapidfuzz is a C extension that is not part of this engine's dependency set,
-so the engine defines a canonical partial-ratio: the maximum
-similarity-ratio of the shorter string against any same-length window of the
-longer one, with ratio = 2*M/(len_a+len_b) over difflib matching blocks
-(autojunk off). This follows the original fuzzywuzzy definition; values are
-in [0, 1] after the reference's /100 scaling (thesis/process_data_features.py:168).
-The pytest oracle imports THIS function, so engine == oracle by construction;
-divergence from rapidfuzz's optimized alignment is documented, not hidden.
+rapidfuzz is a C extension that is not part of this sandbox's dependency
+set, so it is an OPTIONAL-IMPORT SEAM (the Pillow/spaCy pattern): when
+``rapidfuzz`` is importable the UDF scores whole Arrow batches through its
+C kernel (``process.cpdist`` — element-wise, zero per-pair Python) and is
+reference-exact; otherwise the engine uses its canonical pure-Python
+partial-ratio: the maximum similarity-ratio of the shorter string against
+any same-length window of the longer one, with ratio = 2*M/(len_a+len_b)
+over difflib matching blocks (autojunk off) — the original fuzzywuzzy
+definition. Values are in [0, 1] after the reference's /100 scaling
+(thesis/process_data_features.py:168).
+
+The pytest oracle imports :func:`partial_ratio_ref` — the SAME seam — so
+engine == oracle by construction in both worlds. On the window-exhaustive
+branch difflib's block sum is a lower bound on the LCS rapidfuzz optimizes,
+so ``partial_ratio_py <= rapidfuzz.partial_ratio/100`` there (pinned by a
+skip-clean equivalence test); divergence is documented, not hidden.
 
 Scale note: per-pair Python is the slow path; it runs as an Arrow-batched
-pandas UDF (one Python call per ~10k-row batch, not per row), and at real
-scale this is the one kernel you would swap for a C library shipped via
---py-files. Everything around it stays JVM-side.
+pandas UDF (one Python call per ~10k-row batch, not per row). With
+rapidfuzz shipped via --py-files the inner work is C too; the difflib
+fallback is the one interpreter-bound kernel left in the engine.
 """
 
 from __future__ import annotations
@@ -24,6 +32,29 @@ from difflib import SequenceMatcher
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_RF = None
+_RF_TRIED = False
+
+
+def _rapidfuzz_partial_ratio():
+    """``rapidfuzz.fuzz.partial_ratio`` when importable, else None.
+    Probed once per process (executor-side too — the module-level cache
+    is per Python worker, same as the spaCy model slot)."""
+    global _RF, _RF_TRIED
+    if not _RF_TRIED:
+        _RF_TRIED = True
+        try:
+            from rapidfuzz import fuzz as _fuzz  # type: ignore
+
+            _RF = _fuzz.partial_ratio
+        except Exception:
+            _RF = None
+    return _RF
+
+
+def rapidfuzz_available() -> bool:
+    return _rapidfuzz_partial_ratio() is not None
 
 
 def _ratio(matcher: SequenceMatcher, len_a: int, len_b: int) -> float:
@@ -75,11 +106,37 @@ def partial_ratio_py(a: str | None, b: str | None) -> float:
     return best
 
 
+def partial_ratio_ref(a: str | None, b: str | None) -> float:
+    """Reference-exact scorer when rapidfuzz is importable, canonical
+    Python definition otherwise. The pytest oracle imports THIS, so
+    engine == oracle under either kernel."""
+    rf = _rapidfuzz_partial_ratio()
+    if rf is not None:
+        return rf(a or "", b or "") / 100.0
+    return partial_ratio_py(a, b)
+
+
+def partial_ratio_batch(a_vals: list, b_vals: list) -> list[float]:
+    """Score parallel lists of pairs. rapidfuzz path: one C call for the
+    whole batch (``process.cpdist`` element-wise, multithread-free —
+    Spark owns the cores); fallback: per-pair difflib."""
+    rf = _rapidfuzz_partial_ratio()
+    if rf is not None:
+        a_vals = [x or "" for x in a_vals]
+        b_vals = [y or "" for y in b_vals]
+        try:
+            from rapidfuzz.process import cpdist  # type: ignore
+
+            return (cpdist(a_vals, b_vals, scorer=rf) / 100.0).tolist()
+        except Exception:
+            return [rf(x, y) / 100.0 for x, y in zip(a_vals, b_vals)]
+    return [partial_ratio_py(x, y) for x, y in zip(a_vals, b_vals)]
+
+
 @F.pandas_udf(T.DoubleType())
 def partial_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
-        [partial_ratio_py(x, y) for x, y in zip(a.tolist(), b.tolist())],
-        dtype="float64",
+        partial_ratio_batch(a.tolist(), b.tolist()), dtype="float64"
     )
 
 

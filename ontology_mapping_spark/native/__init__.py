@@ -168,6 +168,24 @@ def load_entity_table():
     lib = load_acscan()
     if lib is None:
         return None
+    # Same contract as load_acscan: ANY failure (a stdlib table rename, a
+    # charref-contract violation) degrades to the Python path instead of
+    # crashing executor tasks — but loudly, via a warning.
+    try:
+        _ENT = _build_entity_table(lib)
+    except Exception as exc:  # noqa: BLE001 - degradation seam by design
+        import warnings
+
+        warnings.warn(
+            f"native entity table unavailable, using Python HTML path: {exc}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        _ENT = None
+    return _ENT
+
+
+def _build_entity_table(lib):
     import html as _html
     from html.entities import html5
 
@@ -200,13 +218,17 @@ def load_entity_table():
     invalid = np.array(sorted(_html._invalid_codepoints), dtype=np.int32)
     # contract check: every charref value must fold to pure separators
     # (the C table only records membership) — true for the whole
-    # windows-1252 map, asserted so a stdlib change can't silently skew
+    # windows-1252 map; RuntimeError (not assert: survives python -O) so a
+    # stdlib change can't silently skew — the caller degrades to Python.
     for v in _html._invalid_charrefs.values():
-        assert not any(
+        if any(
             (c.isascii() and c.isalnum())
             or (ord(c) >= 128 and any(x.isascii() and x.isalnum() for x in c.lower()))
             for c in v
-        ), "charref value no longer separator-only; regenerate C tables"
+        ):
+            raise RuntimeError(
+                "charref value no longer separator-only; regenerate C tables"
+            )
     handle = lib.ent_build(
         nbuf,
         noffs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -219,8 +241,7 @@ def load_entity_table():
         invalid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.c_int32(len(invalid)),
     )
-    _ENT = ctypes.c_void_p(handle) if handle else None
-    return _ENT
+    return ctypes.c_void_p(handle) if handle else None
 
 
 def extract_fold_debug(html: bytes) -> tuple[bytes | None, bool]:

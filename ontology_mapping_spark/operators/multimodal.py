@@ -130,7 +130,12 @@ def extract_media_features(
     oracle default) or "pillow" (:func:`real_image_feature`; requires
     Pillow on the executors, raising ``NotImplementedError`` per batch
     otherwise)."""
-    kernel = {"fake": fake_feature, "pillow": real_image_feature}[decoder]
+    kernels = {"fake": fake_feature, "pillow": real_image_feature}
+    if decoder not in kernels:
+        raise ValueError(
+            f"unknown decoder {decoder!r}; accepted values: {sorted(kernels)}"
+        )
+    kernel = kernels[decoder]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

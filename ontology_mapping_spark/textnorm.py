@@ -154,7 +154,11 @@ def foldable_text_py(text: str | None) -> bytes:
     if text is None:
         return b""
     if fold_safe_py(text):
-        return text.encode("utf-8")
+        # errors="replace": Arrow/Spark strings are always valid UTF-8, but a
+        # pure-Python caller may hold lone surrogates — '?' is a separator
+        # byte for the C fold, matching _tokens_from_text (surrogates are
+        # non-alnum, so both paths tokenize them as separators).
+        return text.encode("utf-8", errors="replace")
     return " ".join(_tokens_from_text(text)).encode("ascii")
 
 

@@ -24,7 +24,7 @@ from ontology_mapping_spark.fixtures import (
     P_SYNONYM,
     Fixture,
 )
-from ontology_mapping_spark.functions.fuzzy import levenshtein_py, partial_ratio_py
+from ontology_mapping_spark.functions.fuzzy import levenshtein_py, partial_ratio_ref
 from ontology_mapping_spark.functions.strings import token_jaccard_py
 from ontology_mapping_spark.functions.vectors import cosine_py, embed_text_py
 from ontology_mapping_spark.operators.sampling import md5_sample_key_py
@@ -247,7 +247,7 @@ def compute_features(
             "src": c1,
             "tgt": c2,
             "exact_string_match": float(l1 == l2),
-            "partial_string_match": partial_ratio_py(l1, l2),
+            "partial_string_match": partial_ratio_ref(l1, l2),
             "weighted_jaccard": token_jaccard_py(l1, l2),
             "cosine_similarity": cosine_py(e1, e2),
             "levenshtein_distance": float(levenshtein_py(l1, l2)),

@@ -560,6 +560,17 @@ def test_scan_batch_hits_html_matches_python_pipeline_property():
         (3, "u0", "a"): 2,
     }
 
+    # null-FREE sliced arrays stay on the zero-copy path (offset>0, data
+    # buffer present) — pins the offset*4 / offset*8 index arithmetic for
+    # both 32-bit (binary) and 64-bit (large_binary) offset widths
+    raw_nn = [b"zzz", b"<p>a b</p>", b"", b"a &amp; a"]
+    want_nn = hits_of(nm, nm.scan_batch_hits_html(raw_nn))
+    assert want_nn == want
+    for typ in (pa.binary(), pa.large_binary()):
+        sliced = pa.array([b"pad", b"a a a"] + raw_nn, type=typ).slice(2)
+        assert sliced.null_count == 0 and sliced.offset == 2
+        assert hits_of(nm, nm.scan_batch_hits_html(sliced)) == want_nn
+
 
 def test_make_html_hits_scanner_kernels_agree(spark):
     """The public scanner factory returns identical flat hits for every

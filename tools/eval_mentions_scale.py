@@ -109,8 +109,9 @@ def main() -> None:
         .select("url", "uri")
         .distinct()
     )
-    # one shuffle-free pass for all three counts: full outer join on the
-    # pair key, then conditional counts (gold-only = missed, both =
+    # one joined pass for all three counts (the win is a single action,
+    # not avoiding the shuffle — the full outer join shuffles both sides
+    # on the pair key), then conditional counts (gold-only = missed, both =
     # matched, detected-only = extra)
     j = gold.withColumn("g", F.lit(1)).join(
         detected.withColumn("d", F.lit(1)), ["url", "uri"], "full_outer"
