@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ontology_mapping_spark.functions.vectors import cosine_col
-from ontology_mapping_spark.operators.graph import bounded_bfs
+from ontology_mapping_spark.operators.graph import bounded_bfs_from
 
 
 def _flag_join(pairs: DataFrame, flagged: DataFrame, name: str) -> DataFrame:
@@ -134,10 +134,13 @@ def hierarchical_distance(
     reference graph's orientation, :202-208) within ``max_hops``; NULL when
     unreachable (the reference returns np.inf, :216-223).
 
-    bounded_bfs walks child->parent, so the reference's downward distance
-    src=>tgt equals the upward distance tgt=>src — probe with roles swapped.
-    """
-    dist = bounded_bfs(edges, max_hops).select(
+    The BFS walks child->parent, so the reference's downward distance
+    src=>tgt equals the upward distance tgt=>src — the frontier is SEEDED
+    from the pairs' tgt nodes (bounded_bfs_from), so work scales with
+    |pairs| * reach, not |V| * reach: the rest of the graph is never
+    expanded (VERDICT r3 #5)."""
+    seeds = pairs.select(F.col("tgt").alias("src"))
+    dist = bounded_bfs_from(edges, seeds, max_hops).select(
         F.col("dst").alias("src"),
         F.col("src").alias("tgt"),
         F.col("dist").alias("hierarchical_distance"),

@@ -265,3 +265,48 @@ def bounded_bfs(edges: DataFrame, max_hops: int = 6) -> DataFrame:
             break
         best = merged
     return best
+
+
+def bounded_bfs_from(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 6
+) -> DataFrame:
+    """Directed shortest-path (child -> parent) within ``max_hops``, for
+    walks that START at ``sources`` (a one-column DataFrame named ``src``):
+    (src, dst, dist), src always from ``sources``. Unreachable pairs are
+    absent.
+
+    Scale shape: proper frontier BFS — each round expands only the nodes
+    discovered last round, so work is O(|sources| * reach^hops) and never
+    touches the rest of the graph (bounded_bfs is O(|V| * reach^hops)).
+    First discovery is the shortest distance (all frontier rows at round h
+    carry dist h), so no min-merge over the accumulated set is needed —
+    just a left-anti dedup against what's already known per (src, dst)."""
+    up = edges.select(
+        F.col("child").alias("dst"), F.col("parent").alias("nxt")
+    ).distinct()
+    frontier = _cut(
+        sources.select(F.col("src").alias("dst"))
+        .distinct()
+        .join(up, "dst")
+        .select(
+            F.col("dst").alias("src"),
+            F.col("nxt").alias("dst"),
+            F.lit(1).alias("dist"),
+        )
+        .distinct()
+    )
+    best = frontier
+    for hop in range(2, max_hops + 1):
+        if frontier.isEmpty():
+            break
+        step = (
+            frontier.join(up, "dst")
+            .select("src", F.col("nxt").alias("dst"), F.lit(hop).alias("dist"))
+            .distinct()
+        )
+        new = _cut(step.join(best, ["src", "dst"], "left_anti"))
+        if new.isEmpty():
+            break
+        best = _cut(best.unionByName(new))
+        frontier = new
+    return best

@@ -90,3 +90,40 @@ def test_bounded_bfs(spark):
     assert got[("c", "r")] == 2
     assert got[("c", "a")] == 1
     assert ("r", "d") not in got
+
+
+def test_bounded_bfs_from_seeded_scales_with_sources(spark):
+    """Seeded BFS == whole-graph BFS restricted to the seeds, and its
+    output never contains rows for unseeded nodes — the work bound is
+    |sources| * reach, not |V| (VERDICT r3 #5). The big detached chain
+    must contribute zero rows."""
+    chain = [(f"n{i}", f"n{i+1}") for i in range(50)]  # detached component
+    edges = [("c", "a"), ("a", "r"), ("d", "c"), ("e", "a")] + chain
+    df = _edges_df(spark, edges)
+    seeds = spark.createDataFrame([("d",), ("e",), ("ghost",)], "src string")
+
+    got = {
+        (r["src"], r["dst"]): r["dist"]
+        for r in G.bounded_bfs_from(df, seeds, 6).collect()
+    }
+    assert {s for s, _ in got} == {"d", "e"}  # ghost unreachable, chain untouched
+    assert got == {
+        ("d", "c"): 1,
+        ("d", "a"): 2,
+        ("d", "r"): 3,
+        ("e", "a"): 1,
+        ("e", "r"): 2,
+    }
+    # parity with the whole-graph walk, restricted to the seeds
+    full = {
+        (r["src"], r["dst"]): r["dist"]
+        for r in G.bounded_bfs(df, 6).collect()
+        if r["src"] in {"d", "e", "ghost"}
+    }
+    assert got == full
+    # hop cap respected from the seeded frontier
+    capped = {
+        (r["src"], r["dst"]): r["dist"]
+        for r in G.bounded_bfs_from(df, seeds, 2).collect()
+    }
+    assert capped == {k: v for k, v in got.items() if v <= 2}
