@@ -93,6 +93,13 @@ LOCAL_ONLY: frozenset = frozenset(
         # subsumed by minhash_lsh_near_dups, which re-derives the same
         # md5-slice signatures as its first stage
         "minhash_token_signature",
+        # family primary: embedding_lsh_near_dup (the corpus-scale
+        # sign-LSH-blocked form, VERDICT r3 #6); this brute-force-probe
+        # variant keeps its exact SQL oracle locally
+        "embedding_near_dup_pairs",
+        # sign-LSH ANN top-k: planted-top1 property checked locally; the
+        # bucketing core is driver-covered via embedding_lsh_near_dup
+        "ann_lsh_topk",
         # rolling-hash fingerprint family primary: winnow_fingerprints
         # (winnowing selects over the same k-gram hashes)
         "document_fingerprint",
@@ -1117,6 +1124,86 @@ def q_embedding_near_dups(spark, sf):
         base, threshold=0.8, id_col="vec_id", vec_col="v", queries=planted
     )
     return out.select("a", "b", F.round("cos", 5).alias("cos"))
+
+
+def _planted_embeddings(spark, sf, every: int = 10, eps: float = 0.02):
+    """(base, planted): planted vec = v + eps*reverse(v) for vec_id % every
+    == 0, id shifted by 1_000_000 — cos(planted, base) ~= 1-eps^2/2 vs
+    next-best ~0.49 on the near-uniform synthetic embeddings."""
+    from ontology_mapping_spark.functions.arrays import bind
+
+    base = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    planted = base.filter(F.col("vec_id") % every == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        bind(
+            F.col("v"),
+            lambda v: F.zip_with(v, F.reverse(v), lambda a, b: a + F.lit(eps) * b),
+        ).alias("v"),
+    )
+    return base, planted
+
+
+@query(
+    "embedding_lsh_near_dup",
+    """SELECT vec_id AS a, CAST(TRUE AS BOOLEAN) AS found_ok
+       FROM embeddings WHERE vec_id % 10 = 0 ORDER BY a""",
+)
+def q_embedding_lsh_near_dup(spark, sf):
+    """Corpus-scale embedding near-dup: sign-LSH bucket blocking (seeded
+    hyperplanes as Catalyst literals, bucket equi-join — never n^2) + exact
+    cosine verify. LSH bucketing is not SQL-expressible, so the oracle
+    checks the property that matters (the ann_ivf_topk recall pattern):
+    every planted near-dup pair (cos ~0.9996 at eps=0.02 vs next-best
+    ~0.49) must be recovered. With nbits=8, tables=4 the per-pair miss
+    probability is ~(1-(1-theta/pi)^8)^4 ~= 2e-5, and the seeded planes
+    make the outcome deterministic per sf — verified all-found at
+    sf0.001/0.01/0.1. A recall dip flips found_ok and the hash diverges."""
+    from ontology_mapping_spark.operators.dedup import near_dup_pairs_embedding
+
+    base, planted = _planted_embeddings(spark, sf)
+    corpus = base.unionByName(planted)
+    found = near_dup_pairs_embedding(
+        corpus, threshold=0.99, id_col="vec_id", vec_col="v",
+        dim=64, nbits=8, tables=4,
+    )
+    want = base.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("a"), (F.col("vec_id") + 1000000).alias("b")
+    )
+    hit = found.select("a", "b", F.lit(1).alias("hit"))
+    return (
+        want.join(hit, ["a", "b"], "left")
+        .select("a", F.col("hit").isNotNull().alias("found_ok"))
+        .orderBy("a")
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    """SELECT vec_id + 1000000 AS q_id, CAST(TRUE AS BOOLEAN) AS top1_ok
+       FROM embeddings WHERE vec_id % 100 = 0 ORDER BY q_id""",
+)
+def q_ann_lsh_topk(spark, sf):
+    """Sign-LSH ANN top-k (similarity.ann_lsh_topk): each planted query's
+    true base vector must come back at rank 1 (uniform embeddings are
+    adversarial for sign-LSH recall@k on NON-near neighbors, so the
+    planted-top1 property is the meaningful, stable check)."""
+    from ontology_mapping_spark.operators.similarity import ann_lsh_topk
+
+    base, planted = _planted_embeddings(spark, sf, every=100)
+    queries_df = planted.select(F.col("vec_id").alias("q_id"), F.col("v").alias("vec"))
+    corpus = base.select(F.col("vec_id").alias("c_id"), F.col("v").alias("vec"))
+    top = ann_lsh_topk(queries_df, corpus, dim=64, k=5, nbits=8, tables=4)
+    return (
+        top.filter(F.col("rank") == 1)
+        .select(
+            "q_id",
+            (F.col("c_id") == F.col("q_id") - 1000000).alias("top1_ok"),
+        )
+        .orderBy("q_id")
+    )
 
 
 @query(
