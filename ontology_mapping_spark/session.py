@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         # files.maxPartitionBytes kept at default 128m: right-sizes scan tasks
         # for the 100 TB pages table; small fixtures coalesce via AQE anyway.
+        # The table itself is lang/date-partitioned (sources.readers.
+        # write_pages_partitioned) so lang/date-filtered runs prune at file
+        # listing — pinned by tests/test_pages_partitioning.py.
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -36,6 +36,62 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType, **options) ->
     return spark.read.options(**{"header": True, **options}).schema(schema).csv(path)
 
 
+#: web_pages physical layout (BASELINE.json input_hint): partitioned by
+#: language then crawl day. Cardinality is bounded (langs x days), so no
+#: partition explosion; lang is first because the pipeline's hottest
+#: predicate is the per-language run.
+PAGES_PARTITION_COLS = ("lang", "p_date")
+
+
+def write_pages_partitioned(
+    pages: DataFrame, path: str, mode: str = "overwrite", files_per_partition: int = 1
+) -> None:
+    """Write the ``web_pages`` table partitioned by ``(lang, p_date)``.
+
+    This is the 100 TB scan-pruning contract: a lang-filtered pipeline run
+    lists and reads ONLY the ``lang=<x>/`` directories, and a crawl-date
+    range prunes to its day partitions — both enforced by
+    tests/test_pages_partitioning.py against ``input_file_name()`` and the
+    physical plan's PartitionFilters.
+
+    The pre-write ``repartition`` on the partition columns gives each
+    (lang, day) one writer task — no tiny-file explosion from every task
+    writing every partition. At real scale a single day of one language
+    exceeds one task's output: raise ``files_per_partition`` to split each
+    partition across N writer tasks (url-hash salt, deterministic)."""
+    keys = [F.col("lang"), F.col("p_date")]
+    if files_per_partition > 1:
+        keys.append(F.pmod(F.xxhash64("url"), F.lit(files_per_partition)))
+    (
+        pages.withColumn("p_date", F.to_date("warc_ts"))
+        .repartition(*keys)
+        .write.mode(mode)
+        .partitionBy(*PAGES_PARTITION_COLS)
+        .parquet(path)
+    )
+
+
+def read_pages(
+    spark: SparkSession,
+    path: str,
+    lang: str | None = None,
+    start_date: str | None = None,
+    end_date: str | None = None,
+) -> DataFrame:
+    """Read ``web_pages`` back in input_hint column order, with optional
+    partition-pruning predicates (plain filters on partition columns —
+    Catalyst turns them into PartitionFilters, so pruning happens at file
+    listing, before any IO)."""
+    df = spark.read.parquet(path)
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+    if start_date is not None:
+        df = df.filter(F.col("p_date") >= F.lit(start_date).cast("date"))
+    if end_date is not None:
+        df = df.filter(F.col("p_date") <= F.lit(end_date).cast("date"))
+    return df.select("url", "warc_ts", "html", "text", "lang")
+
+
 def mint_uri(prefix: str, *cols: Column | str, length: int = 40) -> Column:
     """Deterministic URI: prefix + sha2(natural key). Same inputs -> same id
     on every run and every cluster.
