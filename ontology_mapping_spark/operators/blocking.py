@@ -129,26 +129,42 @@ def salted_blocking_join(
     )
 
 
+def auto_hot_pairs_threshold(fanout_stats: DataFrame, n_partitions: int) -> int:
+    """Tune the hot-token cutoff from the measured df distribution: a
+    token is a straggler candidate when its single-key join output
+    exceeds the MEAN PER-REDUCER output (total fan-out / reducers) — below
+    that, the key fits inside one reducer's fair share and salting it only
+    adds replication. ``fanout_stats`` must carry a ``fanout`` column
+    (df_s * df_t per token). A 64k floor keeps fixture-scale runs from
+    salting trivially small keys (semantics are identical either way;
+    only shuffle layout changes)."""
+    total = fanout_stats.agg(F.sum("fanout")).first()[0] or 0
+    return max(int(total / max(n_partitions, 1)), 65536)
+
+
 def hot_salted_blocking_join(
     src_text: DataFrame,
     tgt_text: DataFrame,
     cfg: PipelineConfig | None = None,
-    hot_pairs_threshold: int = 1_000_000,
+    hot_pairs_threshold: int | None = 1_000_000,
 ) -> DataFrame:
     """Targeted skew salting: salt ONLY the tokens whose join fan-out
     (df_src x df_tgt) exceeds ``hot_pairs_threshold``; everything else
-    takes the plain equi-join. Semantics identical to
-    :func:`blocking_join`.
+    takes the plain equi-join. ``hot_pairs_threshold=None`` auto-tunes the
+    cutoff from the measured fan-out distribution
+    (:func:`auto_hot_pairs_threshold`: mean per-reducer output). Semantics
+    identical to :func:`blocking_join`.
 
-    Why this beats :func:`salted_blocking_join` at scale: blanket salting
-    replicates EVERY target posting S-fold (S x shuffle volume on the
-    whole corpus to fix a handful of keys), and the replication cost was
-    measured to exceed the skew it cures on a 200k x 50k corpus with one
-    hot entity (tools/stress_skew.py). Here the hot set is detected with
-    two map-side-combined per-token counts (same shuffle key the join
-    needs anyway), is tiny by construction (each hot token must fan out
-    >= threshold pairs), and rides a broadcast — so the cold 99.99% of
-    postings move exactly once, and only hot target postings replicate.
+    Blanket vs targeted — the measured truth (tools/stress_skew.py across
+    rounds 2-4): the crossover is the size of the REPLICATED side. Blanket
+    salting replicates every target posting S-fold; on a corpus whose
+    target posting table is small (the stress corpus: ~100k rows), that
+    replication is nearly free and blanket can even win by skipping the
+    detection pass + anti-joins this operator pays. At the 100 TB design
+    point the target side is itself huge, S x its shuffle volume dominates
+    everything, and targeted salting is the only shape that survives —
+    which is why it stays the production default while the stress artifact
+    records both under host-burn controls.
 
     AQE's skew-join can NOT fix this class of skew: it splits by shuffle
     partition input bytes, and a hot token's input (two posting lists) is
@@ -156,22 +172,36 @@ def hot_salted_blocking_join(
     splits the output itself."""
     cfg = cfg or PipelineConfig()
     S = cfg.salt_buckets
-    s = posting_lists(src_text.select("uri", "text"), cfg.max_token_df).withColumnRenamed(
-        "uri", "src"
+    # each posting list has THREE consumers (detection count, cold
+    # anti-join, hot join) and ends in a distinct-shuffle — materialize
+    # once so the explode+distinct runs once per side, not three times
+    # (measured 1.6x on tools/stress_skew.py; exchange reuse does not
+    # cover it because the consumers sit under different repartitions)
+    s = materialize(
+        posting_lists(src_text.select("uri", "text"), cfg.max_token_df)
+        .withColumnRenamed("uri", "src")
     )
-    t = posting_lists(tgt_text.select("uri", "text"), cfg.max_token_df).withColumnRenamed(
-        "uri", "tgt"
+    t = materialize(
+        posting_lists(tgt_text.select("uri", "text"), cfg.max_token_df)
+        .withColumnRenamed("uri", "tgt")
     )
     # four consumers (two anti-joins + two hot joins) — materialize the
     # detection aggregate ONCE or each reference re-runs both per-token
     # counts (measured 4x slowdown without this)
-    hot = materialize(
+    stats = materialize(
         s.groupBy("token")
         .agg(F.count("*").alias("df_s"))
         .join(t.groupBy("token").agg(F.count("*").alias("df_t")), "token")
-        .filter(F.col("df_s") * F.col("df_t") >= hot_pairs_threshold)
-        .select("token")
+        .withColumn("fanout", F.col("df_s") * F.col("df_t"))
+        .select("token", "fanout")
     )
+    if hot_pairs_threshold is None:
+        try:
+            n_parts = int(s.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            n_parts = s.sparkSession.sparkContext.defaultParallelism
+        hot_pairs_threshold = auto_hot_pairs_threshold(stats, n_parts)
+    hot = stats.filter(F.col("fanout") >= hot_pairs_threshold).select("token")
     cold = (
         _pin(s.join(F.broadcast(hot), "token", "left_anti"), "token")
         .join(_pin(t.join(F.broadcast(hot), "token", "left_anti"), "token"), "token")
