@@ -131,3 +131,27 @@ def test_hot_salted_blocking_join_equivalent(spark):
         (r["src"], r["tgt"]) for r in salted_blocking_join(src, tgt, cfg).collect()
     }
     assert hot_salted == plain == blanket and plain
+    # auto-tuned cutoff (None -> mean per-reducer fan-out): semantics must
+    # stay identical whatever threshold the tuner picks
+    auto = {
+        (r["src"], r["tgt"])
+        for r in hot_salted_blocking_join(
+            src, tgt, cfg, hot_pairs_threshold=None
+        ).collect()
+    }
+    assert auto == plain
+
+
+def test_auto_hot_pairs_threshold(spark):
+    from pyspark.sql import functions as F
+
+    from ontology_mapping_spark.operators.blocking import auto_hot_pairs_threshold
+
+    stats = spark.createDataFrame(
+        [("a", 1_000_000), ("b", 9_000_000), ("c", 22_000_000)],
+        "token string, fanout long",
+    )
+    # mean per-reducer output: 32M total / 8 reducers = 4M
+    assert auto_hot_pairs_threshold(stats, 8) == 4_000_000
+    # floor: tiny corpora never salt
+    assert auto_hot_pairs_threshold(stats.filter(F.col("fanout") < 0), 8) == 65536

@@ -24,7 +24,7 @@ REQUIRED = {
     "minhash_lsh_near_dups",
     "simhash16",
     "ngram_jaccard_pairs",
-    "embedding_near_dup_pairs",
+    "embedding_lsh_near_dup",
     "winnow_fingerprints",
     "repetition_stats",
     "media_feature_plumbing",
