@@ -182,6 +182,12 @@ def connected_components(
     min node id in the component. Alternating large-star/small-star; each
     round is two shuffle joins; converges in O(log n) rounds.
 
+    One materialization per round is deliberate: each star references its
+    input 2-3 times (sym union, join + union-back), so chaining rounds
+    without a lineage cut duplicates the previous round's whole plan into
+    every reference — measured 1.7x SLOWER with two rounds per cut, the
+    opposite of the intended per-job-overhead amortization.
+
     ``edges`` uses columns (u, v) — pass any edge list through
     :func:`symmetrize` or rename first. ``vertices`` (optional, column
     ``node``) adds isolated nodes as singleton components.
