@@ -49,6 +49,7 @@ HEADLINE = [
     "simhash16",
     "embedding_topk_bruteforce",
     "embedding_near_dup_pairs",
+    "embedding_lsh_near_dup",
     "ngram_jaccard_pairs",
     "winnow_fingerprints",
     "ann_ivf_fixed_topk",
