@@ -421,3 +421,65 @@ def near_dup_pairs_simhash(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kgram: int = 8,
+    window: int = 4,
+    min_shared: int = 3,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Near-containment detection via winnow-fingerprint overlap — the
+    application Schleimer et al. designed winnowing for (a document
+    embedded in, or heavily quoting, another shares a guaranteed fraction
+    of selected fingerprints even without being a global near-duplicate,
+    which is why MinHash on whole-document shingle sets misses it).
+
+    Returns (a, b, shared_fps, containment) for a < b with
+    ``shared_fps >= min_shared``; containment = shared / min(|fps_a|,
+    |fps_b|) in [0, 1] (1.0 = the smaller document's fingerprints all
+    appear in the larger).
+
+    Scale shape: flat (fp, doc) inverted index (winnowing already keeps
+    ~2/window of the k-gram hashes, within-row, zero shuffle), optional
+    ``max_fp_df`` cap dropping boilerplate fingerprints shared by more
+    than that many docs (same df-cap move as the token blocking join —
+    a fingerprint in half the corpus carries no containment signal and
+    would fan out quadratically), fp equi-join + map-side-combined pair
+    counts. Never n^2."""
+    from ontology_mapping_spark.operators.textstats import winnow_fingerprints
+    from ontology_mapping_spark.session import materialize
+
+    # two join sides + the per-doc size table = three consumers
+    fps = materialize(winnow_fingerprints(df, text_col, id_col, kgram, window))
+    if max_fp_df:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    sizes = fps.groupBy(id_col).agg(F.count("*").alias("n_fps"))
+    a = fps.select(F.col(id_col).alias("a"), "fp")
+    b = fps.select(F.col(id_col).alias("b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    return (
+        shared.join(sizes.select(F.col(id_col).alias("a"), F.col("n_fps").alias("na")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n_fps").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            "shared_fps",
+            (F.col("shared_fps") / F.least("na", "nb")).alias("containment"),
+        )
+    )

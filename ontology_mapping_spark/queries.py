@@ -103,6 +103,9 @@ LOCAL_ONLY: frozenset = frozenset(
         # rolling-hash fingerprint family primary: winnow_fingerprints
         # (winnowing selects over the same k-gram hashes)
         "document_fingerprint",
+        # containment detection builds on the driver-covered winnow
+        # fingerprints; exact SQL oracle value-checked by the local gate
+        "containment_pairs",
     }
 )
 
@@ -1314,6 +1317,53 @@ def q_winnow(spark, sf):
     from ontology_mapping_spark.operators.textstats import winnow_fingerprints
 
     return winnow_fingerprints(_t(spark, sf, "documents"))
+
+
+def _containment_sql(k: int = 8, w: int = 4, min_shared: int = 30) -> str:
+    # the winnow CTE over documents + planted substring-halves, then the
+    # fingerprint-overlap self-join containment_pairs re-expresses
+    return f"""WITH base AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id, substr(text, 1, 120) AS text
+           FROM documents WHERE doc_id % 100 = 0),
+      d AS (SELECT doc_id, {normalize_sql('text', 'duckdb')} AS n FROM base),
+      g AS (SELECT doc_id, CASE WHEN length(n) >= {k}
+           THEN list_transform(range(1, length(n) - {k} + 2), i -> md5(substr(n, CAST(i AS INT), {k})))
+           ELSE [md5(n)] END AS grams FROM d),
+      m AS (SELECT doc_id, list_distinct(CASE WHEN len(grams) >= {w}
+           THEN list_transform(range(0, len(grams) - {w} + 1),
+                i -> list_min(grams[CAST(i + 1 AS INT):CAST(i + {w} AS INT)]))
+           ELSE [list_min(grams)] END) AS fps FROM g),
+      fp AS (SELECT doc_id, unnest(fps) AS f FROM m),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps FROM fp GROUP BY doc_id),
+      shared AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared_fps
+                 FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
+                 GROUP BY x.doc_id, y.doc_id
+                 HAVING count(*) >= {min_shared})
+      SELECT s.a, s.b, s.shared_fps,
+             round(s.shared_fps * 1.0 / least(sa.n_fps, sb.n_fps), 6) AS containment
+      FROM shared s
+      JOIN sizes sa ON sa.doc_id = s.a
+      JOIN sizes sb ON sb.doc_id = s.b"""
+
+
+@query("containment_pairs", _containment_sql())
+def q_containment(spark, sf):
+    """Near-containment via winnow-fingerprint overlap (the application
+    winnowing exists for): planted substring-halves of every 100th doc
+    must surface as high-containment pairs; the oracle re-derives the
+    fingerprints, the overlap self-join and the containment ratio."""
+    from ontology_mapping_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.substring(F.col("text"), 1, 120).alias("text"),
+    )
+    out = containment_pairs(docs.unionByName(planted), min_shared=30)
+    return out.select(
+        "a", "b", "shared_fps", F.round("containment", 6).alias("containment")
+    )
 
 
 @query(

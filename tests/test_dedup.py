@@ -207,3 +207,40 @@ def test_lsh_candidates_rejects_non_divisor_bands(spark):
         lsh_candidates(sigs, bands=0)
     # divisor bands still fine
     assert lsh_candidates(sigs, bands=4).count() >= 0
+
+
+def test_containment_pairs_planted_substring(spark):
+    """A document embedded in another shares (nearly) all its winnow
+    fingerprints: containment == 1.0 for the planted prefix pair, and the
+    unrelated filler pair never reaches min_shared."""
+    from pyspark.sql import functions as F
+
+    from ontology_mapping_spark.operators.dedup import containment_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long and winding tune about distributed joins and shuffle keys "
+        "that must never explode quadratically on a hot token"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base[:80]),  # embedded prefix
+            (3, "completely different filler text with no overlap at all zzz qqq"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["a"], r["b"]): (r["shared_fps"], r["containment"])
+        for r in containment_pairs(docs, min_shared=3).collect()
+    }
+    assert (1, 2) in got
+    shared, cont = got[(1, 2)]
+    assert cont == 1.0 and shared >= 3
+    assert all(3 not in pair for pair in got)
+
+    # max_fp_df drops boilerplate fingerprints: capping at 1 (every fp in
+    # both docs is dropped) must erase the pair
+    assert (
+        containment_pairs(docs, min_shared=3, max_fp_df=1).count() == 0
+    )
