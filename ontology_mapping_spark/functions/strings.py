@@ -254,3 +254,66 @@ def make_nltk_udfs():
         _F.pandas_udf(_stem, _T.StringType()),
         _F.pandas_udf(_lem, _T.StringType()),
     )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization (training-data pipeline op: URL-keyed dedup is the
+# cheapest first-pass dedup at crawl scale — no reference analog, the
+# reference has no URLs; contract defined here, Python twin is the oracle)
+# --------------------------------------------------------------------------
+
+_TRACKING_PARAM = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)="
+
+
+def canonical_url_col(u: Column) -> Column:
+    """Canonical form of an absolute http(s) URL, pure Catalyst:
+
+    1. strip the fragment (``#...``);
+    2. lowercase the scheme://host[:port] prefix (path/query stay
+       case-sensitive per URL semantics);
+    3. drop a leading ``www.``;
+    4. drop default ports (``:80`` http, ``:443`` https);
+    5. drop tracking query params (utm_*, fbclid, gclid, msclkid, ref),
+       keeping the rest in their original order; drop an emptied ``?``;
+    6. drop one trailing slash from the path (before the query too).
+
+    Non-http(s) strings pass through steps 1/5/6 only (no scheme prefix
+    matches). Twin: :func:`canonical_url_py` — pinned equal by pytest.
+    """
+    u = F.regexp_replace(u, r"#.*$", "")
+    head = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?]*)", 1)
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*", "")
+    u = F.concat(F.lower(head), rest)
+    u = F.regexp_replace(u, r"^(https?://)www\.", "$1")
+    u = F.regexp_replace(u, r"^(http://[^/:?]*):80([/?]|$)", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?]*):443([/?]|$)", "$1$2")
+    base = F.regexp_replace(u, r"\?.*$", "")
+    base = F.regexp_replace(base, r"([^/])/$", "$1")
+    query = F.regexp_extract(u, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.rlike(_TRACKING_PARAM),
+    )
+    return F.when(
+        F.size(params) > 0, F.concat(base, F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(base)
+
+
+def canonical_url_py(u: str) -> str:
+    """Pure-Python twin of :func:`canonical_url_col` (the pytest oracle)."""
+    u = re.sub(r"#.*$", "", u)
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?]*)", u)
+    if m:
+        u = m.group(1).lower() + u[m.end() :]
+    u = re.sub(r"^(https?://)www\.", r"\1", u)
+    u = re.sub(r"^(http://[^/:?]*):80([/?]|$)", r"\1\2", u)
+    u = re.sub(r"^(https://[^/:?]*):443([/?]|$)", r"\1\2", u)
+    base = re.sub(r"\?.*$", "", u)
+    base = re.sub(r"([^/])/$", r"\1", base)
+    qm = re.search(r"\?(.*)$", u)
+    params = [
+        p
+        for p in (qm.group(1).split("&") if qm else [])
+        if p and not re.match(_TRACKING_PARAM, p)
+    ]
+    return base + ("?" + "&".join(params) if params else "")

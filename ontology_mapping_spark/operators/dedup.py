@@ -483,3 +483,21 @@ def containment_pairs(
             (F.col("shared_fps") / F.least("na", "nb")).alias("containment"),
         )
     )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-keyed dedup — the cheapest first-pass dedup at crawl scale:
+    keep one row (min id) per :func:`canonical_url_col` key and expose the
+    key as ``url_canon``. Hash-partition groupBy shape, same as
+    :func:`exact_dedup` (one shuffle on the canonical key; no Python)."""
+    from ontology_mapping_spark.functions.strings import canonical_url_col
+
+    w = Window.partitionBy("url_canon").orderBy(F.col(id_col))
+    return (
+        df.withColumn("url_canon", canonical_url_col(F.col(url_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -106,6 +106,9 @@ LOCAL_ONLY: frozenset = frozenset(
         # containment detection builds on the driver-covered winnow
         # fingerprints; exact SQL oracle value-checked by the local gate
         "containment_pairs",
+        # dedup-family variant (exact_dedup is the driver-covered primary);
+        # oracle derives canonical urls independently of the regex chain
+        "url_dedup_canonical",
     }
 )
 
@@ -1345,6 +1348,39 @@ def _containment_sql(k: int = 8, w: int = 4, min_shared: int = 30) -> str:
       FROM shared s
       JOIN sizes sa ON sa.doc_id = s.a
       JOIN sizes sb ON sb.doc_id = s.b"""
+
+
+@query(
+    "url_dedup_canonical",
+    """WITH u AS (SELECT doc_id,
+             'https://example' || (doc_id % 20) || '.com/path/' || (doc_id % 50)
+               || '?id=' || (doc_id % 25) AS url_canon
+           FROM documents)
+       SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, url_canon
+       FROM u GROUP BY url_canon""",
+)
+def q_url_dedup(spark, sf):
+    """URL canonicalization + dedup. The engine canonicalizes MESSY urls
+    (mixed-case scheme/host, www, default port, tracking params, trailing
+    slash, fragment) built deterministically from doc_id; the oracle
+    derives the expected canonical form directly from the same generator
+    parameters — an independent derivation, so a canonicalization bug on
+    any step diverges the hash."""
+    from ontology_mapping_spark.operators.dedup import url_dedup
+
+    messy = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Example"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".COM:443/path/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("/?utm_source=feed&id="),
+            (F.col("doc_id") % 25).cast("string"),
+            F.lit("&utm_campaign=x#sec"),
+        ).alias("url"),
+    )
+    return url_dedup(messy).select("doc_id", "url_canon")
 
 
 @query("containment_pairs", _containment_sql())

@@ -244,3 +244,52 @@ def test_containment_pairs_planted_substring(spark):
     assert (
         containment_pairs(docs, min_shared=3, max_fp_df=1).count() == 0
     )
+
+
+def test_canonical_url_twins_agree(spark):
+    """Catalyst canonical_url_col == canonical_url_py on messy URLs
+    covering every canonicalization step and the pass-through cases."""
+    from pyspark.sql import functions as F
+
+    from ontology_mapping_spark.functions.strings import (
+        canonical_url_col,
+        canonical_url_py,
+    )
+
+    urls = [
+        "HTTPS://WWW.Example3.COM:443/path/5/?utm_source=feed&id=2&utm_campaign=x#sec",
+        "http://Host.com:80/",
+        "http://host.com",
+        "https://host.com/a/b/?fbclid=z",
+        "https://host.com/?ref=1&q=2",
+        "https://host.com:8443/x/",
+        "http://a.com/p?x=1&utm_medium=m&y=2&gclid=g",
+        "HTTP://WWW.A.COM:80?utm_source=s",
+        "ftp://X/",
+        "relative/path/?utm_source=x",
+        "https://host.com/p//",
+        "https://host.com/p?&&x=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["c"]
+        for r in df.select("url", canonical_url_col(F.col("url")).alias("c")).collect()
+    }
+    for u in urls:
+        assert got[u] == canonical_url_py(u), (u, got[u], canonical_url_py(u))
+
+
+def test_url_dedup_keeps_min_id_per_canonical(spark):
+    from ontology_mapping_spark.operators.dedup import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (3, "https://a.com/x?utm_source=1"),
+            (1, "HTTPS://WWW.A.com/x/"),
+            (2, "https://a.com/x#frag"),
+            (9, "https://b.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {(r["doc_id"], r["url_canon"]) for r in url_dedup(df).collect()}
+    assert got == {(1, "https://a.com/x"), (9, "https://b.com/y")}
