@@ -317,3 +317,42 @@ def canonical_url_py(u: str) -> str:
         if p and not re.match(_TRACKING_PARAM, p)
     ]
     return base + ("?" + "&".join(params) if params else "")
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (training-data pipeline op; patterns kept RE2-compatible —
+# no lookarounds/backrefs — so the DuckDB oracle runs the SAME regexes)
+# --------------------------------------------------------------------------
+
+PII_PATTERNS = {
+    # order matters: emails before phones (an email's digits must not be
+    # half-eaten by the phone pass), ips before phones (dotted quads
+    # contain digit runs)
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{9,15}",  # international form only — deliberately
+    # conservative: bare national digit runs collide with ids/quantities
+}
+
+
+def scrub_pii_cols(text: Column) -> dict[str, Column]:
+    """{'clean_text', 'n_email', 'n_ip', 'n_phone'} — text with each PII
+    class replaced by its <CLASS> token, plus per-class match counts.
+    Pure Catalyst (regexp_replace / regexp_count); the one-pass-per-class
+    chain is a single projection, no shuffle."""
+    out: dict[str, Column] = {}
+    clean = text
+    for name, pat in PII_PATTERNS.items():
+        out[f"n_{name}"] = F.regexp_count(clean, F.lit(pat)).cast("int")
+        clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
+    out["clean_text"] = clean
+    return out
+
+
+def scrub_pii_py(text: str) -> tuple[str, dict[str, int]]:
+    """Pure-Python twin of :func:`scrub_pii_cols` (pytest oracle)."""
+    counts: dict[str, int] = {}
+    for name, pat in PII_PATTERNS.items():
+        counts[f"n_{name}"] = len(re.findall(pat, text))
+        text = re.sub(pat, f"<{name.upper()}>", text)
+    return text, counts

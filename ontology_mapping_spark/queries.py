@@ -109,6 +109,9 @@ LOCAL_ONLY: frozenset = frozenset(
         # dedup-family variant (exact_dedup is the driver-covered primary);
         # oracle derives canonical urls independently of the regex chain
         "url_dedup_canonical",
+        # text-quality family variant (token_quality_stats is the
+        # driver-covered primary); identical RE2 regex chain both engines
+        "pii_scrub",
     }
 )
 
@@ -1381,6 +1384,62 @@ def q_url_dedup(spark, sf):
         ).alias("url"),
     )
     return url_dedup(messy).select("doc_id", "url_canon")
+
+
+@query(
+    "pii_scrub",
+    r"""WITH planted AS (SELECT doc_id,
+             text || ' contact user' || (doc_id % 50) || '@example' || (doc_id % 7)
+                  || '.org or +1415555' || (doc_id % 9000 + 1000)
+                  || ' from 10.1.' || (doc_id % 256) || '.' || (doc_id % 100) AS t
+           FROM documents),
+      e AS (SELECT doc_id,
+             regexp_replace(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email
+           FROM planted),
+      i AS (SELECT doc_id, n_email,
+             regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t,
+             len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip
+           FROM e),
+      p AS (SELECT doc_id, n_email, n_ip,
+             regexp_replace(t, '\+\d{9,15}', '<PHONE>', 'g') AS t,
+             len(regexp_extract_all(t, '\+\d{9,15}')) AS n_phone
+           FROM i)
+      SELECT doc_id, t AS clean_text,
+             CAST(n_email AS INT) AS n_email, CAST(n_ip AS INT) AS n_ip,
+             CAST(n_phone AS INT) AS n_phone
+      FROM p""",
+)
+def q_pii_scrub(spark, sf):
+    """PII scrubbing (emails / IPv4 / international phones) with per-class
+    counts: deterministic PII planted into every document, RE2-compatible
+    patterns, so the DuckDB oracle runs the IDENTICAL regex chain."""
+    from ontology_mapping_spark.functions.strings import scrub_pii_cols
+
+    planted = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("@example"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org or +1415555"),
+            (F.col("doc_id") % 9000 + 1000).cast("string"),
+            F.lit(" from 10.1."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("t"),
+    )
+    cols = scrub_pii_cols(F.col("t"))
+    return planted.select(
+        "doc_id",
+        cols["clean_text"].alias("clean_text"),
+        cols["n_email"].alias("n_email"),
+        cols["n_ip"].alias("n_ip"),
+        cols["n_phone"].alias("n_phone"),
+    )
 
 
 @query("containment_pairs", _containment_sql())

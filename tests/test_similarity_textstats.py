@@ -254,3 +254,38 @@ def test_repetition_stats_gopher_rules(spark):
     assert rows[2]["distinct_token_frac"] == 0.333333
     assert rows[3]["top_bigram_count"] == 0 and rows[3]["distinct_token_frac"] == 1.0
     assert rows[4]["n_tokens"] == 0 and rows[5]["n_tokens"] == 0
+
+
+def test_scrub_pii_twins_agree(spark):
+    """Catalyst scrub_pii_cols == pure-Python twin on texts covering every
+    PII class, ordering interactions, and false-positive guards."""
+    from pyspark.sql import functions as F
+
+    from ontology_mapping_spark.functions.strings import scrub_pii_cols, scrub_pii_py
+
+    texts = [
+        "mail a.b-c_d%e+f@sub.domain.co.uk now",
+        "server at 192.168.0.1 and 10.0.0.255, call +14155551234",
+        "no pii here, just 1.2 version and price +99",
+        "user5@example2.org from 10.1.44.8 dial +4915123456789",
+        "double x@y.io z@w.ai and 1.1.1.1 2.2.2.2",
+        "version 1.2.3.4.5 is not an ip? boundary check 999.999.999.999",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    cols = scrub_pii_cols(F.col("t"))
+    rows = df.select(
+        "t",
+        cols["clean_text"].alias("c"),
+        cols["n_email"].alias("ne"),
+        cols["n_ip"].alias("ni"),
+        cols["n_phone"].alias("np"),
+    ).collect()
+    for r in rows:
+        want_c, want_n = scrub_pii_py(r["t"])
+        assert r["c"] == want_c, (r["t"], r["c"], want_c)
+        assert (r["ne"], r["ni"], r["np"]) == (
+            want_n["n_email"],
+            want_n["n_ip"],
+            want_n["n_phone"],
+        ), r["t"]
