@@ -244,6 +244,39 @@ def repetition_stats(
     for per-doc stats. The fold state rides a (prev, run, best) struct."""
     from ontology_mapping_spark.functions.arrays import bind
 
+    return df.select(F.col(id_col), _repetition_struct(text_col).alias("s")).select(
+        id_col,
+        F.col("s.n_tokens").alias("n_tokens"),
+        _distinct_frac_col(),
+        F.col("s.top_bigram_count").alias("top_bigram_count"),
+        _top_bigram_frac_col(),
+    )
+
+
+def _distinct_frac_col() -> Column:
+    return F.round(
+        F.when(
+            F.col("s.n_tokens") > 0, F.col("s.n_distinct") / F.col("s.n_tokens")
+        ).otherwise(F.lit(0.0)),
+        6,
+    ).alias("distinct_token_frac")
+
+
+def _top_bigram_frac_col() -> Column:
+    return F.round(
+        F.when(
+            F.col("s.n_tokens") >= 2,
+            F.col("s.top_bigram_count") / (F.col("s.n_tokens") - 1),
+        ).otherwise(F.lit(0.0)),
+        6,
+    ).alias("top_bigram_frac")
+
+
+def _repetition_struct(text_col: str) -> Column:
+    """(n_tokens, n_distinct, top_bigram_count) struct, fully within-row —
+    shared by :func:`repetition_stats` and :func:`corpus_filter`."""
+    from ontology_mapping_spark.functions.arrays import bind
+
     toks = F.split(normalize_col(F.coalesce(F.col(text_col), F.lit(""))), " ")
     toks = F.filter(toks, lambda t: t != "")
 
@@ -279,22 +312,50 @@ def repetition_stats(
             top_bigram.alias("top_bigram_count"),
         )
 
-    st = bind(toks, _stats)
-    return df.select(F.col(id_col), st.alias("s")).select(
+    return bind(toks, _stats)
+
+
+def corpus_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "en",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_distinct_frac: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+    min_stopword_ratio: float = 0.01,
+    min_alpha_ratio: float = 0.5,
+) -> DataFrame:
+    """C4/Gopher-style corpus cleaning as ONE declarative projection:
+    length bounds, repetition caps (distinct-token fraction, top-bigram
+    share), stopword-profile language evidence and alpha-ratio quality —
+    emitted per document with a ``keep`` verdict, so ``.filter("keep")``
+    IS the cleaning pass. Every signal computes within the row (no
+    shuffle at any corpus size); thresholds compare the 6-dp ROUNDED
+    signals so the verdict is reproducible across engines (the DuckDB
+    oracle re-derives signals and verdict relationally)."""
+    rows = df.select(
+        F.col(id_col),
+        _repetition_struct(text_col).alias("s"),
+        F.round(stopword_ratio(F.col(text_col), lang), 6).alias("stopword_ratio"),
+        F.round(quality_features(F.col(text_col))["alpha_ratio"], 6).alias(
+            "alpha_ratio"
+        ),
+    ).select(
         id_col,
         F.col("s.n_tokens").alias("n_tokens"),
-        F.round(
-            F.when(
-                F.col("s.n_tokens") > 0, F.col("s.n_distinct") / F.col("s.n_tokens")
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("distinct_token_frac"),
-        F.col("s.top_bigram_count").alias("top_bigram_count"),
-        F.round(
-            F.when(
-                F.col("s.n_tokens") >= 2,
-                F.col("s.top_bigram_count") / (F.col("s.n_tokens") - 1),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("top_bigram_frac"),
+        _distinct_frac_col(),
+        _top_bigram_frac_col(),
+        "stopword_ratio",
+        "alpha_ratio",
     )
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("distinct_token_frac") >= min_distinct_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+    )
+    return rows.withColumn("keep", keep)

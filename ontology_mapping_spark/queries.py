@@ -112,6 +112,9 @@ LOCAL_ONLY: frozenset = frozenset(
         # text-quality family variant (token_quality_stats is the
         # driver-covered primary); identical RE2 regex chain both engines
         "pii_scrub",
+        # composition of driver-covered signals (repetition_stats,
+        # token_quality_stats, stopword_language_score) into one verdict
+        "corpus_filter_verdicts",
     }
 )
 
@@ -1491,6 +1494,51 @@ def q_media(spark, sf):
             F.transform("feature", lambda x: x.cast("bigint").cast("string")), ","
         ).alias("feature_str"),
         "n_bytes",
+    )
+
+
+@query(
+    "corpus_filter_verdicts",
+    f"""WITH d AS (SELECT doc_id, text, COALESCE({normalize_sql('text', 'duckdb')}, '') AS n FROM documents),
+      t AS (SELECT doc_id, text, list_filter(string_split(n, ' '), x -> x <> '') AS toks FROM d),
+      base AS (SELECT doc_id, text, len(toks) AS n_tokens,
+                      len(list_distinct(toks)) AS n_distinct, toks FROM t),
+      b AS (SELECT doc_id, toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] AS bg
+            FROM base, unnest(range(1, len(toks))) AS u(i) WHERE n_tokens >= 2),
+      topb AS (SELECT doc_id, MAX(c) AS top_bigram_count
+               FROM (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg)
+               GROUP BY doc_id),
+      sig AS (SELECT base.doc_id, CAST(n_tokens AS INT) AS n_tokens,
+             round(CASE WHEN n_tokens > 0 THEN n_distinct * 1.0 / n_tokens ELSE 0 END, 6) AS distinct_token_frac,
+             round(CASE WHEN n_tokens >= 2 THEN COALESCE(top_bigram_count, 0) * 1.0 / (n_tokens - 1) ELSE 0 END, 6) AS top_bigram_frac,
+             round(len(list_filter(toks, x -> list_contains({LANG_STOPWORDS['en']!r}, x))) * 1.0 /
+                   nullif(len(toks), 0), 6) AS stopword_ratio,
+             round(coalesce(len(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) * 1.0 / nullif(len(text), 0), 0), 6) AS alpha_ratio
+           FROM base LEFT JOIN topb USING (doc_id))
+      SELECT doc_id, n_tokens, distinct_token_frac, top_bigram_frac,
+             stopword_ratio, alpha_ratio,
+             (n_tokens >= 10 AND n_tokens <= 100000
+              AND distinct_token_frac >= 0.3 AND top_bigram_frac <= 0.2
+              AND stopword_ratio >= 0.01 AND alpha_ratio >= 0.5) AS keep
+      FROM sig""",
+)
+def q_corpus_filter(spark, sf):
+    """The composed C4/Gopher-style cleaning pass (corpus_filter): one
+    within-row projection emitting every signal + the keep verdict
+    (445/55 split at sf0.01 under the defaults). The oracle re-derives
+    all signals relationally and applies the same rounded-threshold
+    conjunction."""
+    from ontology_mapping_spark.operators.textstats import corpus_filter
+
+    out = corpus_filter(_t(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "distinct_token_frac",
+        "top_bigram_frac",
+        "stopword_ratio",
+        "alpha_ratio",
+        "keep",
     )
 
 

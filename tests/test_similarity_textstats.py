@@ -289,3 +289,28 @@ def test_scrub_pii_twins_agree(spark):
             want_n["n_ip"],
             want_n["n_phone"],
         ), r["t"]
+
+
+def test_corpus_filter_verdicts(spark):
+    """Each threshold knob independently flips its target document."""
+    from ontology_mapping_spark.operators.textstats import corpus_filter
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the calm cat "
+        "walks along the wide road toward a small town near the old river"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "short text"),                      # under min_tokens
+            (3, ("spam ham " * 30).strip()),        # repetitious bigram
+            (4, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18"),  # no alpha
+            (5, ("uno dos tres cuatro cinco seis siete ocho nueve diez "
+                 "once doce trece catorce quince")),  # no en stopwords
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["keep"] for r in corpus_filter(docs).collect()}
+    assert got[1] is True
+    assert got[2] is False and got[3] is False
+    assert got[4] is False and got[5] is False
