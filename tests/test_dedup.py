@@ -293,3 +293,36 @@ def test_url_dedup_keeps_min_id_per_canonical(spark):
     )
     got = {(r["doc_id"], r["url_canon"]) for r in url_dedup(df).collect()}
     assert got == {(1, "https://a.com/x"), (9, "https://b.com/y")}
+
+
+def test_canonical_url_twins_agree_property(spark):
+    """Hypothesis sweep over URL-shaped noise: the Catalyst regex chain
+    (Java Pattern) and the Python twin (re) must agree on arbitrary
+    inputs, not just well-formed URLs — the dialect-divergence guard."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from ontology_mapping_spark.functions.strings import (
+        canonical_url_col,
+        canonical_url_py,
+    )
+
+    frag = st.sampled_from(
+        [
+            "http://", "HTTPS://", "www.", "Host7", ".com", ":443", ":80",
+            ":8080", "/", "/Path", "?", "&", "utm_source=x", "id=2",
+            "ref=1", "fbclid=", "#frag", "a.b", "-", "_", "%20", "=",
+        ]
+    )
+    urls = st.lists(frag, min_size=0, max_size=8).map("".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(urls, min_size=1, max_size=20))
+    def check(batch):
+        df = spark.createDataFrame([(u,) for u in batch], "url string")
+        rows = df.select("url", canonical_url_col(F.col("url")).alias("c")).collect()
+        for r in rows:
+            assert r["c"] == canonical_url_py(r["url"]), r["url"]
+
+    check()
