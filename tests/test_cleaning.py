@@ -1,0 +1,47 @@
+"""End-to-end corpus-cleaning composition (plans/cleaning.py): every
+stage removes exactly its planted victims, survivors and metrics agree."""
+
+from __future__ import annotations
+
+from ontology_mapping_spark.plans.cleaning import CleaningConfig, clean_corpus
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then the calm cat "
+    "walks along the wide road toward a small town near the old river "
+)
+# a second long high-quality doc sharing almost no shingles with GOOD
+GOOD2 = (
+    "every winter morning she would carry fresh bread from the bakery "
+    "across three bridges while children skated on the frozen canal below "
+)
+
+
+def test_clean_corpus_stages(spark):
+    rows = [
+        # survivors: distinct good docs
+        (1, GOOD + "first story about the forest", "https://a.com/1"),
+        (2, GOOD2 + "second story about the sea", "https://a.com/2"),
+        # url duplicate of doc 1 (same canonical url, higher id drops)
+        (3, GOOD + "first story about the forest", "https://A.com/1/?utm_source=x"),
+        # low quality: too short
+        (4, "tiny", "https://a.com/4"),
+        # exact content duplicate of doc 2 (different url)
+        (5, GOOD2 + "second story about the sea", "https://a.com/5"),
+        # near duplicate of doc 1 (suffix tweak)
+        (6, GOOD + "first story about the forest indeed", "https://a.com/6"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    clean, metrics = clean_corpus(
+        docs, CleaningConfig(near_dup_threshold=0.5), url_col="url"
+    )
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    m = {r["stage"]: r["rows"] for r in metrics.collect()}
+    assert m == {
+        "input": 6,
+        "url_dedup": 5,      # 3 dropped (canonical url == doc 1's)
+        "quality_keep": 4,   # 4 dropped (too short)
+        "exact_dedup": 3,    # 5 dropped (same text as doc 2)
+        "near_dup": 2,       # 6 dropped (jaccard vs doc 1 over threshold)
+    }
+    # schema passes through unchanged (minus nothing)
+    assert set(clean.columns) == {"doc_id", "text", "url"}
