@@ -4,6 +4,9 @@ Not present in the reference (its corpora are tiny ontologies); these are
 the standard web-corpus dedup family, built Spark-first:
 
 * :func:`exact_dedup` — hash-groupBy on the text digest, keep min id.
+* :func:`line_dedup` — C4-style corpus-wide duplicate-LINE removal
+  (keep the globally first occurrence; short lines exempt), built as a
+  partial-aggregable min-winner groupBy, never a window over the line key.
 * :func:`minhash_signatures` / :func:`lsh_candidates` /
   :func:`near_dup_pairs_minhash` — shingle -> k-permutation MinHash ->
   banded LSH bucket join -> exact-Jaccard verification. All hashing is
@@ -501,3 +504,72 @@ def url_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 10,
+) -> DataFrame:
+    """C4/RefinedWeb-style corpus-wide LINE dedup: each distinct line of at
+    least ``min_chars`` chars (after trim) survives only in the globally
+    first document/position it appears in ((id, pos)-min); shorter lines
+    are exempt (always kept). Returns ``df`` with ``text_col`` rebuilt from
+    the surviving lines plus ``n_lines_kept`` / ``n_lines_total``.
+
+    Scale shape (the reason this is not a window over the line key): the
+    winner per line is ``min(struct(id, pos))`` via groupBy — partial-agg
+    (map-side combine) shrinks even a billion-row boilerplate key to one
+    row per map task, where ``row_number`` over the same key would funnel
+    the whole key through one reducer. The short-line exemption also
+    removes the single hottest keys (empty lines, "Home", separators) from
+    the shuffle entirely. The join back to the winners is 1:N on the line
+    key with exactly one match per row — AQE skew-join splits any residual
+    hot partition. Reassembly is one groupBy on ``id_col`` (collect_list
+    of kept (pos, line) structs, array_sort, concat_ws), then one join on
+    ``id_col`` to restore the untouched columns.
+    """
+    id_c, txt = F.col(id_col), F.col(text_col)
+    lines = df.select(
+        id_c,
+        F.posexplode(F.split(txt, "\n")).alias("__pos", "__line"),
+    ).withColumn(
+        "__key",
+        F.when(
+            F.length(F.trim(F.col("__line"))) >= min_chars,
+            F.md5(F.col("__line")),
+        ),
+    )
+    winners = (
+        lines.filter(F.col("__key").isNotNull())
+        .groupBy("__key")
+        .agg(F.min(F.struct(id_c.alias("d"), F.col("__pos").alias("p"))).alias("__w"))
+    )
+    kept = (
+        lines.join(winners, "__key", "left")
+        .withColumn(
+            "__keep",
+            F.col("__key").isNull()
+            | ((F.col("__w.d") == id_c) & (F.col("__w.p") == F.col("__pos"))),
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct(F.col("__pos"), F.col("__line")),
+                        )
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias(text_col),
+        F.sum(F.col("__keep").cast("long")).alias("n_lines_kept"),
+        F.count(F.lit(1)).alias("n_lines_total"),
+    )
+    return df.drop(text_col).join(rebuilt, id_col)

@@ -109,6 +109,9 @@ LOCAL_ONLY: frozenset = frozenset(
         # dedup-family variant (exact_dedup is the driver-covered primary);
         # oracle derives canonical urls independently of the regex chain
         "url_dedup_canonical",
+        # dedup-family variant (line granularity); oracle re-derives
+        # keep-first via a window, independent of the min-struct winner plan
+        "line_dedup_corpus",
         # text-quality family variant (token_quality_stats is the
         # driver-covered primary); identical RE2 regex chain both engines
         "pii_scrub",
@@ -1387,6 +1390,53 @@ def q_url_dedup(spark, sf):
         ).alias("url"),
     )
     return url_dedup(messy).select("doc_id", "url_canon")
+
+
+@query(
+    "line_dedup_corpus",
+    """WITH planted AS (SELECT doc_id,
+             'Top Banner Advertisement Line' || chr(10) || text || chr(10)
+               || 'ok' || chr(10) || 'Copyright Footer Variant ' || (doc_id % 5) AS t
+           FROM documents),
+      l AS (SELECT doc_id,
+             CAST(unnest(range(0, len(s))) AS BIGINT) AS pos, unnest(s) AS line
+           FROM (SELECT doc_id, string_split(t, chr(10)) AS s FROM planted)),
+      f AS (SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+           FROM l),
+      k AS (SELECT doc_id, pos, line,
+             (rn = 1 OR length(trim(line)) < 10) AS keep FROM f)
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')
+               AS clean_text,
+             CAST(count(*) FILTER (keep) AS BIGINT) AS n_lines_kept,
+             CAST(count(*) AS BIGINT) AS n_lines_total
+      FROM k GROUP BY doc_id""",
+)
+def q_line_dedup(spark, sf):
+    """C4-style corpus-wide line dedup: a banner line shared by ALL docs,
+    a footer shared by each doc_id%5 stratum, and an exempt short line are
+    planted around every document; only the globally-first doc keeps each
+    shared line. The oracle re-derives keep-first with a window over the
+    raw line text — independent of the engine's min-struct groupBy winner
+    plan, so a winner-selection or reassembly-order bug diverges."""
+    from ontology_mapping_spark.operators.dedup import line_dedup
+
+    planted = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Top Banner Advertisement Line\n"),
+            F.col("text"),
+            F.lit("\nok\nCopyright Footer Variant "),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    return line_dedup(planted, min_chars=10).select(
+        "doc_id",
+        F.col("text").alias("clean_text"),
+        "n_lines_kept",
+        "n_lines_total",
+    )
 
 
 @query(

@@ -326,3 +326,38 @@ def test_canonical_url_twins_agree_property(spark):
             assert r["c"] == canonical_url_py(r["url"]), r["url"]
 
     check()
+
+
+def test_line_dedup_keep_first_and_short_exempt(spark):
+    from ontology_mapping_spark.operators.dedup import line_dedup
+
+    boiler = "SHARED NAVIGATION BANNER LINE"
+    rows = [
+        (1, boiler + "\nunique first body line of one\nok", "a"),
+        # doc 2 repeats the boiler line (drops) and doc 1's body (drops),
+        # keeps its own line and the short "ok" (exempt, < min_chars)
+        (2, boiler + "\nunique first body line of one\nsecond doc own line\nok", "b"),
+        # within-doc duplicate line: second copy drops
+        (3, "third doc repeated line here\nthird doc repeated line here", "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tag string")
+    out = {r["doc_id"]: r for r in line_dedup(df, min_chars=10).collect()}
+    assert out[1]["text"] == boiler + "\nunique first body line of one\nok"
+    assert out[2]["text"] == "second doc own line\nok"
+    assert out[3]["text"] == "third doc repeated line here"
+    assert (out[2]["n_lines_kept"], out[2]["n_lines_total"]) == (2, 4)
+    assert out[3]["n_lines_kept"] == 1 and out[3]["n_lines_total"] == 2
+    # untouched columns pass through
+    assert out[1]["tag"] == "a"
+
+
+def test_line_dedup_all_lines_removed_yields_empty_text(spark):
+    from ontology_mapping_spark.operators.dedup import line_dedup
+
+    rows = [
+        (1, "only one long shared line everywhere"),
+        (2, "only one long shared line everywhere"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in line_dedup(df).collect()}
+    assert out == {1: "only one long shared line everywhere", 2: ""}
