@@ -79,3 +79,38 @@ def md5_sample_key_py(parts: list[str], seed: int = 42) -> str:
 
     enc = ["N" if p is None else f"{len(p)}:{p}" for p in parts]
     return hashlib.md5(("|".join(enc + [str(seed)])).encode()).hexdigest()
+
+
+def mixture_uniform(hash_cols: list[str], seed: int = 42) -> Column:
+    """Deterministic uniform in [0, 1): the top 52 bits of the salted
+    injective md5 key (13 hex chars — exactly representable as a double,
+    so engine and any md5-capable oracle agree bit-for-bit). Same key
+    encoding as :func:`_sample_order_key`."""
+    key = _sample_order_key(hash_cols, seed)
+    return F.conv(F.substring(key, 1, 13), 16, 10).cast("double") / float(1 << 52)
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    hash_cols: list[str] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Training-mixture sampling: keep each row of source ``s`` with
+    probability ``rates[s]`` (sources absent from ``rates`` drop). The
+    keep decision is a pure projection over a salted md5 of ``hash_cols``
+    (default: the source col plus nothing row-unique — pass the id col!),
+    so the sample is byte-identical across runs, cluster sizes, and
+    retries, and the operator is a zero-shuffle filter at any scale —
+    the standard domain-reweighting step in front of a pretraining run.
+    """
+    if hash_cols is None:
+        raise ValueError("pass hash_cols (e.g. ['doc_id']): the uniform "
+                         "must be keyed on row identity, not randomness")
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in sorted(rates.items()) for x in kv]
+    )
+    u = mixture_uniform(hash_cols, seed)
+    rate = F.coalesce(F.element_at(rate_map, F.col(source_col)), F.lit(0.0))
+    return df.filter(u < rate)

@@ -6,11 +6,14 @@ each stage sees fewer rows):
 1. URL-keyed dedup (``url_dedup`` — one shuffle on the canonical key);
 2. quality/language verdicts (``corpus_filter`` — within-row, zero
    shuffle) and the keep filter;
-3. exact content dedup (``exact_dedup`` — one shuffle on the text md5);
-4. MinHash-LSH near-dup removal (``near_dup_pairs_minhash`` — banded
+3. optional C4-style corpus-wide line dedup (``line_dedup`` — strips
+   boilerplate lines BEFORE content dedup, so pages that differ only in
+   chrome unify into exact duplicates downstream);
+4. exact content dedup (``exact_dedup`` — one shuffle on the text md5);
+5. MinHash-LSH near-dup removal (``near_dup_pairs_minhash`` — banded
    bucket join; the HIGHER id of each verified pair drops, so one
    canonical survivor per near-dup cluster chain);
-5. per-stage row metrics as a DataFrame (the lineage/metrics story the
+6. per-stage row metrics as a DataFrame (the lineage/metrics story the
    north rule asks of every stage).
 
 No reference analog (the reference has no corpus cleaning); this is the
@@ -44,6 +47,11 @@ class CleaningConfig:
     near_dup_threshold: float = 0.7
     minhash_num_hashes: int = 16
     minhash_bands: int = 8
+    # C4-style corpus-wide duplicate-line removal between the quality and
+    # exact-dedup stages (off by default: it rewrites text, so downstream
+    # byte-identity contracts must opt in knowingly)
+    line_dedup: bool = False
+    line_dedup_min_chars: int = 10
 
 
 def clean_corpus(
@@ -54,8 +62,8 @@ def clean_corpus(
     url_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (clean_docs, metrics). ``metrics`` has one (stage, rows) row per
-    stage boundary (input, url_dedup, quality_keep, exact_dedup,
-    near_dup) — counted with ONE action per stage on the already-needed
+    stage boundary (input, url_dedup, quality_keep, [line_dedup,]
+    exact_dedup, near_dup) — counted with ONE action per stage on the already-needed
     intermediate, not extra passes over the corpus.
 
     Near-dup removal keeps the MIN id of each verified pair and drops the
@@ -92,6 +100,18 @@ def clean_corpus(
     )
     cur = materialize(cur)
     metrics.append(("quality_keep", cur.count()))
+
+    if cfg.line_dedup:
+        from ontology_mapping_spark.operators.dedup import line_dedup
+
+        cur = line_dedup(
+            cur,
+            text_col=text_col,
+            id_col=id_col,
+            min_chars=cfg.line_dedup_min_chars,
+        ).drop("n_lines_kept", "n_lines_total")
+        cur = materialize(cur)
+        metrics.append(("line_dedup", cur.count()))
 
     cur = exact_dedup(cur, text_col=text_col, id_col=id_col)
     cur = materialize(cur)

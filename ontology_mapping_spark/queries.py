@@ -112,6 +112,9 @@ LOCAL_ONLY: frozenset = frozenset(
         # dedup-family variant (line granularity); oracle re-derives
         # keep-first via a window, independent of the min-struct winner plan
         "line_dedup_corpus",
+        # sampling-family variant (deterministic_sample is the driver-covered
+        # primary); oracle recomputes the 52-bit md5 uniform independently
+        "mixture_sample_sources",
         # text-quality family variant (token_quality_stats is the
         # driver-covered primary); identical RE2 regex chain both engines
         "pii_scrub",
@@ -469,6 +472,37 @@ def q_deterministic_sample(spark, sf):
     return sample_per_group(
         li, ["l_orderkey"], ["l_orderkey", "l_linenumber"], 2, seed=42
     ).select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "mixture_sample_sources",
+    """WITH u AS (SELECT doc_id, source,
+             CAST(('0x' || substr(md5(
+                 CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+                   || ':' || doc_id || '|42'), 1, 13)) AS BIGINT)
+               / 4503599627370496.0 AS u
+           FROM documents)
+       SELECT doc_id, source FROM u
+       WHERE u < CASE
+           WHEN source IN ('src0','src1','src2','src3','src4') THEN 0.9
+           WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.5
+           WHEN source IN ('src10','src11','src12','src13','src14') THEN 0.2
+           ELSE 0.0 END""",
+)
+def q_mixture_sample(spark, sf):
+    """Training-mixture (domain-reweighting) sampling: keep each source at
+    its configured rate via a deterministic md5-derived uniform — a pure
+    zero-shuffle projection, byte-identical on any cluster size. The
+    oracle recomputes the identical 52-bit uniform from the same injective
+    key encoding, so a hash, encoding, or rate-lookup bug diverges."""
+    from ontology_mapping_spark.operators.sampling import mixture_sample
+
+    rates = {f"src{i}": 0.9 for i in range(5)}
+    rates |= {f"src{i}": 0.5 for i in range(5, 10)}
+    rates |= {f"src{i}": 0.2 for i in range(10, 15)}
+    return mixture_sample(
+        _t(spark, sf, "documents"), rates, hash_cols=["doc_id"]
+    ).select("doc_id", "source")
 
 
 @query(

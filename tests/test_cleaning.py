@@ -45,3 +45,34 @@ def test_clean_corpus_stages(spark):
     }
     # schema passes through unchanged (minus nothing)
     assert set(clean.columns) == {"doc_id", "text", "url"}
+
+
+def test_clean_corpus_line_dedup_strips_chrome_then_unifies_residues(spark):
+    """With line_dedup on, shared chrome survives only in its first
+    occurrence; pages whose EVERY line is corpus-duplicated reduce to the
+    same empty residue, which exact_dedup then unifies — the reason line
+    dedup runs BEFORE content dedup."""
+    chrome = "SHARED NAVIGATION CHROME LINE ON EVERY PAGE"
+    art1 = GOOD + "first unique article body"
+    art2 = GOOD2 + "second unique article body"
+    rows = [
+        (1, chrome + "\n" + art1, "https://a.com/1"),
+        (2, chrome + "\n" + art2, "https://b.com/1"),
+        # pure re-crawls: every line already seen -> empty residue
+        (3, chrome + "\n" + art1, "https://c.com/1"),
+        (4, chrome + "\n" + art2, "https://d.com/1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    clean, metrics = clean_corpus(
+        docs,
+        CleaningConfig(line_dedup=True, near_dup_threshold=0.99),
+        url_col="url",
+    )
+    out = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert sorted(out) == [1, 2, 3]
+    assert out[1] == chrome + "\n" + art1  # first doc keeps the chrome
+    assert out[2] == art2                  # later docs lose it
+    assert out[3] == ""                    # one canonical empty residue
+    m = {r["stage"]: r["rows"] for r in metrics.collect()}
+    assert m["line_dedup"] == 4   # rewrites text, drops no rows
+    assert m["exact_dedup"] == 3  # doc 4's residue == doc 3's -> drops
