@@ -51,6 +51,7 @@ HEADLINE = [
     "embedding_near_dup_pairs",
     "embedding_lsh_near_dup",
     "ngram_jaccard_pairs",
+    "line_dedup_corpus",
     "winnow_fingerprints",
     "ann_ivf_fixed_topk",
     "normalize_golden_hash",
