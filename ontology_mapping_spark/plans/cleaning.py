@@ -1,7 +1,9 @@
 """End-to-end training-corpus cleaning: the round-4 dedup/quality family
-composed into one resumable pass (the shape a 100 TB pretraining-data
-pipeline actually runs, in dependency order — cheapest filter first so
-each stage sees fewer rows):
+composed into one plan (the shape a 100 TB pretraining-data pipeline
+actually runs, in dependency order — cheapest filter first so each stage
+sees fewer rows). Two forms: :func:`clean_corpus` (in-memory, one counted
+action per stage) and :func:`clean_corpus_staged` (every stage boundary
+checkpointed through ``StageRunner`` — resumable, metrics from manifests):
 
 1. URL-keyed dedup (``url_dedup`` — one shuffle on the canonical key);
 2. quality/language verdicts (``corpus_filter`` — within-row, zero
@@ -135,3 +137,117 @@ def clean_corpus(
         [Row(stage=s, rows=int(n)) for s, n in metrics]
     )
     return cur, mdf
+
+
+def clean_corpus_staged(
+    spark,
+    workdir: str,
+    docs: DataFrame,
+    cfg: CleaningConfig | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    url_col: str | None = None,
+    catalog: str | None = None,
+    table_format: str = "iceberg",
+):
+    """Checkpointed :func:`clean_corpus`: every stage lands through
+    ``StageRunner.materialize`` (parquet locally; Iceberg tables when
+    ``catalog`` is set), so a killed run resumes at the last completed
+    stage boundary and a re-run skips every stage — the north rule's
+    resumability contract applied to the cleaning plan. The runner is
+    keyed on the ``CleaningConfig`` hash: any knob change invalidates the
+    whole chain (and only downstream stages rebuild if you re-point an
+    upstream). Per-stage row metrics come from the stage manifests — no
+    extra count actions over the corpus at all in this form.
+
+    -> (clean_docs, metrics_df, runner) — ``runner.events`` records
+    built/skipped per stage for resume assertions.
+    """
+    from ontology_mapping_spark.operators.dedup import (
+        exact_dedup,
+        line_dedup,
+        near_dup_pairs_minhash,
+        url_dedup,
+    )
+    from ontology_mapping_spark.plans.stages import StageRunner
+
+    cfg = cfg or CleaningConfig()
+    runner = StageRunner(
+        spark, workdir, cfg, catalog=catalog, table_format=table_format
+    )
+    stages: list[str] = []
+    cur, prev = docs, "corpus_input"
+
+    if url_col is not None:
+        cur = runner.materialize(
+            "clean_url_dedup",
+            lambda d=cur: url_dedup(d, url_col=url_col, id_col=id_col).drop(
+                "url_canon"
+            ),
+            inputs=[prev],
+        )
+        prev = "clean_url_dedup"
+        stages.append(prev)
+
+    def _quality(d=cur):
+        verdicts = corpus_filter(
+            d,
+            text_col=text_col,
+            id_col=id_col,
+            lang=cfg.lang,
+            min_tokens=cfg.min_tokens,
+            max_tokens=cfg.max_tokens,
+            min_distinct_frac=cfg.min_distinct_frac,
+            max_top_bigram_frac=cfg.max_top_bigram_frac,
+            min_stopword_ratio=cfg.min_stopword_ratio,
+            min_alpha_ratio=cfg.min_alpha_ratio,
+        )
+        return d.join(
+            verdicts.filter(F.col("keep")).select(id_col), id_col, "left_semi"
+        )
+
+    cur = runner.materialize("clean_quality", _quality, inputs=[prev])
+    prev = "clean_quality"
+    stages.append(prev)
+
+    if cfg.line_dedup:
+        cur = runner.materialize(
+            "clean_line_dedup",
+            lambda d=cur: line_dedup(
+                d,
+                text_col=text_col,
+                id_col=id_col,
+                min_chars=cfg.line_dedup_min_chars,
+            ).drop("n_lines_kept", "n_lines_total"),
+            inputs=[prev],
+        )
+        prev = "clean_line_dedup"
+        stages.append(prev)
+
+    cur = runner.materialize(
+        "clean_exact_dedup",
+        lambda d=cur: exact_dedup(d, text_col=text_col, id_col=id_col),
+        inputs=[prev],
+    )
+    prev = "clean_exact_dedup"
+    stages.append(prev)
+
+    def _near_dup(d=cur):
+        pairs = near_dup_pairs_minhash(
+            d,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=cfg.near_dup_threshold,
+            num_hashes=cfg.minhash_num_hashes,
+            bands=cfg.minhash_bands,
+        )
+        drop = pairs.select(F.col("b").alias(id_col)).distinct()
+        return d.join(drop, id_col, "left_anti")
+
+    cur = runner.materialize("clean_near_dup", _near_dup, inputs=[prev])
+    stages.append("clean_near_dup")
+
+    mdf = spark.createDataFrame(
+        [Row(stage=s, rows=int(runner.manifest(s)["rows"])) for s in stages]
+    )
+    return cur, mdf, runner

@@ -76,3 +76,47 @@ def test_clean_corpus_line_dedup_strips_chrome_then_unifies_residues(spark):
     m = {r["stage"]: r["rows"] for r in metrics.collect()}
     assert m["line_dedup"] == 4   # rewrites text, drops no rows
     assert m["exact_dedup"] == 3  # doc 4's residue == doc 3's -> drops
+
+
+def test_clean_corpus_staged_resumes_and_matches_unstaged(spark, tmp_path):
+    from ontology_mapping_spark.plans.cleaning import clean_corpus_staged
+
+    rows = [
+        (1, GOOD + "first story about the forest", "https://a.com/1"),
+        (2, GOOD2 + "second story about the sea", "https://a.com/2"),
+        (3, GOOD + "first story about the forest", "https://A.com/1/?utm_source=x"),
+        (4, "tiny", "https://a.com/4"),
+        (5, GOOD2 + "second story about the sea", "https://a.com/5"),
+        (6, GOOD + "first story about the forest indeed", "https://a.com/6"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    cfg = CleaningConfig(near_dup_threshold=0.5)
+    wd = str(tmp_path / "cleanwd")
+
+    clean1, m1, r1 = clean_corpus_staged(spark, wd, docs, cfg, url_col="url")
+    assert [e for e in r1.events] == [
+        ("clean_url_dedup", "built"), ("clean_quality", "built"),
+        ("clean_exact_dedup", "built"), ("clean_near_dup", "built")]
+    assert sorted(r["doc_id"] for r in clean1.collect()) == [1, 2]
+    # staged metrics == unstaged metrics (minus the input row)
+    _, m_unstaged = clean_corpus(docs, cfg, url_col="url")
+    want = {r["stage"]: r["rows"] for r in m_unstaged.collect()}
+    got = {r["stage"]: r["rows"] for r in m1.collect()}
+    assert got == {
+        "clean_url_dedup": want["url_dedup"],
+        "clean_quality": want["quality_keep"],
+        "clean_exact_dedup": want["exact_dedup"],
+        "clean_near_dup": want["near_dup"],
+    }
+
+    # re-run: every stage skipped, identical survivors
+    clean2, m2, r2 = clean_corpus_staged(spark, wd, docs, cfg, url_col="url")
+    assert all(kind == "skipped" for _, kind in r2.events)
+    assert sorted(r["doc_id"] for r in clean2.collect()) == [1, 2]
+    assert {r["stage"]: r["rows"] for r in m2.collect()} == got
+
+    # knob change invalidates the chain (config hash feeds every build id)
+    _, _, r3 = clean_corpus_staged(
+        spark, wd, docs, CleaningConfig(near_dup_threshold=0.9), url_col="url"
+    )
+    assert all(kind == "built" for _, kind in r3.events)
