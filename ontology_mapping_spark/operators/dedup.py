@@ -573,3 +573,48 @@ def line_dedup(
         F.count(F.lit(1)).alias("n_lines_total"),
     )
     return df.drop(text_col).join(rebuilt, id_col)
+
+
+def contaminated_doc_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """ids of ``train`` docs sharing ANY n-token shingle with ``eval_df``
+    (GPT-3/PaLM-style benchmark decontamination; 13-gram is the standard
+    window). Shingles are keyed by md5 so the broadcast side is fixed-width
+    and an external oracle can re-derive the key. Docs shorter than ``n``
+    tokens contribute their whole text as one shingle (``short="join"``),
+    so an exact copy of a short eval doc is still caught.
+
+    Scale shape: the eval set is small by nature — its distinct gram keys
+    BROADCAST, so the train side is one scan + map-side semi join (no
+    shuffle of the corpus); only the matched doc ids (bounded by the
+    contamination rate) hit a shuffle for the distinct."""
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                token_shingles(F.col(text_col), n, short="join")
+            ).alias("__g"),
+        ).select(F.col(id_col), F.md5(F.col("__g")).alias("__gk"))
+
+    ev = F.broadcast(grams(eval_df).select("__gk").distinct())
+    return grams(train).join(ev, "__gk", "left_semi").select(id_col).distinct()
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Drop every ``train`` doc that shares an n-token shingle with the
+    held-out ``eval_df`` (see :func:`contaminated_doc_ids`)."""
+    bad = contaminated_doc_ids(
+        train, eval_df, text_col=text_col, id_col=id_col, n=n
+    )
+    return train.join(bad, id_col, "left_anti")

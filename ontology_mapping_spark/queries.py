@@ -115,6 +115,9 @@ LOCAL_ONLY: frozenset = frozenset(
         # sampling-family variant (deterministic_sample is the driver-covered
         # primary); oracle recomputes the 52-bit md5 uniform independently
         "mixture_sample_sources",
+        # shingle-join family variant (minhash_lsh_near_dups is the
+        # driver-covered primary); oracle re-derives the contamination set
+        "decontaminate_eval13",
         # text-quality family variant (token_quality_stats is the
         # driver-covered primary); identical RE2 regex chain both engines
         "pii_scrub",
@@ -1009,6 +1012,41 @@ def _minhash_lsh_sql(num_hashes: int = 16, bands: int = 8, n: int = 3) -> str:
            len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
            FROM cands c JOIN sh_t sa ON sa.doc_id = c.a JOIN sh_t sb ON sb.doc_id = c.b)
       SELECT a, b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.5"""
+
+
+def _decontaminate_sql(n: int = 13) -> str:
+    """Eval-set n-gram decontamination oracle: re-derives the n-token
+    shingles (same normalize + whole-text-fallback rules) and the
+    contaminated-id set relationally."""
+    shingle_expr = "concat_ws(' ', " + ", ".join(
+        f"toks[CAST(i+{d} AS INT)]" for d in range(n)
+    ) + ")"
+    return f"""WITH t AS (
+        SELECT doc_id, string_split({normalize_sql('text', 'duckdb')}, ' ') AS toks
+        FROM documents),
+      sh AS (SELECT doc_id, CASE WHEN len(toks) >= {n}
+           THEN list_distinct(list_transform(range(1, len(toks) - {n} + 2), i -> {shingle_expr}))
+           ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+      g AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+      ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+      bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram))
+      SELECT d.doc_id FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)"""
+
+
+@query("decontaminate_eval13", _decontaminate_sql())
+def q_decontaminate(spark, sf):
+    """GPT-3/PaLM-style benchmark decontamination: every 50th document
+    plays the held-out eval set; train docs sharing ANY 13-token shingle
+    with it (including the eval copies themselves) drop. The oracle
+    re-derives shingles and the contamination set relationally — gram
+    hashing, broadcast semi-join, and the short-doc fallback all diverge
+    the hash if wrong."""
+    from ontology_mapping_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, ev).select("doc_id")
 
 
 @query("minhash_lsh_near_dups", _minhash_lsh_sql())

@@ -361,3 +361,36 @@ def test_line_dedup_all_lines_removed_yields_empty_text(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["text"] for r in line_dedup(df).collect()}
     assert out == {1: "only one long shared line everywhere", 2: ""}
+
+
+def test_decontaminate_shared_13gram_and_short_exact_copy(spark):
+    from ontology_mapping_spark.operators.dedup import (
+        contaminated_doc_ids,
+        decontaminate,
+    )
+
+    eval_gram = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                 "juliett kilo lima mike")  # exactly 13 tokens
+    short_eval = "tiny eval answer"
+    evald = spark.createDataFrame(
+        [(100, "question context " + eval_gram + " more eval text"),
+         (101, short_eval)],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [
+            # contains the eval 13-gram mid-document -> drops
+            (1, "some train prefix " + eval_gram + " and a train suffix"),
+            # clean -> survives
+            (2, "completely unrelated training document body with many words"),
+            # exact copy of the SHORT eval doc (under 13 tokens) -> caught
+            # via the whole-text fallback shingle
+            (3, short_eval),
+            # shares only a 12-token window (one word changed) -> survives
+            (4, "alpha bravo charlie delta echo foxtrot golf hotel india "
+                "juliett kilo lima DIFFERENT"),
+        ],
+        "doc_id long, text string")
+    bad = sorted(r["doc_id"] for r in contaminated_doc_ids(train, evald).collect())
+    assert bad == [1, 3]
+    clean = sorted(r["doc_id"] for r in decontaminate(train, evald).collect())
+    assert clean == [2, 4]
