@@ -15,7 +15,10 @@ checkpointed through ``StageRunner`` — resumable, metrics from manifests):
 5. MinHash-LSH near-dup removal (``near_dup_pairs_minhash`` — banded
    bucket join; the HIGHER id of each verified pair drops, so one
    canonical survivor per near-dup cluster chain);
-6. per-stage row metrics as a DataFrame (the lineage/metrics story the
+6. optional benchmark decontamination (``decontaminate`` — drop docs
+   sharing any 13-gram with a held-out eval set; last, so the earlier
+   stages stay reusable across eval-set revisions);
+7. per-stage row metrics as a DataFrame (the lineage/metrics story the
    north rule asks of every stage).
 
 No reference analog (the reference has no corpus cleaning); this is the
@@ -62,11 +65,17 @@ def clean_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     url_col: str | None = None,
+    eval_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """-> (clean_docs, metrics). ``metrics`` has one (stage, rows) row per
     stage boundary (input, url_dedup, quality_keep, [line_dedup,]
-    exact_dedup, near_dup) — counted with ONE action per stage on the already-needed
-    intermediate, not extra passes over the corpus.
+    exact_dedup, near_dup, [decontaminate]) — counted with ONE action per
+    stage on the already-needed intermediate, not extra passes over the
+    corpus. Passing ``eval_df`` appends benchmark decontamination
+    (:func:`~ontology_mapping_spark.operators.dedup.decontaminate`) as the
+    final stage — last because it is the only stage whose victims depend
+    on an external table, so everything before it stays reusable across
+    eval-set revisions.
 
     Near-dup removal keeps the MIN id of each verified pair and drops the
     rest: with chains (a~b, b~c) both b and c drop — the conservative
@@ -132,6 +141,13 @@ def clean_corpus(
     cur = materialize(cur)
     metrics.append(("near_dup", cur.count()))
 
+    if eval_df is not None:
+        from ontology_mapping_spark.operators.dedup import decontaminate
+
+        cur = decontaminate(cur, eval_df, text_col=text_col, id_col=id_col)
+        cur = materialize(cur)
+        metrics.append(("decontaminate", cur.count()))
+
     spark = docs.sparkSession
     mdf = spark.createDataFrame(
         [Row(stage=s, rows=int(n)) for s, n in metrics]
@@ -147,6 +163,7 @@ def clean_corpus_staged(
     text_col: str = "text",
     id_col: str = "doc_id",
     url_col: str | None = None,
+    eval_df: DataFrame | None = None,
     catalog: str | None = None,
     table_format: str = "iceberg",
 ):
@@ -245,7 +262,23 @@ def clean_corpus_staged(
         return d.join(drop, id_col, "left_anti")
 
     cur = runner.materialize("clean_near_dup", _near_dup, inputs=[prev])
-    stages.append("clean_near_dup")
+    prev = "clean_near_dup"
+    stages.append(prev)
+
+    if eval_df is not None:
+        from ontology_mapping_spark.operators.dedup import decontaminate
+
+        # the eval table is an external input: its NAME feeds the build-id
+        # chain (a revised eval set needs a fresh workdir, same contract as
+        # every external input — see plans/stages.py module docstring)
+        cur = runner.materialize(
+            "clean_decontaminate",
+            lambda d=cur: decontaminate(
+                d, eval_df, text_col=text_col, id_col=id_col
+            ),
+            inputs=[prev, "eval_input"],
+        )
+        stages.append("clean_decontaminate")
 
     mdf = spark.createDataFrame(
         [Row(stage=s, rows=int(runner.manifest(s)["rows"])) for s in stages]

@@ -120,3 +120,20 @@ def test_clean_corpus_staged_resumes_and_matches_unstaged(spark, tmp_path):
         spark, wd, docs, CleaningConfig(near_dup_threshold=0.9), url_col="url"
     )
     assert all(kind == "built" for _, kind in r3.events)
+
+
+def test_clean_corpus_decontaminate_stage(spark):
+    evald = spark.createDataFrame(
+        [(900, GOOD + "first story about the forest")],
+        "doc_id long, text string")
+    rows = [
+        (1, GOOD + "first story about the forest", "https://a.com/1"),
+        (2, GOOD2 + "second story about the sea", "https://a.com/2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    clean, metrics = clean_corpus(
+        docs, CleaningConfig(near_dup_threshold=0.99),
+        url_col="url", eval_df=evald)
+    assert [r["doc_id"] for r in clean.collect()] == [2]
+    m = {r["stage"]: r["rows"] for r in metrics.collect()}
+    assert m["near_dup"] == 2 and m["decontaminate"] == 1
