@@ -55,6 +55,8 @@ HEADLINE = [
     "winnow_fingerprints",
     "ann_ivf_fixed_topk",
     "normalize_golden_hash",
+    "extract_links_resolved",
+    "pagerank_graph",
 ]
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "400000"))

@@ -124,6 +124,19 @@ LOCAL_ONLY: frozenset = frozenset(
         # composition of driver-covered signals (repetition_stats,
         # token_quality_stats, stopword_language_score) into one verdict
         "corpus_filter_verdicts",
+        # normalization-op family variants (normalization_ops_suite is the
+        # driver-covered primary; normalize_golden_hash pins the composed
+        # golden contract) — parked round 4 to free curated slots for the
+        # link-graph family
+        "natural_word_order",
+        "fold_accents",
+        # link-graph family variants (extract_links_resolved and
+        # pagerank_graph are the driver-covered primaries); each keeps its
+        # independent arithmetic-derivation oracle in the local gate
+        "link_graph_hosts",
+        "host_degree_stats",
+        "anchor_alias_mining",
+        "blocked_host_filter",
     }
 )
 
@@ -2096,3 +2109,236 @@ def q_mentions_stream_parity(spark, sf):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# web link graph (north rule "graph materialize"; operators/linkgraph.py)
+# --------------------------------------------------------------------------
+# The documents table stands in for the pages corpus: each doc_id plants a
+# deterministic page whose anchors exercise every href-resolution branch
+# (root-relative, absolute cross-host, protocol-relative, directory-relative,
+# plus dropped fragment/mailto/ftp anchors). The oracles derive the EXPECTED
+# links by doc_id arithmetic — fully independent of the engine's regex
+# pipeline, so extraction, cleaning and resolution are all value-checked.
+
+# shared arithmetic CTE: the per-doc link-plant parameters
+_LG_D = (
+    "SELECT doc_id, CAST(doc_id AS VARCHAR) ds, CAST(doc_id % 37 AS VARCHAR) k37, "
+    "CAST(doc_id % 11 AS VARCHAR) k11, CAST(doc_id % 7 AS VARCHAR) k7, "
+    "CAST(doc_id % 53 AS VARCHAR) k53, CAST(doc_id % 3 AS VARCHAR) k3, "
+    "CAST(doc_id + 1 AS VARCHAR) dn FROM documents"
+)
+_LG_U = (
+    f"SELECT *, 'https://h' || k37 || '.example.com/d/' || ds || '/page.html' AS url "
+    f"FROM ({_LG_D})"
+)
+
+
+def _linkgraph_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """The deterministic synthetic pages whose planted anchors the link
+    oracles re-derive arithmetically. html is encoded to binary so the
+    engine's input_hint decode path is the one under test."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("https://h"), s(d % 37), F.lit(".example.com/d/"), s(d), F.lit("/page.html")
+    )
+    html = F.concat(
+        F.lit('<html><body><nav><A HREF="/cat/'), s(d % 11),
+        F.lit('.html">Category <b>'), s(d % 11), F.lit("</b></A></nav>"),
+        F.lit("<a href='https://h"), s(d % 7), F.lit(".example.org/t/"), s(d % 53),
+        F.lit("'>Topic "), s(d % 53), F.lit("</a>"),
+        F.lit('<a href="//cdn'), s(d % 3), F.lit('.example.net/lib.js">cdn</a>'),
+        F.lit('<a href="../n/'), s(d + 1), F.lit('.html">next\npage</a>'),
+        F.lit('<a href="#top">top</a><a href="mailto:x@y.z">mail</a>'),
+        F.lit('<a href="ftp://h0.example.com/f">ftp</a></body></html>'),
+    )
+    return _t(spark, sf, "documents").select(
+        url.alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+
+
+@query(
+    "extract_links_resolved",
+    f"""WITH u AS ({_LG_U})
+    SELECT url, '/cat/' || k11 || '.html' AS href, 'Category ' || k11 AS anchor,
+           'https://h' || k37 || '.example.com/cat/' || k11 || '.html' AS dst_url FROM u
+    UNION ALL SELECT url, 'https://h' || k7 || '.example.org/t/' || k53,
+           'Topic ' || k53, 'https://h' || k7 || '.example.org/t/' || k53 FROM u
+    UNION ALL SELECT url, '//cdn' || k3 || '.example.net/lib.js', 'cdn',
+           'https://cdn' || k3 || '.example.net/lib.js' FROM u
+    UNION ALL SELECT url, '../n/' || dn || '.html', 'next page',
+           'https://h' || k37 || '.example.com/d/' || ds || '/../n/' || dn || '.html' FROM u""",
+)
+def q_extract_links(spark, sf):
+    # href + anchor extraction (case-insensitive, multiline, nested tags in
+    # the display text) and URL resolution against the page url; fragment /
+    # mailto / non-http-scheme anchors must vanish. Oracle plants the
+    # expected rows arithmetically — no regex on the oracle side.
+    from ontology_mapping_spark.operators.linkgraph import extract_links
+
+    return extract_links(_linkgraph_pages(spark, sf))
+
+
+@query(
+    "link_graph_hosts",
+    f"""WITH d AS ({_LG_D}), e AS (
+      SELECT 'h' || k37 || '.example.com' AS s, 'h' || k7 || '.example.org' AS t FROM d
+      UNION ALL
+      SELECT 'h' || k37 || '.example.com', 'cdn' || k3 || '.example.net' FROM d)
+    SELECT s AS src_host, t AS dst_host, CAST(count(*) AS BIGINT) AS n_links
+    FROM e GROUP BY s, t""",
+)
+def q_link_graph_hosts(spark, sf):
+    # host-level edge aggregation; the root-relative and directory-relative
+    # links resolve to the page's own host and must drop as self-loops
+    from ontology_mapping_spark.operators.linkgraph import extract_links, link_graph
+
+    out = link_graph(extract_links(_linkgraph_pages(spark, sf)))
+    return out.select("src_host", "dst_host", F.col("n_links").cast("long").alias("n_links"))
+
+
+@query(
+    "host_degree_stats",
+    f"""WITH d AS ({_LG_D}), e AS (SELECT DISTINCT s, t FROM (
+      SELECT 'h' || k37 || '.example.com' AS s, 'h' || k7 || '.example.org' AS t FROM d
+      UNION ALL
+      SELECT 'h' || k37 || '.example.com', 'cdn' || k3 || '.example.net' FROM d)),
+    o AS (SELECT s AS node, count(*) AS od FROM e GROUP BY s),
+    i AS (SELECT t AS node, count(*) AS idg FROM e GROUP BY t)
+    SELECT coalesce(o.node, i.node) AS node,
+           CAST(coalesce(o.od, 0) AS BIGINT) AS out_deg,
+           CAST(coalesce(i.idg, 0) AS BIGINT) AS in_deg
+    FROM o FULL OUTER JOIN i ON o.node = i.node""",
+)
+def q_host_degrees(spark, sf):
+    from ontology_mapping_spark.operators.linkgraph import (
+        degrees,
+        extract_links,
+        link_graph,
+    )
+
+    out = degrees(link_graph(extract_links(_linkgraph_pages(spark, sf))))
+    return out.select(
+        "node",
+        F.col("out_deg").cast("long").alias("out_deg"),
+        F.col("in_deg").cast("long").alias("in_deg"),
+    )
+
+
+@query(
+    "anchor_alias_mining",
+    f"""WITH u AS ({_LG_U}), a AS (
+      SELECT 'category ' || k11 AS alias,
+             'https://h' || k37 || '.example.com/cat/' || k11 || '.html' AS dst_url FROM u
+      UNION ALL SELECT 'topic ' || k53, 'https://h' || k7 || '.example.org/t/' || k53 FROM u
+      UNION ALL SELECT 'cdn', 'https://cdn' || k3 || '.example.net/lib.js' FROM u
+      UNION ALL SELECT 'next page',
+             'https://h' || k37 || '.example.com/d/' || ds || '/../n/' || dn || '.html' FROM u)
+    SELECT alias, dst_url, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY alias, dst_url""",
+)
+def q_anchor_aliases(spark, sf):
+    # anchor-text alias mining: the web-scale surface-form table entity
+    # linking consumes (lowercased cleaned anchor -> target url, support n)
+    from ontology_mapping_spark.operators.linkgraph import anchor_aliases, extract_links
+
+    out = anchor_aliases(extract_links(_linkgraph_pages(spark, sf)))
+    return out.select("alias", "dst_url", F.col("n").cast("long").alias("n"))
+
+
+@query(
+    "blocked_host_filter",
+    """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'https://h' || CAST(doc_id % 37 AS VARCHAR) || '.example.com/p'
+              ELSE 'https://sub.h' || CAST(doc_id % 37 AS VARCHAR) || '.example.com/p'
+         END AS url
+       FROM documents WHERE doc_id % 37 NOT IN (3, 7)""",
+)
+def q_blocked_hosts(spark, sf):
+    # broadcast domain-blocklist anti-join: exact host match on even docs,
+    # subdomain suffix match on odd docs ('sub.h3.example.com' ends with
+    # '.h3.example.com'); the corpus side never shuffles
+    from ontology_mapping_spark.operators.linkgraph import filter_blocked_hosts
+
+    d = F.col("doc_id")
+    url = F.when(
+        d % 2 == 0,
+        F.concat(F.lit("https://h"), (d % 37).cast("string"), F.lit(".example.com/p")),
+    ).otherwise(
+        F.concat(F.lit("https://sub.h"), (d % 37).cast("string"), F.lit(".example.com/p"))
+    )
+    pages = _t(spark, sf, "documents").select("doc_id", url.alias("url"))
+    blocked = spark.createDataFrame(
+        [("h3.example.com",), ("h7.example.com",)], "domain string"
+    )
+    return filter_blocked_hosts(pages, blocked)
+
+
+_PR_EDGES_SQL = (
+    "SELECT DISTINCT src, dst FROM ("
+    "SELECT CAST(p_partkey AS VARCHAR) AS src, CAST(p_partkey // 2 AS VARCHAR) AS dst "
+    "FROM part WHERE p_partkey >= 2 "
+    "UNION ALL SELECT CAST(p_partkey AS VARCHAR), CAST((p_partkey * 7 + 3) % 211 AS VARCHAR) "
+    "FROM part) t WHERE src <> dst"
+)
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank the oracle runs: same semantics as
+    operators/linkgraph.pagerank (uniform init, dangling mass redistributed
+    uniformly), one (dangling, contrib, rank) CTE triple per iteration."""
+    d = repr(damping)
+    parts = [
+        f"WITH e AS ({_PR_EDGES_SQL})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "od AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS odeg FROM e GROUP BY src)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"d{k} AS (SELECT coalesce(sum(r.rank), 0) AS dm FROM r{k} r "
+            f"LEFT JOIN od ON od.node = r.node WHERE od.node IS NULL)"
+        )
+        parts.append(
+            f"c{k} AS (SELECT e.dst AS node, sum(r.rank / od.odeg) AS c FROM e "
+            f"JOIN r{k} r ON r.node = e.src JOIN od ON od.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{k + 1} AS (SELECT n.node, (1.0 - {d}) / (SELECT n FROM nn) + {d} * "
+            f"(coalesce(c.c, 0) + (SELECT dm FROM d{k}) / (SELECT n FROM nn)) AS rank "
+            f"FROM nodes n LEFT JOIN c{k} c ON n.node = c.node)"
+        )
+    # epsilon shift before rounding: PageRank's decimal algebra (0.85/0.15,
+    # tree /2) lands shared leaf values EXACTLY on 8-dp half-boundaries
+    # (measured: 1.3875e-05 at sf0.1), where the two engines' 1e-17
+    # summation noise rounds opposite ways; +1e-12 moves every exact-decimal
+    # value safely off the boundary while noise can't straddle the shift
+    return ", ".join(parts) + (
+        f" SELECT node, round(rank + 1e-12, 8) AS rank FROM r{iters}"
+    )
+
+
+@query("pagerank_graph", _pagerank_sql())
+def q_pagerank(spark, sf):
+    # 5-iteration PageRank over the deterministic part-derived web graph
+    # (tree rule + modular rule: hubs, dangling leaves, cycles). The oracle
+    # unrolls the same iteration algebra in SQL; 8-dp rounding absorbs
+    # cross-engine float summation order.
+    from ontology_mapping_spark.operators.linkgraph import pagerank
+
+    k = F.col("p_partkey")
+    p = _t(spark, sf, "part")
+    a = p.filter(k >= 2).select(
+        k.cast("string").alias("src_host"),
+        F.floor(k / 2).cast("string").alias("dst_host"),
+    )
+    b = p.select(
+        k.cast("string").alias("src_host"),
+        ((k * 7 + 3) % 211).cast("string").alias("dst_host"),
+    )
+    edges = a.union(b).filter(F.col("src_host") != F.col("dst_host"))
+    pr = pagerank(edges, iters=5, damping=0.85)
+    # same +1e-12 epsilon shift as the oracle (see _pagerank_sql)
+    return pr.select("node", F.round(F.col("rank") + F.lit(1e-12), 8).alias("rank"))

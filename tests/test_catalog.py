@@ -9,10 +9,14 @@ the local gate, tools/check_queries.py, value-checks end to end).
 
 from ontology_mapping_spark import queries as q
 
-# one per operator family the round-2 verdict audits, plus the four entries
-# the driver dropped in round 2 and the new streaming parity row
+# one per operator family the round-2 verdict audits, plus the entries the
+# driver dropped in round 2 and the new streaming parity row. Round 4 parks
+# fold_accents back into LOCAL_ONLY (normalization family variant —
+# normalization_ops_suite + normalize_golden_hash stay the curated
+# primaries) to free slots for the link-graph family primaries.
 REQUIRED = {
-    "fold_accents",
+    "extract_links_resolved",
+    "pagerank_graph",
     "max_depth_per_side",
     "mint_uris",
     "normalization_ops_suite",
