@@ -219,6 +219,15 @@ _PAGE_TEMPLATES = [
     "Clinical notes often reference the {m}.",
     "This section reviews anatomy of the {m}.",
 ]
+# two-mention sentences whose folded between-text is EXACTLY a
+# DEFAULT_PATTERNS key, so operators/relations.pattern_relations extracts a
+# typed triple from them — planted when a page has >= 2 mentions, giving the
+# pipeline's S7 relation stage real work end-to-end
+_REL_TEMPLATES = [
+    "Every {a} is a {b} overall.",
+    "The {a} is part of {b} broadly.",
+    "Typically {a} located in {b} regions.",
+]
 _PAGE_FILLER = [
     "General methods are described elsewhere.",
     "Results were consistent across cohorts.",
@@ -247,7 +256,14 @@ def _gen_page(rng, p, all_uris, pref_labels, mentions_per_page, filler_sentences
     the two can never drift in content shape. Returns (row, mentioned)."""
     url, lang, mentioned = _gen_page_head(rng, p, all_uris, mentions_per_page)
     sentences: list[str] = []
-    for u in mentioned:
+    ms = list(mentioned)
+    if len(ms) >= 2 and rng.random() < 0.5:
+        # relation sentence: both labels still appear (gold recall holds),
+        # and the between-text is an exact relation pattern
+        t = rng.choice(_REL_TEMPLATES)
+        sentences.append(t.format(a=pref_labels[ms[0]], b=pref_labels[ms[1]]))
+        ms = ms[2:]
+    for u in ms:
         t = rng.choice(_PAGE_TEMPLATES)
         sentences.append(t.format(m=pref_labels[u]))
     for _ in range(rng.randint(*filler_sentences)):

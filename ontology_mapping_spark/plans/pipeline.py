@@ -167,6 +167,27 @@ def run_pipeline(
     )
 
     # --- S7: triple emission --------------------------------------------------
+    # typed entity-entity relations from sentence-level patterns (the north
+    # rule's "triple extraction" proper, beyond mentionedIn provenance);
+    # phrase vocabulary re-folded to the relations matching contract
+    # (idempotent for the golden-normalized label phrases)
+    def build_relations() -> DataFrame:
+        from ontology_mapping_spark.operators.relations import (
+            fold_sentence,
+            pattern_relations,
+            sentence_mentions,
+            split_sentences,
+        )
+
+        vocab = phrases.select("uri", fold_sentence("phrase").alias("phrase"))
+        return pattern_relations(
+            sentence_mentions(split_sentences(pages_text), vocab)
+        )
+
+    relations = run.materialize(
+        "relations", build_relations, ["pages_text", "phrases"]
+    )
+
     def build_out() -> DataFrame:
         m = mention_triples(mentions, cfg.predicates["mentions"])
         canon = components.select(
@@ -186,9 +207,32 @@ def run_pipeline(
             F.lit(cfg.predicates["same_as"]).alias("predicate"),
             F.col("tgt").alias("object"),
         )
-        return m_canon.unionByName(links)
+        # relation triples canonicalize BOTH endpoints through components
+        rel = (
+            relations.select(
+                F.col("subj").alias("subject"),
+                F.col("pred").alias("predicate"),
+                F.col("obj").alias("object"),
+            )
+            .join(canon, "subject", "left")
+            .select(
+                F.coalesce(F.col("component"), F.col("subject")).alias("subject"),
+                "predicate",
+                F.col("object"),
+            )
+            .join(canon.withColumnRenamed("subject", "object"), "object", "left")
+            .select(
+                "subject",
+                "predicate",
+                F.coalesce(F.col("component"), F.col("object")).alias("object"),
+            )
+            .distinct()
+        )
+        return m_canon.unionByName(links).unionByName(rel)
 
-    out = run.materialize("kg_triples", build_out, ["mentions", "components", "predictions"])
+    out = run.materialize(
+        "kg_triples", build_out, ["mentions", "components", "predictions", "relations"]
+    )
 
     return PipelineResult(
         triples=out,
@@ -197,4 +241,5 @@ def run_pipeline(
         report=report,
         model=model,
         runner=run,
+        extras={"relation_triples": relations},
     )

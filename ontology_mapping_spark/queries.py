@@ -137,6 +137,14 @@ LOCAL_ONLY: frozenset = frozenset(
         "host_degree_stats",
         "anchor_alias_mining",
         "blocked_host_filter",
+        # parked round 4 for the relation-extraction primaries: the
+        # membership-filter family keeps anti_join_exclusion curated (semi
+        # join is its mirror — same broadcast-join shape, opposite keep
+        # set), and the limit family keeps topk_per_group curated
+        # (TakeOrderedAndProject vs WindowGroupLimit both plan-pinned in
+        # BENCH.md)
+        "semi_join_flag",
+        "global_topn",
     }
 )
 
@@ -2342,3 +2350,93 @@ def q_pagerank(spark, sf):
     pr = pagerank(edges, iters=5, damping=0.85)
     # same +1e-12 epsilon shift as the oracle (see _pagerank_sql)
     return pr.select("node", F.round(F.col("rank") + F.lit(1e-12), 8).alias("rank"))
+
+
+# --------------------------------------------------------------------------
+# relation extraction (north rule "triple extraction"; operators/relations.py)
+# --------------------------------------------------------------------------
+# Planted-corpus convention: each document contributes three sentences with
+# known entity mentions — an 'is a' Hearst pattern, a 'part of' pattern and
+# a plain co-occurrence — so the oracles derive the expected triples by
+# doc_id arithmetic, independent of the engine's sentence splitter, folding
+# and between-text algebra.
+
+_REL_VOCAB = 13
+
+
+def _relations_inputs(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    d = F.col("doc_id")
+    ent = lambda k: F.concat(F.lit("entity "), k.cast("string"))  # noqa: E731
+    text = F.concat(
+        F.lit("Alpha "), ent(d % _REL_VOCAB),
+        F.lit(" is a "), ent((d + 5) % _REL_VOCAB), F.lit(" in the corpus. "),
+        ent((d + 1) % _REL_VOCAB),
+        F.lit(" part of "), ent((d + 7) % _REL_VOCAB), F.lit(" sometimes. "),
+        ent((d + 2) % _REL_VOCAB),
+        F.lit(" and "), ent((d + 3) % _REL_VOCAB), F.lit(" appear together."),
+    )
+    pages = _t(spark, sf, "documents").select(
+        F.concat(F.lit("d"), d.cast("string")).alias("url"), text.alias("text")
+    )
+    k = F.col("id")
+    phrases = spark.range(_REL_VOCAB).select(
+        F.concat(F.lit("uri:"), k.cast("string")).alias("uri"),
+        F.concat(F.lit("entity "), k.cast("string")).alias("phrase"),
+    )
+    return pages, phrases
+
+
+_REL_D = (
+    f"SELECT CAST(doc_id % {_REL_VOCAB} AS VARCHAR) a, "
+    f"CAST((doc_id + 5) % {_REL_VOCAB} AS VARCHAR) b, "
+    f"CAST((doc_id + 1) % {_REL_VOCAB} AS VARCHAR) c, "
+    f"CAST((doc_id + 7) % {_REL_VOCAB} AS VARCHAR) dd, "
+    f"CAST((doc_id + 2) % {_REL_VOCAB} AS VARCHAR) e, "
+    f"CAST((doc_id + 3) % {_REL_VOCAB} AS VARCHAR) f FROM documents"
+)
+
+
+@query(
+    "pattern_relation_triples",
+    f"""WITH d AS ({_REL_D}), t AS (
+      SELECT 'uri:' || a AS subj, 'kg:isA' AS pred, 'uri:' || b AS obj FROM d
+      UNION ALL SELECT 'uri:' || c, 'kg:partOf', 'uri:' || dd FROM d)
+    SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY subj, pred, obj""",
+)
+def q_pattern_relations(spark, sf):
+    # Hearst-pattern typed triples from the text between two mentions;
+    # the 'and' sentence must contribute nothing here
+    from ontology_mapping_spark.operators.relations import (
+        pattern_relations,
+        sentence_mentions,
+        split_sentences,
+    )
+
+    pages, phrases = _relations_inputs(spark, sf)
+    m = sentence_mentions(split_sentences(pages), phrases)
+    out = pattern_relations(m)
+    return out.select("subj", "pred", "obj", F.col("n").cast("long").alias("n"))
+
+
+@query(
+    "sentence_cooccurrence",
+    f"""WITH d AS ({_REL_D}), p AS (
+      SELECT least('uri:' || a, 'uri:' || b) AS s, greatest('uri:' || a, 'uri:' || b) AS o FROM d
+      UNION ALL SELECT least('uri:' || c, 'uri:' || dd), greatest('uri:' || c, 'uri:' || dd) FROM d
+      UNION ALL SELECT least('uri:' || e, 'uri:' || f), greatest('uri:' || e, 'uri:' || f) FROM d)
+    SELECT s AS subj, o AS obj, CAST(count(*) AS BIGINT) AS n_sents
+    FROM p GROUP BY s, o""",
+)
+def q_sentence_cooccurrence(spark, sf):
+    # the generic relatedTo edge list: unordered concept pairs per sentence,
+    # counted over the corpus (distant-supervision co-occurrence signal)
+    from ontology_mapping_spark.operators.relations import (
+        cooccurrence_edges,
+        sentence_mentions,
+        split_sentences,
+    )
+
+    pages, phrases = _relations_inputs(spark, sf)
+    out = cooccurrence_edges(sentence_mentions(split_sentences(pages), phrases))
+    return out.select("subj", "obj", F.col("n_sents").cast("long").alias("n_sents"))

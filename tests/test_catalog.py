@@ -17,6 +17,8 @@ from ontology_mapping_spark import queries as q
 REQUIRED = {
     "extract_links_resolved",
     "pagerank_graph",
+    "pattern_relation_triples",
+    "sentence_cooccurrence",
     "max_depth_per_side",
     "mint_uris",
     "normalization_ops_suite",

@@ -51,6 +51,9 @@ def test_emitted_triples_nonempty_and_canonical(spark, e2e):
         for r in res.triples.select("predicate").distinct().collect()
     }
     assert "kg:mentionedIn" in kinds and "kg:sameAs" in kinds
+    # the fixture plants two-mention relation sentences, so the S7 relation
+    # stage must contribute typed entity-entity triples
+    assert kinds & {"kg:isA", "kg:partOf", "kg:locatedIn"}, kinds
     assert res.triples.count() > 0
 
 
@@ -76,7 +79,7 @@ def test_manifests_record_lineage_and_metrics(spark, e2e):
     _, res, _, _, _ = e2e
     m = res.runner.manifest("kg_triples")
     assert m["rows"] > 0
-    assert m["inputs"] == ["mentions", "components", "predictions"]
+    assert m["inputs"] == ["mentions", "components", "predictions", "relations"]
     assert sum(m["partition_metrics"].values()) == m["rows"]
     assert res.runner.manifest("closure")["inputs"] == ["edges"]
 

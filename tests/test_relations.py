@@ -1,0 +1,140 @@
+"""Relation extraction vs a pure-Python twin of the documented contract."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.operators.relations import (
+    DEFAULT_PATTERNS,
+    cooccurrence_edges,
+    extract_relations,
+    pattern_relations,
+    sentence_mentions,
+    split_sentences,
+)
+
+# ---------------------------------------------------------------------- twin
+
+
+def fold_py(s: str) -> str:
+    return re.sub(r" +", " ", re.sub(r"[^a-z0-9]+", " ", s.lower())).strip()
+
+
+def split_py(text: str) -> list[str]:
+    return [s for s in re.split(r"(?<=[.!?])\s+", text) if s.strip()]
+
+
+def mentions_py(sentence: str, phrases: dict[str, str]):
+    """[(uri, phrase, pos, len)] — first whole-token occurrence in the
+    padded folded sentence, same as the engine."""
+    padded = f" {fold_py(sentence)} "
+    out = []
+    for uri, ph in phrases.items():
+        pos = padded.find(f" {ph} ") + 1  # 1-based like F.instr; 0 = miss
+        if pos > 0:
+            out.append((uri, ph, pos, len(ph)))
+    return out
+
+
+def relations_py(pages, phrases, patterns=DEFAULT_PATTERNS):
+    cooc: dict[tuple[str, str], int] = {}
+    typed: dict[tuple[str, str, str], int] = {}
+    for _url, text in pages:
+        for sent in split_py(text):
+            padded = f" {fold_py(sent)} "
+            ms = mentions_py(sent, phrases)
+            uris = sorted({u for u, *_ in ms})
+            for i, s in enumerate(uris):
+                for o in uris[i + 1 :]:
+                    cooc[(s, o)] = cooc.get((s, o), 0) + 1
+            seen = set()
+            for ua, _pa, pa, la in ms:
+                for ub, _pb, pb, lb in ms:
+                    if ua == ub or pb <= pa + la:
+                        continue
+                    between = padded[pa + la : pb - 1].strip()
+                    pred = patterns.get(between)
+                    if pred and (ua, pred, ub) not in seen:
+                        seen.add((ua, pred, ub))
+                        typed[(ua, pred, ub)] = typed.get((ua, pred, ub), 0) + 1
+    return cooc, typed
+
+
+PHRASES = {
+    "u:cat": "cat",
+    "u:animal": "animal",
+    "u:tail": "long tail",
+    "u:paris": "paris",
+    "u:france": "france",
+    "u:cat2": "cat",  # ambiguous surface: two URIs share a phrase
+}
+
+PAGES = [
+    ("p1", "A cat is an animal. The long tail, part of the cat! Paris is located in France."),
+    ("p2", "Paris and France... The cat sat. An animal appeared; no pattern links them."),
+    ("p3", "cat is a animal and animal is the cat."),  # both directions, one sentence
+    ("p4", "catfish is not a cat mention. long tail is a animal"),  # boundary + no-punct tail
+]
+
+
+def _dfs(spark):
+    pages = spark.createDataFrame(PAGES, "url string, text string")
+    phrases = spark.createDataFrame(
+        sorted(PHRASES.items()), "uri string, phrase string"
+    )
+    return pages, phrases
+
+
+def test_relations_match_python_twin(spark):
+    pages, phrases = _dfs(spark)
+    cooc_df, typed_df = extract_relations(pages, phrases)
+    got_cooc = {(r.subj, r.obj): r.n_sents for r in cooc_df.collect()}
+    got_typed = {(r.subj, r.pred, r.obj): r.n for r in typed_df.collect()}
+    want_cooc, want_typed = relations_py(PAGES, PHRASES)
+    assert got_cooc == want_cooc
+    assert got_typed == want_typed
+
+
+def test_pattern_specifics(spark):
+    pages, phrases = _dfs(spark)
+    m = sentence_mentions(split_sentences(pages), phrases)
+    typed = {(r.subj, r.pred, r.obj): r.n for r in pattern_relations(m).collect()}
+    # p1: 'cat is an animal' (ambiguous cat -> two subj uris)
+    assert typed[("u:cat", "kg:isA", "u:animal")] >= 1
+    assert typed[("u:cat2", "kg:isA", "u:animal")] == typed[("u:cat", "kg:isA", "u:animal")]
+    # p1: 'long tail, part of the cat' folds to 'long tail part of the cat'
+    # -> between is 'part of the', which is NOT an exact pattern
+    assert ("u:tail", "kg:partOf", "u:cat") not in typed
+    # p1: 'Paris is located in France' -> between 'is located in' not exact
+    assert ("u:paris", "kg:locatedIn", "u:france") not in typed
+    # p3 'cat is a animal and animal is the cat': the forward triple counts
+    # p1 + p3; the reverse clause is built from SECOND occurrences, which
+    # the first-occurrence contract deliberately does not see
+    assert typed[("u:cat", "kg:isA", "u:animal")] == 2
+    assert ("u:animal", "kg:isA", "u:cat") not in typed
+    # p4: 'long tail is a animal' (no trailing punctuation) still matches
+    assert typed[("u:tail", "kg:isA", "u:animal")] == 1
+
+
+def test_word_boundaries_and_cooccurrence(spark):
+    pages, phrases = _dfs(spark)
+    m = sentence_mentions(split_sentences(pages), phrases)
+    rows = m.filter("url = 'p4'").collect()
+    # 'catfish' must not match 'cat'; the explicit 'cat mention' does
+    s0 = [r for r in rows if r.sent_id == 0]
+    assert {r.uri for r in s0} == {"u:cat", "u:cat2"}
+    assert all(r.pos > 1 for r in s0)  # matched the real 'cat', not 'catfish'
+    cooc = {(r.subj, r.obj): r.n_sents for r in cooccurrence_edges(m).collect()}
+    # p2 sentence 1: 'Paris and France...' co-occur without any pattern
+    assert cooc[("u:france", "u:paris")] == 2  # p1 and p2
+    # ambiguous-surface pair counted once per sentence, both URIs present
+    assert ("u:cat", "u:cat2") in cooc
+
+
+def test_sentence_split_ids(spark):
+    pages, _ = _dfs(spark)
+    s = split_sentences(pages).filter("url = 'p1'").orderBy("sent_id").collect()
+    assert [r.sent_id for r in s] == [0, 1, 2]
+    assert s[1].sentence.startswith("The long tail")
