@@ -72,7 +72,8 @@ CORPUS_PAGE_KW = {"mentions_per_page": (0, 8), "filler_sentences": (25, 50)}
 
 
 def corpus_cache_dir(n_pages: int) -> str:
-    return os.path.join(_REPO, ".bench_cache", f"pages_v4_{n_pages}")
+    # v5: fixtures plant two-mention relation sentences (relations stage)
+    return os.path.join(_REPO, ".bench_cache", f"pages_v5_{n_pages}")
 
 
 _CACHE = corpus_cache_dir(BENCH_PAGES)
@@ -237,6 +238,59 @@ def run_pages_pipeline(spark) -> tuple[float, int]:
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     return best, n_pages
+
+
+def run_relations(spark) -> dict:
+    """Typed-relation + co-occurrence extraction (operators/relations.py)
+    over a deterministic quarter-slice of the cached corpus: sentence
+    split -> per-sentence mentions (broadcast first-token join) -> the
+    two within-row pair aggregates, timed end-to-end with the mention
+    table persisted once for both consumers (the pipeline's shape)."""
+    from pyspark.sql import functions as _F
+
+    from ontology_mapping_spark.operators.labels import extract_labels
+    from ontology_mapping_spark.operators.mentions import label_phrases
+    from ontology_mapping_spark.operators.relations import (
+        cooccurrence_edges,
+        pattern_relations,
+        sentence_mentions,
+        split_sentences,
+    )
+
+    cache = _ensure_pages_corpus(spark)
+    par = spark.sparkContext.defaultParallelism
+    pages = (
+        spark.read.parquet(f"{cache}/pages")
+        .filter((_F.col("lang") == "en") & (_F.crc32(_F.col("url")) % 4 == 0))
+        .select("url", "text")
+        .coalesce(par)
+        .cache()
+    )
+    n = pages.count()  # materialize outside the timed region (see above)
+    phrases = label_phrases(
+        extract_labels(spark.read.parquet(f"{cache}/triples"))
+    )
+    reps = int(os.environ.get("SPARK_GRAFT_PAGES_REPS", "2"))
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        m = sentence_mentions(split_sentences(pages), phrases).persist()
+        try:
+            n_mentions = m.count()
+            pattern_relations(m).write.format("noop").mode("overwrite").save()
+            cooccurrence_edges(m).write.format("noop").mode("overwrite").save()
+        finally:
+            m.unpersist()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    pages.unpersist()
+    return {
+        "pages": n,
+        "sentence_mentions": n_mentions,
+        "sec": round(best, 3),
+        "pages_per_sec": round(n / best, 1),
+        "py_burn_sec": _py_burn_sec(),
+    }
 
 
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
@@ -478,6 +532,11 @@ def main() -> None:
     calibration = run_calibration(spark)
     times = run_suite(spark, sf_dir)
     pages_sec, n_pages = run_pages_pipeline(spark)
+    relations = (
+        run_relations(spark)
+        if os.environ.get("SPARK_GRAFT_SKIP_RELATIONS") != "1"
+        else None
+    )
     calibration["py_burn_sec_end"] = _py_burn_sec()  # drift across the run
     spark.stop()
     kernel_ab = None
@@ -512,6 +571,8 @@ def main() -> None:
     }
     if kernel_ab is not None:
         out["kernel_ab"] = kernel_ab
+    if relations is not None:
+        out["relations"] = relations
     # emit the suite result immediately — if a caller timeout cuts the
     # scaling stage short, this line still stands (consumers take the
     # LAST JSON line, so the richer combined line below supersedes it)
