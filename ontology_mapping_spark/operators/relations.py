@@ -126,21 +126,32 @@ def sentence_mentions(sentences: DataFrame, phrases: DataFrame) -> DataFrame:
     )
 
 
-def grouped_mentions(mentions: DataFrame) -> DataFrame:
-    """(url, sent_id, padded, ms: array<struct<uri,pos,mlen>>) for
+def grouped_mentions(
+    mentions: DataFrame, max_mentions: int | None = None
+) -> DataFrame:
+    """(url, sent_id, padded, ms: array<struct<pos,mlen,uri>>) for
     sentences with >= 2 mentions — the ONE exchange both pair consumers
-    share; pair enumeration stays within-row after it."""
-    return (
-        mentions.groupBy("url", "sent_id")
-        .agg(
-            F.max("padded").alias("padded"),
-            F.collect_list(F.struct("uri", "pos", "mlen")).alias("ms"),
-        )
-        .filter(F.size("ms") >= 2)
+    share; pair enumeration stays within-row after it.
+
+    ``max_mentions`` is the df-cap analog for pathological rows (a page
+    whose "sentence" is a 10^4-entity list would otherwise cost O(k^2)
+    in-row): when set, keep the first ``max_mentions`` mentions in
+    (pos, mlen, uri) order — deterministic, text-order, and the cap is
+    loud in the plan (a slice), never silent truncation by Spark."""
+    g = mentions.groupBy("url", "sent_id").agg(
+        F.max("padded").alias("padded"),
+        F.collect_list(F.struct("pos", "mlen", "uri")).alias("ms"),
     )
+    if max_mentions is not None:
+        g = g.withColumn(
+            "ms", F.slice(F.array_sort("ms"), 1, int(max_mentions))
+        )
+    return g.filter(F.size("ms") >= 2)
 
 
-def cooccurrence_edges(mentions: DataFrame) -> DataFrame:
+def cooccurrence_edges(
+    mentions: DataFrame, max_mentions: int | None = None
+) -> DataFrame:
     """Sentence mentions -> (subj, obj, n_sents), subj < obj lexically,
     each unordered concept pair counted once per sentence. Pairs are
     enumerated within-row over the sorted-distinct uri array (upper
@@ -156,7 +167,7 @@ def cooccurrence_edges(mentions: DataFrame) -> DataFrame:
         )
     )
     return (
-        grouped_mentions(mentions)
+        grouped_mentions(mentions, max_mentions)
         .select(F.explode(pairs).alias("p"))
         .groupBy(F.col("p.subj").alias("subj"), F.col("p.obj").alias("obj"))
         .agg(F.count("*").alias("n_sents"))
@@ -164,7 +175,9 @@ def cooccurrence_edges(mentions: DataFrame) -> DataFrame:
 
 
 def pattern_relations(
-    mentions: DataFrame, patterns: dict[str, str] | None = None
+    mentions: DataFrame,
+    patterns: dict[str, str] | None = None,
+    max_mentions: int | None = None,
 ) -> DataFrame:
     """Sentence mentions -> typed (subj, pred, obj, n) triples.
 
@@ -225,7 +238,7 @@ def pattern_relations(
         )
     )
     return (
-        grouped_mentions(mentions)
+        grouped_mentions(mentions, max_mentions)
         .select(F.explode(triples).alias("t"))
         .groupBy(
             F.col("t.subj").alias("subj"),
@@ -240,6 +253,7 @@ def extract_relations(
     pages: DataFrame,
     phrases: DataFrame,
     patterns: dict[str, str] | None = None,
+    max_mentions: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """pages × phrase vocabulary -> (cooccurrence_edges, pattern_triples).
 
@@ -247,4 +261,7 @@ def extract_relations(
     at corpus scale should persist it (session.materialize) so the scan +
     broadcast join executes once."""
     m = sentence_mentions(split_sentences(pages), phrases)
-    return cooccurrence_edges(m), pattern_relations(m, patterns)
+    return (
+        cooccurrence_edges(m, max_mentions),
+        pattern_relations(m, patterns, max_mentions),
+    )

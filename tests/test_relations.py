@@ -133,6 +133,45 @@ def test_word_boundaries_and_cooccurrence(spark):
     assert ("u:cat", "u:cat2") in cooc
 
 
+def test_max_mentions_cap(spark):
+    # a pathological "sentence" listing many entities: the cap keeps the
+    # FIRST max_mentions in text order (pos sort), bounding the in-row
+    # O(k^2) pair work
+    phrases = spark.createDataFrame(
+        [(f"u{i}", f"e{i}x") for i in range(8)], "uri string, phrase string"
+    )
+    pages = spark.createDataFrame(
+        [("p", " ".join(f"e{i}x" for i in range(8)) + ".")],
+        "url string, text string",
+    )
+    m = sentence_mentions(split_sentences(pages), phrases)
+    assert cooccurrence_edges(m).count() == 28  # C(8,2) uncapped
+    capped = cooccurrence_edges(m, max_mentions=3)
+    got = {(r.subj, r.obj) for r in capped.collect()}
+    # first three by position are u0,u1,u2
+    assert got == {("u0", "u1"), ("u0", "u2"), ("u1", "u2")}
+
+
+def test_plan_shape_two_shuffles_no_join(spark):
+    # the pair algebra must stay within-row: exactly two hash exchanges
+    # (group by sentence + final agg), vocabulary joined via broadcast,
+    # and no sort-merge join / cartesian anywhere
+    pages, phrases = _dfs(spark)
+    for out in (
+        pattern_relations(sentence_mentions(split_sentences(pages), phrases)),
+        cooccurrence_edges(sentence_mentions(split_sentences(pages), phrases)),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # corpus-keyed exchanges: the per-sentence group is the mention
+        # table's ONLY one (pairs never shuffle); the other two hash
+        # exchanges are the final triple agg and the ontology-sized
+        # vocabulary dedup before its broadcast
+        assert plan.count("Exchange hashpartitioning(url") == 1, plan
+        assert plan.count("Exchange hashpartitioning") == 3, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan and "Cartesian" not in plan, plan
+
+
 def test_sentence_split_ids(spark):
     pages, _ = _dfs(spark)
     s = split_sentences(pages).filter("url = 'p1'").orderBy("sent_id").collect()
