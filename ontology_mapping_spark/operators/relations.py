@@ -249,6 +249,52 @@ def pattern_relations(
     )
 
 
+def relation_confidence(mentions: DataFrame, max_mentions: int | None = None) -> DataFrame:
+    """Co-occurrence edges weighted by normalized PMI — the standard
+    distant-supervision noise filter (celebrity entities co-occur with
+    everything; NPMI discounts that).
+
+    (subj, obj, n_sents, npmi) with npmi in [-1, 1]:
+    ``npmi = ln(p(s,o) / (p(s) p(o))) / -ln p(s,o)`` where probabilities
+    are over the N mention-bearing sentences in the mention table.
+
+    Scale shape: per-entity sentence counts are one partial+final agg on
+    uri (vocabulary-sized result, broadcast back onto the edge list); N
+    rides in via a 1-row aggregate cross-joined broadcast — no driver
+    round-trip, no corpus re-scan."""
+    edges = cooccurrence_edges(mentions, max_mentions)
+    ent = (
+        mentions.select("url", "sent_id", "uri")
+        .distinct()
+        .groupBy("uri")
+        .agg(F.count("*").alias("n_ent"))
+    )
+    total = (
+        mentions.select("url", "sent_id").distinct()
+        .agg(F.count("*").alias("n_total"))
+    )
+    p_so = F.col("n_sents") / F.col("n_total")
+    p_s = F.col("n_subj") / F.col("n_total")
+    p_o = F.col("n_obj") / F.col("n_total")
+    return (
+        edges.join(F.broadcast(ent.withColumnRenamed("uri", "subj")), "subj")
+        .withColumnRenamed("n_ent", "n_subj")
+        .join(F.broadcast(ent.withColumnRenamed("uri", "obj")), "obj")
+        .withColumnRenamed("n_ent", "n_obj")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "subj",
+            "obj",
+            "n_sents",
+            # p(s,o)=1 makes -ln p(s,o) = 0 (0/0): perfect association,
+            # npmi := 1 by convention
+            F.when(F.col("n_sents") == F.col("n_total"), F.lit(1.0))
+            .otherwise(F.log(p_so / (p_s * p_o)) / -F.log(p_so))
+            .alias("npmi"),
+        )
+    )
+
+
 def extract_relations(
     pages: DataFrame,
     phrases: DataFrame,

@@ -145,6 +145,8 @@ LOCAL_ONLY: frozenset = frozenset(
         # BENCH.md)
         "semi_join_flag",
         "global_topn",
+        # npmi weighting: same relation family as the two curated primaries
+        "cooccurrence_npmi",
     }
 )
 
@@ -2440,3 +2442,49 @@ def q_sentence_cooccurrence(spark, sf):
     pages, phrases = _relations_inputs(spark, sf)
     out = cooccurrence_edges(sentence_mentions(split_sentences(pages), phrases))
     return out.select("subj", "obj", F.col("n_sents").cast("long").alias("n_sents"))
+
+
+_REL_D_ID = "SELECT doc_id, " + _REL_D[len("SELECT ") :]  # keep doc_id for sentence keys
+
+
+@query(
+    "cooccurrence_npmi",
+    f"""WITH d AS ({_REL_D_ID}), s AS (
+      SELECT doc_id, 0 AS sent, 'uri:' || a AS u FROM d
+      UNION ALL SELECT doc_id, 0, 'uri:' || b FROM d
+      UNION ALL SELECT doc_id, 1, 'uri:' || c FROM d
+      UNION ALL SELECT doc_id, 1, 'uri:' || dd FROM d
+      UNION ALL SELECT doc_id, 2, 'uri:' || e FROM d
+      UNION ALL SELECT doc_id, 2, 'uri:' || f FROM d),
+    ent AS (SELECT u, CAST(count(*) AS DOUBLE) AS n FROM s GROUP BY u),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS nt
+            FROM (SELECT DISTINCT doc_id, sent FROM s)),
+    p AS (
+      SELECT least('uri:'||a,'uri:'||b) AS s1, greatest('uri:'||a,'uri:'||b) AS o1 FROM d
+      UNION ALL SELECT least('uri:'||c,'uri:'||dd), greatest('uri:'||c,'uri:'||dd) FROM d
+      UNION ALL SELECT least('uri:'||e,'uri:'||f), greatest('uri:'||e,'uri:'||f) FROM d),
+    cooc AS (SELECT s1 AS subj, o1 AS obj, CAST(count(*) AS DOUBLE) AS n
+             FROM p GROUP BY s1, o1)
+    SELECT subj, obj, CAST(cooc.n AS BIGINT) AS n_sents,
+      ROUND(CASE WHEN cooc.n = nt THEN 1.0
+            ELSE LN((cooc.n/nt) / ((es.n/nt) * (eo.n/nt))) / -LN(cooc.n/nt) END, 6) AS npmi
+    FROM cooc JOIN ent es ON es.u = subj JOIN ent eo ON eo.u = obj, tot""",
+)
+def q_cooccurrence_npmi(spark, sf):
+    # NPMI-weighted co-occurrence edges (distant-supervision noise filter);
+    # the oracle re-derives per-entity and total sentence counts from the
+    # planted doc_id arithmetic, independent of the engine's mention algebra
+    from ontology_mapping_spark.operators.relations import (
+        relation_confidence,
+        sentence_mentions,
+        split_sentences,
+    )
+
+    pages, phrases = _relations_inputs(spark, sf)
+    out = relation_confidence(sentence_mentions(split_sentences(pages), phrases))
+    return out.select(
+        "subj",
+        "obj",
+        F.col("n_sents").cast("long").alias("n_sents"),
+        F.round("npmi", 6).alias("npmi"),
+    )

@@ -133,6 +133,43 @@ def test_word_boundaries_and_cooccurrence(spark):
     assert ("u:cat", "u:cat2") in cooc
 
 
+def test_relation_confidence_npmi_twin(spark):
+    import math
+
+    from ontology_mapping_spark.operators.relations import relation_confidence
+
+    pages, phrases = _dfs(spark)
+    m = sentence_mentions(split_sentences(pages), phrases)
+    got = {
+        (r.subj, r.obj): (r.n_sents, round(r.npmi, 6))
+        for r in relation_confidence(m).collect()
+    }
+    # twin: per-sentence distinct uri sets over the same fold contract
+    sents = []
+    for _url, text in PAGES:
+        for sent in split_py(text):
+            uris = sorted({u for u, *_ in mentions_py(sent, PHRASES)})
+            if uris:
+                sents.append(uris)
+    n_total = len(sents)
+    ent: dict[str, int] = {}
+    cooc: dict[tuple[str, str], int] = {}
+    for uris in sents:
+        for u in uris:
+            ent[u] = ent.get(u, 0) + 1
+        for i, s in enumerate(uris):
+            for o in uris[i + 1 :]:
+                cooc[(s, o)] = cooc.get((s, o), 0) + 1
+    want = {}
+    for (s, o), n in cooc.items():
+        p_so, p_s, p_o = n / n_total, ent[s] / n_total, ent[o] / n_total
+        npmi = 1.0 if n == n_total else math.log(p_so / (p_s * p_o)) / -math.log(p_so)
+        want[(s, o)] = (n, round(npmi, 6))
+    assert got == want
+    # ambiguous surface 'cat'/'cat2' always co-occur -> perfect association
+    assert got[("u:cat", "u:cat2")][1] == 1.0
+
+
 def test_max_mentions_cap(spark):
     # a pathological "sentence" listing many entities: the cap keeps the
     # FIRST max_mentions in text order (pos sort), bounding the in-row
