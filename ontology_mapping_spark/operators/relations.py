@@ -149,6 +149,90 @@ def grouped_mentions(
     return g.filter(F.size("ms") >= 2)
 
 
+def typed_triples_expr(
+    ms: Column, padded: Column, patterns: dict[str, str]
+) -> Column:
+    """array<struct<subj,pred,obj>> of typed triples for ONE sentence,
+    given its mention array ``ms`` (struct<pos,mlen,uri>) and its padded
+    folded text — the WITHIN-ROW pair algebra shared by the batch
+    aggregate (:func:`pattern_relations`) and the stateless streaming
+    extractor (streaming/relations_stream.py), so the two cannot drift.
+
+    Ordered non-overlapping pairs (B strictly after A's surface), typed
+    by exact between-text lookup; per-sentence dedup is an
+    array_distinct."""
+
+    def lookup(between):
+        # when-chain beats a create_map literal here: inside a lambda the
+        # map expression is re-built per array element, the when-chain is
+        # plain comparisons
+        out = F.lit(None).cast("string")
+        for text, pred in sorted(patterns.items(), reverse=True):
+            out = F.when(between == text, F.lit(pred)).otherwise(out)
+        return out
+
+    def raw_pair(a, b):
+        # A's surface spans padded[a.pos .. a.pos+a.mlen-1] (1-based);
+        # the folded text strictly between A and B, trimmed — computed
+        # ONCE per pair here, looked up in a second cheap transform
+        between = F.trim(
+            padded.substr(a["pos"] + a["mlen"] + 1, b["pos"] - a["pos"] - a["mlen"])
+        )
+        return F.struct(
+            a["uri"].alias("subj"), between.alias("btw"), b["uri"].alias("obj")
+        )
+
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda a: F.transform(
+                F.filter(
+                    ms,
+                    lambda b: (b["pos"] > a["pos"] + a["mlen"])
+                    & (b["uri"] != a["uri"]),
+                ),
+                lambda b: raw_pair(a, b),
+            ),
+        )
+    )
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                pairs,
+                lambda p: F.struct(
+                    p["subj"].alias("subj"),
+                    lookup(p["btw"]).alias("pred"),
+                    p["obj"].alias("obj"),
+                ),
+            ),
+            lambda t: t["pred"].isNotNull(),
+        )
+    )
+
+
+def sentence_mentions_expr(padded: Column, vocab: Column) -> Column:
+    """array<struct<pos,mlen,uri>> of first-occurrence whole-token phrase
+    hits for ONE padded folded sentence, given a LITERAL vocabulary array
+    (struct<uri,phrase>) — the within-row twin of
+    :func:`sentence_mentions` for contexts where a join+regroup is not
+    available (stateless streaming). O(|vocab|) instr per sentence, so
+    only for ontology-sized vocabularies (same literal-broadcast
+    precedent as the LSH hyperplanes in operators/similarity.py)."""
+    return F.filter(
+        F.transform(
+            vocab,
+            lambda v: F.struct(
+                F.instr(padded, F.concat(F.lit(" "), v["phrase"], F.lit(" "))).alias(
+                    "pos"
+                ),
+                F.length(v["phrase"]).alias("mlen"),
+                v["uri"].alias("uri"),
+            ),
+        ),
+        lambda m: m["pos"] > 0,
+    )
+
+
 def cooccurrence_edges(
     mentions: DataFrame, max_mentions: int | None = None
 ) -> DataFrame:
@@ -186,57 +270,7 @@ def pattern_relations(
     against the pattern table; matches aggregate to corpus-level support
     counts. Distinct surface pairs within one sentence each contribute."""
     patterns = DEFAULT_PATTERNS if patterns is None else patterns
-    padded = F.col("padded")
-
-    def lookup(between):
-        # when-chain beats a create_map literal here: inside a lambda the
-        # map expression is re-built per array element, the when-chain is
-        # plain comparisons
-        out = F.lit(None).cast("string")
-        for text, pred in sorted(patterns.items(), reverse=True):
-            out = F.when(between == text, F.lit(pred)).otherwise(out)
-        return out
-
-    def raw_pair(a, b):
-        # A's surface spans padded[a.pos .. a.pos+a.mlen-1] (1-based);
-        # the folded text strictly between A and B, trimmed — computed
-        # ONCE per pair here, looked up in a second cheap transform
-        between = F.trim(
-            padded.substr(a["pos"] + a["mlen"] + 1, b["pos"] - a["pos"] - a["mlen"])
-        )
-        return F.struct(
-            a["uri"].alias("subj"), between.alias("btw"), b["uri"].alias("obj")
-        )
-
-    ms = F.col("ms")
-    # ordered non-overlapping pairs (B strictly after A's surface), typed
-    # by exact between-text lookup; per-sentence dedup is an array_distinct
-    pairs = F.flatten(
-        F.transform(
-            ms,
-            lambda a: F.transform(
-                F.filter(
-                    ms,
-                    lambda b: (b["pos"] > a["pos"] + a["mlen"])
-                    & (b["uri"] != a["uri"]),
-                ),
-                lambda b: raw_pair(a, b),
-            ),
-        )
-    )
-    triples = F.array_distinct(
-        F.filter(
-            F.transform(
-                pairs,
-                lambda p: F.struct(
-                    p["subj"].alias("subj"),
-                    lookup(p["btw"]).alias("pred"),
-                    p["obj"].alias("obj"),
-                ),
-            ),
-            lambda t: t["pred"].isNotNull(),
-        )
-    )
+    triples = typed_triples_expr(F.col("ms"), F.col("padded"), patterns)
     return (
         grouped_mentions(mentions, max_mentions)
         .select(F.explode(triples).alias("t"))

@@ -103,3 +103,58 @@ def test_stream_parity_gate_query(spark):
     got = {tuple(r) for r in reg["mentions_stream_parity"](spark, sf).collect()}
     want = {tuple(r) for r in reg["mentions_join_scan"](spark, sf).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_relations_equals_batch(spark, fx_dfs, tmp_path):
+    """Stateless streaming relation extraction == the batch aggregate:
+    per-(subj, pred, obj) triple counts over the same pages drop must be
+    identical (the two share typed_triples_expr; the streaming mention
+    scan is the within-row vocabulary literal form)."""
+    from ontology_mapping_spark.operators.relations import (
+        fold_sentence,
+        pattern_relations,
+        sentence_mentions,
+        split_sentences,
+    )
+    from ontology_mapping_spark.streaming.relations_stream import (
+        stream_relation_counts,
+        stream_relation_triples,
+    )
+
+    in_dir = str(tmp_path / "rel_in")
+    ckpt = str(tmp_path / "rel_ckpt")
+    fx_dfs["pages"].repartition(4).write.parquet(in_dir)
+    phrases = (
+        label_phrases(extract_labels(fx_dfs["triples"]))
+        .select("uri", fold_sentence("phrase").alias("phrase"))
+        .cache()
+    )
+
+    rel = stream_relation_triples(stream_pages(spark, in_dir), phrases)
+    assert rel.isStreaming
+    q = (
+        rel.writeStream.format("memory")
+        .queryName("rel_triples")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["subj"], r["pred"], r["obj"]): r["n"]
+        for r in spark.sql(
+            "select subj, pred, obj, count(*) n from rel_triples"
+            " group by subj, pred, obj"
+        ).collect()
+    }
+    batch_pages = extracted_pages(fx_dfs["pages"]).select("url", "text")
+    batch = pattern_relations(
+        sentence_mentions(split_sentences(batch_pages), phrases)
+    )
+    want = {(r["subj"], r["pred"], r["obj"]): r["n"] for r in batch.collect()}
+    assert got == want and len(want) > 0
+    # windowed-count form compiles streaming and keeps the triple key
+    counts = stream_relation_counts(rel)
+    assert counts.isStreaming
+    assert {"subj", "pred", "obj", "n"} <= set(counts.columns)
