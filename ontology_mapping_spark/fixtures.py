@@ -228,6 +228,9 @@ _REL_TEMPLATES = [
     "The {a} is part of {b} broadly.",
     "Typically {a} located in {b} regions.",
 ]
+# predicate each template plants, index-parallel with _REL_TEMPLATES
+# (operators/relations.DEFAULT_PATTERNS maps the between-texts)
+_REL_PREDS = ["kg:isA", "kg:partOf", "kg:locatedIn"]
 _PAGE_FILLER = [
     "General methods are described elsewhere.",
     "Results were consistent across cohorts.",
@@ -249,6 +252,23 @@ def _gen_page_head(rng, p, all_uris, mentions_per_page):
     return url, lang, mentioned
 
 
+def _gen_page_relation(rng, mentioned, pref_labels):
+    """The rng-draw segment IMMEDIATELY after :func:`_gen_page_head`:
+    possibly plant a two-mention relation sentence (both labels still
+    appear, so gold mention recall holds; the between-text is an exact
+    relation pattern). Returns (sentence | None, (subj, pred, obj) gold
+    triple | None, remaining mentions). MUST keep this exact draw
+    sequence — synth_gold_relations_distributed replays head + this
+    segment to emit planted relation gold at any corpus size."""
+    ms = list(mentioned)
+    if len(ms) >= 2 and rng.random() < 0.5:
+        t = rng.choice(_REL_TEMPLATES)
+        pred = _REL_PREDS[_REL_TEMPLATES.index(t)]
+        sent = t.format(a=pref_labels[ms[0]], b=pref_labels[ms[1]])
+        return sent, (ms[0], pred, ms[1]), ms[2:]
+    return None, None, ms
+
+
 def _gen_page(rng, p, all_uris, pref_labels, mentions_per_page, filler_sentences):
     """One synthetic page row from an rng — the SINGLE page-content
     generator, shared by the sequential fixture (one rng stream for the
@@ -256,13 +276,9 @@ def _gen_page(rng, p, all_uris, pref_labels, mentions_per_page, filler_sentences
     the two can never drift in content shape. Returns (row, mentioned)."""
     url, lang, mentioned = _gen_page_head(rng, p, all_uris, mentions_per_page)
     sentences: list[str] = []
-    ms = list(mentioned)
-    if len(ms) >= 2 and rng.random() < 0.5:
-        # relation sentence: both labels still appear (gold recall holds),
-        # and the between-text is an exact relation pattern
-        t = rng.choice(_REL_TEMPLATES)
-        sentences.append(t.format(a=pref_labels[ms[0]], b=pref_labels[ms[1]]))
-        ms = ms[2:]
+    rel_sent, _gold, ms = _gen_page_relation(rng, mentioned, pref_labels)
+    if rel_sent is not None:
+        sentences.append(rel_sent)
     for u in ms:
         t = rng.choice(_PAGE_TEMPLATES)
         sentences.append(t.format(m=pref_labels[u]))
@@ -398,6 +414,57 @@ def synth_gold_mentions_distributed(
             yield pd.DataFrame(
                 {"url": pd.Series(out_url, dtype=object),
                  "uri": pd.Series(out_uri, dtype=object)}
+            )
+
+    n_part = partitions or spark.sparkContext.defaultParallelism * 4
+    return spark.range(0, n_pages, numPartitions=n_part).mapInPandas(
+        gen, schema=schema
+    )
+
+
+def synth_gold_relations_distributed(
+    spark,
+    n_pages: int,
+    pref_labels: dict[str, str],
+    seed: int = 7,
+    mentions_per_page: tuple[int, int] = (0, 8),
+    filler_sentences: tuple[int, int] = (25, 50),
+    partitions: int | None = None,
+):
+    """(url, subj, pred, obj) gold RELATION triples for the distributed
+    corpus — replays the page-generator head plus the relation-sentence
+    draw segment (:func:`_gen_page_relation`) per page id, so the gold
+    set is exactly the typed triples the generator planted; pass the
+    same arguments as :func:`synth_pages_distributed`."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    del filler_sentences  # signature parity; gold needs only head + rel draws
+    labels = dict(pref_labels)
+    uris = sorted(labels)
+    mpp = tuple(mentions_per_page)
+    schema = StructType(
+        [
+            StructField("url", StringType(), False),
+            StructField("subj", StringType(), False),
+            StructField("pred", StringType(), False),
+            StructField("obj", StringType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["id"]:
+                p = int(p)
+                rng = random.Random(f"{seed}:{p}")
+                url, _lang, mentioned = _gen_page_head(rng, p, uris, mpp)
+                _sent, gold, _rest = _gen_page_relation(rng, mentioned, labels)
+                if gold is not None:
+                    rows.append((url, *gold))
+            yield pd.DataFrame(rows, columns=["url", "subj", "pred", "obj"]).astype(
+                object
             )
 
     n_part = partitions or spark.sparkContext.defaultParallelism * 4

@@ -269,17 +269,34 @@ def pattern_relations(
     folded text strictly between the two surfaces is compared EXACTLY
     against the pattern table; matches aggregate to corpus-level support
     counts. Distinct surface pairs within one sentence each contribute."""
+    return (
+        typed_relation_rows(mentions, patterns, max_mentions)
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def typed_relation_rows(
+    mentions: DataFrame,
+    patterns: dict[str, str] | None = None,
+    max_mentions: int | None = None,
+) -> DataFrame:
+    """(url, sent_id, subj, pred, obj) — the pre-aggregation form of
+    :func:`pattern_relations`: one row per distinct typed triple per
+    sentence. Used for provenance-keyed evaluation (gold joins on url)
+    and anywhere the per-page triples themselves are the product."""
     patterns = DEFAULT_PATTERNS if patterns is None else patterns
     triples = typed_triples_expr(F.col("ms"), F.col("padded"), patterns)
     return (
         grouped_mentions(mentions, max_mentions)
-        .select(F.explode(triples).alias("t"))
-        .groupBy(
+        .select("url", "sent_id", F.explode(triples).alias("t"))
+        .select(
+            "url",
+            "sent_id",
             F.col("t.subj").alias("subj"),
             F.col("t.pred").alias("pred"),
             F.col("t.obj").alias("obj"),
         )
-        .agg(F.count("*").alias("n"))
     )
 
 

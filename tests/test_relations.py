@@ -170,6 +170,50 @@ def test_relation_confidence_npmi_twin(spark):
     assert got[("u:cat", "u:cat2")][1] == 1.0
 
 
+def test_planted_relation_gold_recall(spark):
+    """Distributed gold replay: every planted relation triple is either
+    extracted or shadow-explained (B's folded label a whole-token
+    subphrase of A's — the documented first-occurrence contract).
+    Corpus-scale twin: tools/eval_relations_scale.py."""
+    from ontology_mapping_spark.fixtures import (
+        fixture_dataframes,
+        make_fixture,
+        synth_gold_relations_distributed,
+        synth_pages_distributed,
+    )
+    from ontology_mapping_spark.operators.labels import extract_labels
+    from ontology_mapping_spark.operators.mentions import label_phrases
+    from ontology_mapping_spark.operators.relations import (
+        fold_sentence,
+        typed_relation_rows,
+    )
+
+    fx = make_fixture(n_pairs=15, n_extra_per_side=5, n_pages=0, seed=7)
+    triples, _, _, _ = fixture_dataframes(spark, fx)
+    kw = dict(mentions_per_page=(0, 8))
+    pages = synth_pages_distributed(
+        spark, 400, fx.pref_labels, seed=7, partitions=4,
+        filler_sentences=(2, 4), **kw,
+    )
+    gold = synth_gold_relations_distributed(spark, 400, fx.pref_labels, seed=7, **kw)
+    phrases = label_phrases(extract_labels(triples)).select(
+        "uri", fold_sentence("phrase").alias("phrase")
+    )
+    det = typed_relation_rows(
+        sentence_mentions(
+            split_sentences(pages.filter("lang='en'").select("url", "text")),
+            phrases,
+        )
+    ).select("url", "subj", "pred", "obj")
+    n_gold = gold.count()
+    assert n_gold > 50  # the 50% relation-sentence coin plants plenty
+    missed = gold.join(det, ["url", "subj", "pred", "obj"], "left_anti").collect()
+    folded = {u: fold_py(lbl) for u, lbl in fx.pref_labels.items()}
+    for r in missed:
+        a, b = folded[r["subj"]], folded[r["obj"]]
+        assert f" {b} " in f" {a} ", (fx.pref_labels[r["subj"]], fx.pref_labels[r["obj"]])
+
+
 def test_max_mentions_cap(spark):
     # a pathological "sentence" listing many entities: the cap keeps the
     # FIRST max_mentions in text order (pos sort), bounding the in-row
