@@ -170,6 +170,37 @@ def test_relation_confidence_npmi_twin(spark):
     assert got[("u:cat", "u:cat2")][1] == 1.0
 
 
+def test_relations_random_corpus_matches_twin(spark):
+    """Seeded-random adversarial corpus (overlapping phrases, pattern
+    words as entity tokens, repeated mentions, punctuation noise) vs the
+    pure-Python twin — one Spark job over the whole case set."""
+    import random
+
+    rng = random.Random(20260818)
+    toks = ["is", "a", "part", "of", "in", "cat", "dog", "x1", "located"]
+    phr = ["cat", "dog", "x1", "cat dog", "dog x1", "part", "in"]
+    phrases = {f"u{i}": p for i, p in enumerate(phr)}
+    pages = []
+    for i in range(60):
+        sents = []
+        for _ in range(rng.randint(1, 4)):
+            words = [rng.choice(toks) for _ in range(rng.randint(0, 10))]
+            punct = rng.choice([".", "!", "?", ""])
+            sents.append(" ".join(words) + punct)
+        pages.append((f"r{i}", " ".join(sents)))
+    pages_df = spark.createDataFrame(pages, "url string, text string")
+    phrases_df = spark.createDataFrame(
+        sorted(phrases.items()), "uri string, phrase string"
+    )
+    cooc_df, typed_df = extract_relations(pages_df, phrases_df)
+    got_cooc = {(r.subj, r.obj): r.n_sents for r in cooc_df.collect()}
+    got_typed = {(r.subj, r.pred, r.obj): r.n for r in typed_df.collect()}
+    want_cooc, want_typed = relations_py(pages, phrases)
+    assert got_cooc == want_cooc
+    assert got_typed == want_typed
+    assert len(want_cooc) >= 15  # the corpus actually exercises the algebra
+
+
 def test_planted_relation_gold_recall(spark):
     """Distributed gold replay: every planted relation triple is either
     extracted or shadow-explained (B's folded label a whole-token
