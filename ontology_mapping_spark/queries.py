@@ -147,6 +147,8 @@ LOCAL_ONLY: frozenset = frozenset(
         "global_topn",
         # npmi weighting: same relation family as the two curated primaries
         "cooccurrence_npmi",
+        # serialization sink: §2.1 family already holds a curated writer row
+        "kg_ntriples_lines",
     }
 )
 
@@ -2488,3 +2490,82 @@ def q_cooccurrence_npmi(spark, sf):
         F.col("n_sents").cast("long").alias("n_sents"),
         F.round("npmi", 6).alias("npmi"),
     )
+
+
+# --------------------------------------------------------------------------
+# N-Triples serialization sink (sources/rdf.py)
+# --------------------------------------------------------------------------
+
+def _nt_sanitize_sql(x: str) -> str:
+    return (
+        "replace(replace(replace(replace(" + x + ", ' ', '%20'),"
+        " '<', '%3C'), '>', '%3E'), '\"', '%22')"
+    )
+
+
+def _nt_term_sql(col: str) -> str:
+    # mirror of sources/rdf.term_expr: absolute IRI > known prefix > literal
+    esc = (
+        "replace(replace(replace(replace(replace(" + col + ","
+        " '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'),"
+        " chr(13), '\\r'), chr(9), '\\t')"
+    )
+    out = "'\"' || " + esc + " || '\"'"
+    prefixes = {
+        "kg": "http://example.org/kg#",
+        "src": "http://example.org/src/",
+        "tgt": "http://example.org/tgt/",
+        "uri": "http://example.org/id/",
+    }
+    for p, ns in sorted(prefixes.items(), reverse=True):
+        expanded = _nt_sanitize_sql(
+            f"'{ns}' || substr({col}, {len(p) + 2})"
+        )
+        out = (
+            f"CASE WHEN {col} LIKE '{p}:%' THEN '<' || {expanded} || '>' "
+            f"ELSE {out} END"
+        )
+    return (
+        f"CASE WHEN regexp_matches({col}, '^[A-Za-z][A-Za-z0-9+.\\-]*://')"
+        f" THEN '<' || {_nt_sanitize_sql(col)} || '>' ELSE {out} END"
+    )
+
+
+@query(
+    "kg_ntriples_lines",
+    f"""WITH t AS (
+      SELECT 'src:C' || CAST(doc_id % 7 AS VARCHAR) AS s,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'kg:isA' WHEN 1 THEN 'kg:partOf'
+             ELSE 'http://purl.org/dc/terms/relation' END AS p,
+        CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'tgt:C' || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 1 THEN 'https://example.org/p?q=a b'
+             WHEN 2 THEN 'say "hi"' || chr(10) || 'tab' || chr(9) || 'back\\slash'
+             ELSE 'plain words ' || CAST(doc_id % 5 AS VARCHAR) END AS o
+      FROM documents)
+    SELECT {_nt_term_sql('s')} || ' ' || {_nt_term_sql('p')} || ' ' ||
+           {_nt_term_sql('o')} || ' .' AS line,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY 1""",
+)
+def q_kg_ntriples(spark, sf):
+    # serialization exercises all three term branches (absolute IRI,
+    # prefix expansion with sanitizing, escaped literal) against a DuckDB
+    # oracle that re-implements the documented contract character by
+    # character
+    from ontology_mapping_spark.sources.rdf import ntriples_lines
+
+    d = F.col("doc_id")
+    t = _t(spark, sf, "documents").select(
+        F.concat(F.lit("src:C"), (d % 7).cast("string")).alias("subject"),
+        F.when(d % 3 == 0, F.lit("kg:isA"))
+        .when(d % 3 == 1, F.lit("kg:partOf"))
+        .otherwise(F.lit("http://purl.org/dc/terms/relation"))
+        .alias("predicate"),
+        F.when(d % 4 == 0, F.concat(F.lit("tgt:C"), (d % 5).cast("string")))
+        .when(d % 4 == 1, F.lit("https://example.org/p?q=a b"))
+        .when(d % 4 == 2, F.lit('say "hi"\ntab\tback\\slash'))
+        .otherwise(F.concat(F.lit("plain words "), (d % 5).cast("string")))
+        .alias("object"),
+    )
+    return ntriples_lines(t).groupBy("line").agg(F.count("*").cast("long").alias("n"))
