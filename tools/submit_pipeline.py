@@ -66,6 +66,11 @@ def main() -> None:
     ap.add_argument("--align-test", dest="align_test", default=None)
     ap.add_argument("--fixture-pages", type=int, default=2000, help="synthetic corpus size when no --pages given")
     ap.add_argument("--fixture-pairs", type=int, default=60)
+    ap.add_argument(
+        "--ntriples-out",
+        default=None,
+        help="also serialize kg_triples as N-Triples text to this path",
+    )
     args = ap.parse_args()
 
     if args.build_zip:
@@ -141,6 +146,10 @@ def main() -> None:
             )
 
     res = run_pipeline(spark, triples, align_train, align_test, pages, args.workdir)
+    if args.ntriples_out:
+        from ontology_mapping_spark.sources.rdf import write_ntriples
+
+        write_ntriples(res.triples, args.ntriples_out)
     n_triples = res.triples.count()
     n_pages = pages.count()
     report = {
