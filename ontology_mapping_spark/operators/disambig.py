@@ -1,0 +1,114 @@
+"""Mention disambiguation: ambiguous surface -> one concept, by context.
+
+The mention detectors (operators/mentions.py) correctly emit EVERY
+concept whose label matches a surface — two ontology concepts sharing a
+label both claim the mention. A KG should store one: this module scores
+each candidate by the cosine between the PAGE's embedding (its textual
+context) and the CONCEPT's embedding, and keeps the argmax per
+(url, surface) — the standard context-similarity disambiguation, using
+the engine's existing embedding slot (deterministic hashed BoW by
+default, a real model via make_model_embed_udf when one ships).
+
+Scale shape (100 TB): one vectorized pandas-UDF embedding pass over the
+distinct pages that carry an ambiguous mention (a semi-join prunes the
+corpus FIRST — unambiguous pages never reach Python), concept vectors
+are ontology-sized and broadcast, and the winner per (url, surface) is a
+partial+final ``max(struct(score, uri))`` aggregate — no window over the
+corpus-sized key, the same winner-struct shape as line_dedup. Ties break
+lexicographically on uri (deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.functions.vectors import cosine_col, make_embed_udf
+
+
+def ambiguous_mentions(mentions: DataFrame) -> DataFrame:
+    """The subset of (url, surface) mention rows claimed by >1 uri.
+    Partial+final count on the pair key, then an inner join back —
+    unambiguous mentions (the overwhelming majority) bypass
+    disambiguation entirely."""
+    multi = (
+        mentions.groupBy("url", "surface")
+        .agg(F.countDistinct("uri").alias("n_uris"))
+        .filter(F.col("n_uris") > 1)
+        .select("url", "surface")
+    )
+    return mentions.join(multi, ["url", "surface"])
+
+
+def disambiguate_mentions(
+    mentions: DataFrame,
+    pages_text: DataFrame,
+    concept_vecs: DataFrame,
+    embed_udf=None,
+    dim: int = 64,
+) -> DataFrame:
+    """Resolve ambiguous mentions to ONE uri each.
+
+    mentions:     (url, uri, surface, ...) from any mention detector
+    pages_text:   (url, text)
+    concept_vecs: (uri, vec array<float/double>) — ontology-sized
+    Returns (url, surface, uri, score): one row per formerly-ambiguous
+    (url, surface), uri = argmax cosine(page vec, concept vec).
+
+    Unambiguous mentions are NOT returned — callers keep them as-is and
+    anti-join the losers; see :func:`resolve_mentions`."""
+    embed_udf = make_embed_udf(dim) if embed_udf is None else embed_udf
+    amb = ambiguous_mentions(mentions).select("url", "surface", "uri")
+    # embed only pages that actually carry an ambiguous mention
+    pages_needed = pages_text.join(
+        amb.select("url").distinct(), "url", "left_semi"
+    )
+    pvec = pages_needed.select(
+        "url", embed_udf(F.col("text")).alias("pvec")
+    )
+    scored = (
+        amb.join(pvec, "url")
+        .join(F.broadcast(concept_vecs), "uri")
+        .select(
+            "url",
+            "surface",
+            "uri",
+            cosine_col(F.col("pvec"), F.col("vec")).alias("score"),
+        )
+    )
+    best = (
+        scored.groupBy("url", "surface")
+        # max over struct(score, uri): deterministic argmax, partial+final
+        .agg(F.max(F.struct("score", "uri")).alias("w"))
+        .select(
+            "url",
+            "surface",
+            F.col("w.uri").alias("uri"),
+            F.col("w.score").alias("score"),
+        )
+    )
+    return best
+
+
+def resolve_mentions(
+    mentions: DataFrame,
+    pages_text: DataFrame,
+    concept_vecs: DataFrame,
+    embed_udf=None,
+    dim: int = 64,
+) -> DataFrame:
+    """The full mention table with ambiguity resolved: unambiguous rows
+    pass through untouched; for ambiguous (url, surface) only the
+    winning uri's row survives."""
+    best = disambiguate_mentions(
+        mentions, pages_text, concept_vecs, embed_udf=embed_udf, dim=dim
+    ).select("url", "surface", "uri")
+    multi = (
+        mentions.groupBy("url", "surface")
+        .agg(F.countDistinct("uri").alias("n_uris"))
+        .filter(F.col("n_uris") > 1)
+        .select("url", "surface")
+    )
+    unambiguous = mentions.join(multi, ["url", "surface"], "left_anti")
+    winners = mentions.join(best, ["url", "surface", "uri"])
+    return unambiguous.unionByName(winners)

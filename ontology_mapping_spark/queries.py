@@ -149,6 +149,8 @@ LOCAL_ONLY: frozenset = frozenset(
         "cooccurrence_npmi",
         # serialization sink: §2.1 family already holds a curated writer row
         "kg_ntriples_lines",
+        # argmax-per-group family: topk_per_group stays the curated primary
+        "mention_disambiguation",
     }
 )
 
@@ -2569,3 +2571,79 @@ def q_kg_ntriples(spark, sf):
         .alias("object"),
     )
     return ntriples_lines(t).groupBy("line").agg(F.count("*").cast("long").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# mention disambiguation (operators/disambig.py)
+# --------------------------------------------------------------------------
+
+@query(
+    "mention_disambiguation",
+    """WITH pages AS (
+      SELECT 'd' || CAST(doc_id AS VARCHAR) AS url,
+             'ctx ' || CAST(doc_id % 9 AS VARCHAR) AS text
+      FROM documents),
+    m AS (
+      SELECT 'd' || CAST(doc_id AS VARCHAR) AS url,
+             'cand:' || CAST(doc_id % 5 AS VARCHAR) AS uri, 's' AS surface
+      FROM documents
+      UNION ALL
+      SELECT 'd' || CAST(doc_id AS VARCHAR),
+             'cand:' || CAST((doc_id + 2) % 5 AS VARCHAR), 's'
+      FROM documents),
+    vecs AS (
+      SELECT 'cand:' || CAST(r AS VARCHAR) AS uri,
+             CAST(r AS DOUBLE) AS v1, CAST(r * r % 7 AS DOUBLE) AS v2,
+             1.0 AS v3
+      FROM range(5) t(r)),
+    pv AS (
+      SELECT url, CAST(length(text) % 9 AS DOUBLE) AS p1,
+             CAST(length(text) % 7 AS DOUBLE) AS p2, 1.0 AS p3
+      FROM pages),
+    scored AS (
+      SELECT m.url, m.surface, m.uri,
+        (p1*v1 + p2*v2 + p3*v3) /
+        (sqrt(p1*p1 + p2*p2 + p3*p3) * sqrt(v1*v1 + v2*v2 + v3*v3)) AS score
+      FROM m JOIN pv ON pv.url = m.url JOIN vecs ON vecs.uri = m.uri)
+    SELECT url, surface, uri, ROUND(score, 6) AS score
+    FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY url, surface ORDER BY score DESC, uri DESC) = 1""",
+)
+def q_mention_disambiguation(spark, sf):
+    # context-cosine argmax per ambiguous (url, surface); the embedder is
+    # injected as a SQL-derivable Catalyst function so DuckDB re-derives
+    # page vectors, concept vectors, the cosine and the deterministic
+    # (score, uri) tie-break independently
+    from ontology_mapping_spark.operators.disambig import disambiguate_mentions
+
+    d = F.col("doc_id")
+    url = F.concat(F.lit("d"), d.cast("string"))
+    pages = _t(spark, sf, "documents").select(
+        url.alias("url"),
+        F.concat(F.lit("ctx "), (d % 9).cast("string")).alias("text"),
+    )
+    cand = lambda k: F.concat(F.lit("cand:"), k.cast("string"))  # noqa: E731
+    m1 = _t(spark, sf, "documents").select(
+        url.alias("url"), cand(d % 5).alias("uri"), F.lit("s").alias("surface")
+    )
+    m2 = _t(spark, sf, "documents").select(
+        url.alias("url"), cand((d + 2) % 5).alias("uri"), F.lit("s").alias("surface")
+    )
+    r = F.col("id")
+    vecs = spark.range(5).select(
+        cand(r).alias("uri"),
+        F.array(
+            r.cast("double"), (r * r % 7).cast("double"), F.lit(1.0)
+        ).alias("vec"),
+    )
+
+    def embed(c):
+        return F.array(
+            (F.length(c) % 9).cast("double"),
+            (F.length(c) % 7).cast("double"),
+            F.lit(1.0),
+        )
+
+    out = disambiguate_mentions(m1.unionByName(m2), pages, vecs, embed_udf=embed)
+    return out.select("url", "surface", "uri", F.round("score", 6).alias("score"))
