@@ -81,6 +81,25 @@ def test_ntriples_text_write(spark, tmp_path):
         parse_line(ln)
 
 
+def test_random_literals_round_trip(spark):
+    """200 seeded-random tricky literals (quotes, backslashes, control
+    chars, unicode, prefix-lookalikes) in one Spark job — every line must
+    parse back to the exact input term."""
+    import random
+
+    rng = random.Random(20260818)
+    alphabet = list('abc "\\\n\r\t<>:/.%μδ€') + ["kg:", "src:", "https://"]
+    rows = []
+    for i in range(200):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        rows.append((f"src:T{i}", "kg:label", s))
+    df = spark.createDataFrame(rows, "subject string, predicate string, object string")
+    lines = [r["line"] for r in ntriples_lines(df).collect()]
+    parsed = sorted(parse_line(ln) for ln in lines)
+    want = sorted((expand(s), expand(p), expand(o)) for s, p, o in rows)
+    assert parsed == want
+
+
 def test_pipeline_triples_serialize(spark, tmp_path):
     # the actual kg_triples schema (subject, predicate, object) feeds the
     # sink unchanged; spot-check a mention triple's shape
