@@ -1,0 +1,154 @@
+"""SPARQL-style basic-graph-pattern (BGP) matching over the emitted KG.
+
+The pipeline's end product is a flat (subject, predicate, object) triple
+table (plans/pipeline.py ``kg_triples``; the reference's final artifact is
+the same flat triple frame, thesis/process_data_features.py:98-102). A KG
+you cannot query is a dead artifact: this module provides the conjunctive
+query primitive — a list of triple patterns with shared variables, SPARQL
+BGP bag semantics — compiled to DataFrame equi-joins, so the constructed
+graph is directly consumable from Spark without a separate triple store.
+
+Scale notes (10^12-triple KG):
+* Each pattern compiles to ONE filtered scan of the triple table. Constant
+  terms become Catalyst filters that push down to the parquet scan; with
+  the triple table partitioned by predicate (the standard triple-store
+  layout — predicates are few, subjects/objects are many), a
+  constant-predicate pattern prunes to a single partition.
+* Join order is greedy most-selective-first: patterns with more constant
+  terms bind first, and every subsequent pattern must share >=1 variable
+  with the already-bound set — a disconnected BGP would be a cartesian
+  product and raises unless ``allow_product=True``.
+* A pattern with >=2 constants is a node-neighborhood slice ((s,p,?o) /
+  (?s,p,o)), bounded by one node's fan-out — dimension-sized by
+  construction — so it gets a broadcast hint; single-constant patterns
+  shuffle-join on the shared variable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Pattern = tuple[str, str, str]
+
+_POS = ("subject", "predicate", "object")
+
+
+def is_var(term: str) -> bool:
+    """A term is a variable iff it starts with '?' (SPARQL surface syntax)."""
+    return term.startswith("?")
+
+
+def _pattern_df(
+    triples: DataFrame, pat: Pattern, idx: int
+) -> tuple[DataFrame, set[str]]:
+    """One triple pattern -> (DataFrame with one column per variable,
+    variable-name set). Constants filter; a variable repeated within the
+    pattern (e.g. (?x, p, ?x)) adds an intra-row equality filter and binds
+    one column."""
+    if len(pat) != 3:
+        raise ValueError(f"pattern must be (s, p, o), got {pat!r}")
+    df = triples
+    first_pos_of: dict[str, str] = {}
+    for pos, term in zip(_POS, pat):
+        if is_var(term):
+            name = term[1:]
+            if not name:
+                raise ValueError(f"empty variable name in pattern {pat!r}")
+            if name in first_pos_of:
+                df = df.filter(F.col(first_pos_of[name]) == F.col(pos))
+            else:
+                first_pos_of[name] = pos
+        else:
+            df = df.filter(F.col(pos) == F.lit(term))
+    cols = [F.col(pos).alias(name) for name, pos in first_pos_of.items()]
+    if not cols:
+        # fully-ground pattern: contributes an existence check (1 row per
+        # matching triple under bag semantics, consistent with SQL joins);
+        # per-pattern column name so two ground patterns don't collide
+        return df.select(F.lit(True).alias(f"__ground_{idx}__")), set()
+    return df.select(*cols), set(first_pos_of)
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns: Sequence[Pattern],
+    select: Sequence[str] | None = None,
+    allow_product: bool = False,
+    broadcast_min_constants: int = 2,
+) -> DataFrame:
+    """Match a conjunctive basic graph pattern against a triple table.
+
+    ``triples`` has columns (subject, predicate, object); ``patterns`` is a
+    non-empty sequence of (s, p, o) terms where '?name' marks a variable
+    and anything else is a constant. Returns one row per solution mapping
+    (bag semantics: duplicate triples produce duplicate solutions, exactly
+    as the equivalent SQL self-join would), one column per variable, or
+    the ``select`` projection.
+    """
+    if not patterns:
+        raise ValueError("BGP needs at least one pattern")
+    n_const = [sum(0 if is_var(t) else 1 for t in p) for p in patterns]
+    var_sets: list[set[str]] = []
+    dfs: list[DataFrame] = []
+    for idx, p in enumerate(patterns):
+        df, vs = _pattern_df(triples, p, idx)
+        if n_const[idx] >= broadcast_min_constants:
+            df = F.broadcast(df)
+        dfs.append(df)
+        var_sets.append(vs)
+
+    remaining = list(range(len(patterns)))
+    # seed with the most selective pattern (most constants); prefer one
+    # with variables so the connectivity walk can grow from it — ground
+    # patterns are pure existence checks and join in at any point
+    with_vars = [i for i in remaining if var_sets[i]]
+    start = max(with_vars or remaining, key=lambda i: n_const[i])
+    remaining.remove(start)
+    out, bound = dfs[start], set(var_sets[start])
+    while remaining:
+        # ground patterns (no variables) are exempt from the disconnected
+        # check: their solution multiplicity multiplies in via crossJoin,
+        # exactly SPARQL bag semantics for an existence pattern
+        connected = [i for i in remaining if (var_sets[i] & bound) or not var_sets[i]]
+        if connected:
+            # among connected candidates keep the most-constant one: its
+            # scan is smallest, so the running join stays small
+            i = max(connected, key=lambda j: n_const[j])
+            shared = sorted(var_sets[i] & bound)
+            if shared:
+                # USING-column join (shared names, no aliases) — also
+                # avoids Spark 4.1's constraint-rewrite bug on cross-name
+                # equality joins under localCheckpoint
+                out = out.join(dfs[i], on=shared, how="inner")
+            else:
+                out = out.crossJoin(dfs[i])
+        else:
+            if not allow_product:
+                raise ValueError(
+                    "disconnected BGP (no shared variable with the bound set "
+                    f"{sorted(bound)}); pass allow_product=True to allow the "
+                    "cartesian product"
+                )
+            i = max(remaining, key=lambda j: n_const[j])
+            out = out.crossJoin(dfs[i])
+        remaining.remove(i)
+        bound |= var_sets[i]
+    ground_cols = [c for c in out.columns if c.startswith("__ground_")]
+    if ground_cols:
+        out = out.drop(*ground_cols)
+    if not bound:
+        # all-ground BGP: one `matched` row per solution (multiplicity =
+        # product of the ground triples' multiplicities)
+        return out.select(F.lit(True).alias("matched"))
+    if select is not None:
+        names = [s[1:] if s.startswith("?") else s for s in select]
+        missing = [n for n in names if n not in bound]
+        if missing:
+            raise ValueError(f"select references unbound variables: {missing}")
+        out = out.select(*names)
+    else:
+        out = out.select(*sorted(bound))
+    return out

@@ -151,6 +151,10 @@ LOCAL_ONLY: frozenset = frozenset(
         "kg_ntriples_lines",
         # argmax-per-group family: topk_per_group stays the curated primary
         "mention_disambiguation",
+        # triple-pattern family: kg_bgp_match is the curated primary (the
+        # conjunctive BGP compiler; a single-pattern scan is its 1-pattern
+        # degenerate case)
+        "triple_pattern_scan",
     }
 )
 
@@ -2647,3 +2651,50 @@ def q_mention_disambiguation(spark, sf):
 
     out = disambiguate_mentions(m1.unionByName(m2), pages, vecs, embed_udf=embed)
     return out.select("url", "surface", "uri", F.round("score", 6).alias("score"))
+
+
+# --------------------------------------------------------------------------
+# KG querying (operators/kgquery.py): SPARQL-style BGP over the triple table
+# --------------------------------------------------------------------------
+
+@query(
+    "kg_bgp_match",
+    """WITH tr AS (
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS subject,
+             'broader' AS predicate,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS object
+      FROM part WHERE p_partkey >= 2
+      UNION ALL
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR), 'label', p_name FROM part)
+    SELECT a.subject AS x, l.object AS xl, a.object AS y, b.object AS z
+    FROM tr a
+    JOIN tr b ON b.predicate = 'broader' AND b.subject = a.object
+    JOIN tr l ON l.predicate = 'label' AND l.subject = a.subject
+    WHERE a.predicate = 'broader'""",
+)
+def q_kg_bgp(spark, sf):
+    # conjunctive query over the constructed KG: grandparent-with-label
+    # BGP {?x broader ?y. ?y broader ?z. ?x label ?xl} compiled to
+    # variable-joins by operators/kgquery.bgp_match; the oracle is the
+    # literal SQL self-join the compiler must agree with
+    from ontology_mapping_spark.operators.kgquery import bgp_match
+
+    part = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    node = F.concat(F.lit("p:"), pk.cast("string"))
+    broader = part.filter(pk >= 2).select(
+        node.alias("subject"),
+        F.lit("broader").alias("predicate"),
+        F.concat(
+            F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
+        ).alias("object"),
+    )
+    labels = part.select(
+        node.alias("subject"),
+        F.lit("label").alias("predicate"),
+        F.col("p_name").alias("object"),
+    )
+    return bgp_match(
+        broader.unionByName(labels),
+        [("?x", "broader", "?y"), ("?y", "broader", "?z"), ("?x", "label", "?xl")],
+    )

@@ -1,0 +1,120 @@
+"""BGP (conjunctive triple-pattern) matching over the emitted KG.
+
+Semantics pinned against hand-computed solution sets on a small graph, plus
+the plan-shape guarantees that matter at scale (no cartesian product for a
+connected BGP; broadcast hint on >=2-constant patterns).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.operators.kgquery import bgp_match
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    rows = [
+        # a small class tree: b,c broader a; d broader b
+        ("b", "broader", "a"),
+        ("c", "broader", "a"),
+        ("d", "broader", "b"),
+        # labels
+        ("a", "label", "root"),
+        ("b", "label", "left"),
+        ("c", "label", "right"),
+        ("d", "label", "leaf"),
+        # a self-loop for the repeated-variable case
+        ("e", "broader", "e"),
+        # a duplicate triple for bag semantics
+        ("c", "broader", "a"),
+    ]
+    return spark.createDataFrame(rows, "subject string, predicate string, object string").cache()
+
+
+def test_single_pattern_binds_variables(kg):
+    got = bgp_match(kg, [("?x", "broader", "a")])
+    assert sorted(r["x"] for r in got.collect()) == ["b", "c", "c"]
+
+
+def test_two_hop_join_with_label(kg):
+    pats = [("?x", "broader", "?y"), ("?y", "broader", "?z"), ("?x", "label", "?xl")]
+    got = bgp_match(kg, pats, select=["?x", "?z", "?xl"]).collect()
+    assert sorted((r["x"], r["z"], r["xl"]) for r in got) == [("d", "a", "leaf")]
+
+
+def test_bag_semantics_duplicates_multiply(kg):
+    # (c, broader, a) appears twice -> two solutions for x=c
+    got = bgp_match(kg, [("?x", "broader", "a"), ("?x", "label", "?l")]).collect()
+    assert sorted((r["x"], r["l"]) for r in got) == [
+        ("b", "left"),
+        ("c", "right"),
+        ("c", "right"),
+    ]
+
+
+def test_repeated_variable_within_pattern(kg):
+    got = bgp_match(kg, [("?x", "broader", "?x")]).collect()
+    assert [r["x"] for r in got] == ["e"]
+
+
+def test_ground_pattern_is_existence_check(kg):
+    # ground (d, broader, b) holds once -> solutions unchanged
+    got = bgp_match(
+        kg, [("?x", "label", "?l"), ("d", "broader", "b")], select=["?x"]
+    )
+    assert got.count() == 4
+    # ground (d, broader, a) does not hold -> empty
+    got2 = bgp_match(kg, [("?x", "label", "?l"), ("d", "broader", "a")])
+    assert got2.count() == 0
+
+
+def test_all_ground_bgp_returns_matched_rows(kg):
+    got = bgp_match(kg, [("c", "broader", "a")]).collect()
+    assert [r["matched"] for r in got] == [True, True]  # duplicate triple
+
+
+def test_disconnected_raises_unless_allowed(kg):
+    pats = [("?x", "broader", "a"), ("?y", "label", "leaf")]
+    with pytest.raises(ValueError, match="disconnected"):
+        bgp_match(kg, pats)
+    got = bgp_match(kg, pats, allow_product=True).collect()
+    assert sorted((r["x"], r["y"]) for r in got) == [("b", "d"), ("c", "d"), ("c", "d")]
+
+
+def test_select_unbound_raises(kg):
+    with pytest.raises(ValueError, match="unbound"):
+        bgp_match(kg, [("?x", "broader", "a")], select=["?nope"])
+
+
+def test_connected_plan_has_no_cartesian(kg):
+    pats = [("?x", "broader", "?y"), ("?y", "label", "?yl")]
+    plan = bgp_match(kg, pats)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_two_constant_pattern_broadcasts(kg, spark):
+    # disable auto-broadcast so any BroadcastHashJoin must come from the hint
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pats = [("?x", "broader", "?y"), ("?x", "label", "leaf")]
+        plan = bgp_match(kg, pats)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_matches_sql_self_join(kg, spark):
+    # the BGP compiler must agree with the hand-written SQL self-join
+    kg.createOrReplaceTempView("kg_t")
+    want = spark.sql(
+        """SELECT a.subject AS x, b.object AS z
+           FROM kg_t a JOIN kg_t b ON a.object = b.subject
+           WHERE a.predicate = 'broader' AND b.predicate = 'broader'"""
+    )
+    got = bgp_match(kg, [("?x", "broader", "?y"), ("?y", "broader", "?z")],
+                    select=["?x", "?z"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
