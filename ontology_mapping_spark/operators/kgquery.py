@@ -152,3 +152,76 @@ def bgp_match(
     else:
         out = out.select(*sorted(bound))
     return out
+
+
+def with_path_closures(
+    triples: DataFrame, patterns: Sequence[Pattern], max_iters: int = 20
+) -> DataFrame:
+    """Augment a triple table with the reachability relations every
+    property-path predicate in ``patterns`` needs.
+
+    A constant predicate ending in '+' (one-or-more hops) or '*'
+    (zero-or-more) is a SPARQL 1.1 property path: for each such predicate
+    the base relation's transitive closure is materialized ONCE via the
+    distributed path-doubling fixpoint (operators/graph.transitive_closure,
+    O(log diameter) shuffle rounds) and unioned in under the path predicate
+    itself — so the pattern stays an ordinary constant-predicate scan and
+    the BGP compiler is unchanged. '*' additionally unions the identity
+    pair for every node of the KG (SPARQL zero-length path semantics).
+
+    Path solutions are DISTINCT node pairs (per the SPARQL spec: a path
+    predicate never multiplies solutions by route count), and the closure
+    assumes the hierarchy-shaped DAGs the engine computes closures for
+    elsewhere — a cycle is bounded by ``max_iters`` doublings.
+    """
+    from ontology_mapping_spark.operators import graph as G
+
+    path_preds = {
+        p
+        for (_s, p, _o) in patterns
+        if not is_var(p) and len(p) > 1 and p[-1] in "+*"
+    }
+    aug = triples
+    for pp in sorted(path_preds):
+        base = pp[:-1]
+        edges = triples.filter(F.col("predicate") == base).select(
+            F.col("subject").alias("child"), F.col("object").alias("parent")
+        )
+        clo = G.transitive_closure(edges, max_iters=max_iters)
+        pairs = clo.select(
+            F.col("node").alias("subject"),
+            F.lit(pp).alias("predicate"),
+            F.col("ancestor").alias("object"),
+        )
+        if pp.endswith("*"):
+            nodes = (
+                triples.select(F.col("subject").alias("n"))
+                .unionByName(triples.select(F.col("object").alias("n")))
+                .distinct()
+            )
+            pairs = pairs.unionByName(
+                nodes.select(
+                    F.col("n").alias("subject"),
+                    F.lit(pp).alias("predicate"),
+                    F.col("n").alias("object"),
+                )
+            )
+        aug = aug.unionByName(pairs.select("subject", "predicate", "object"))
+    return aug
+
+
+def bgp_match_paths(
+    triples: DataFrame,
+    patterns: Sequence[Pattern],
+    select: Sequence[str] | None = None,
+    allow_product: bool = False,
+    max_iters: int = 20,
+) -> DataFrame:
+    """``bgp_match`` with SPARQL 1.1 property-path predicates ('pred+',
+    'pred*') resolved through the distributed transitive closure."""
+    return bgp_match(
+        with_path_closures(triples, patterns, max_iters=max_iters),
+        patterns,
+        select=select,
+        allow_product=allow_product,
+    )

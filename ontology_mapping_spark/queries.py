@@ -153,8 +153,10 @@ LOCAL_ONLY: frozenset = frozenset(
         "mention_disambiguation",
         # triple-pattern family: kg_bgp_match is the curated primary (the
         # conjunctive BGP compiler; a single-pattern scan is its 1-pattern
-        # degenerate case)
+        # degenerate case, and the property-path form layers the
+        # driver-covered transitive closure under the same compiler)
         "triple_pattern_scan",
+        "kg_bgp_paths",
     }
 )
 
@@ -2697,4 +2699,47 @@ def q_kg_bgp(spark, sf):
     return bgp_match(
         broader.unionByName(labels),
         [("?x", "broader", "?y"), ("?y", "broader", "?z"), ("?x", "label", "?xl")],
+    )
+
+
+@query(
+    "kg_bgp_paths",
+    """WITH RECURSIVE edges AS (
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS child,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS parent
+      FROM part WHERE p_partkey >= 2
+    ), clo AS (
+      SELECT child AS x, parent AS a FROM edges
+      UNION
+      SELECT c.x, e.parent AS a FROM clo c JOIN edges e ON e.child = c.a
+    )
+    SELECT clo.x AS x, clo.a AS a, p.p_name AS al
+    FROM clo JOIN part p ON 'p:' || CAST(p.p_partkey AS VARCHAR) = clo.a""",
+)
+def q_kg_bgp_paths(spark, sf):
+    # SPARQL 1.1 property path {?x broader+ ?a . ?a label ?al} over the
+    # same synthetic part-tree KG as kg_bgp_match: the 'broader+' predicate
+    # resolves through the distributed path-doubling closure
+    # (kgquery.with_path_closures), then joins the label pattern; the
+    # oracle re-derives reachability with a recursive CTE.
+    from ontology_mapping_spark.operators.kgquery import bgp_match_paths
+
+    part = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    node = F.concat(F.lit("p:"), pk.cast("string"))
+    broader = part.filter(pk >= 2).select(
+        node.alias("subject"),
+        F.lit("broader").alias("predicate"),
+        F.concat(
+            F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
+        ).alias("object"),
+    )
+    labels = part.select(
+        node.alias("subject"),
+        F.lit("label").alias("predicate"),
+        F.col("p_name").alias("object"),
+    )
+    return bgp_match_paths(
+        broader.unionByName(labels),
+        [("?x", "broader+", "?a"), ("?a", "label", "?al")],
     )

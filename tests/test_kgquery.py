@@ -10,7 +10,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from ontology_mapping_spark.operators.kgquery import bgp_match
+from ontology_mapping_spark.operators.kgquery import (
+    bgp_match,
+    bgp_match_paths,
+    with_path_closures,
+)
 
 
 @pytest.fixture(scope="module")
@@ -118,3 +122,67 @@ def test_matches_sql_self_join(kg, spark):
     got = bgp_match(kg, [("?x", "broader", "?y"), ("?y", "broader", "?z")],
                     select=["?x", "?z"])
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# --------------------------------------------------------------------------
+# SPARQL 1.1 property paths ('pred+', 'pred*') via the distributed closure
+# --------------------------------------------------------------------------
+
+def test_plus_path_distinct_pairs(kg):
+    # d->b->a, b->a, c->a; the duplicate (c, broader, a) triple collapses —
+    # a path predicate yields DISTINCT node pairs (SPARQL spec), unlike the
+    # bag semantics of a plain pattern
+    got = bgp_match_paths(kg, [("?x", "broader+", "a")], max_iters=4).collect()
+    assert sorted(r["x"] for r in got) == ["b", "c", "d"]
+
+
+def test_star_path_includes_zero_length(kg):
+    # broader* adds the identity pair for every node of the KG, so 'a'
+    # itself now matches
+    got = bgp_match_paths(kg, [("?x", "broader*", "a")], max_iters=4).collect()
+    assert sorted(r["x"] for r in got) == ["a", "b", "c", "d"]
+
+
+def test_path_joins_with_plain_pattern(kg):
+    pats = [("?x", "broader+", "a"), ("?x", "label", "?l")]
+    got = bgp_match_paths(kg, pats, max_iters=4).collect()
+    assert sorted((r["x"], r["l"]) for r in got) == [
+        ("b", "left"),
+        ("c", "right"),
+        ("d", "leaf"),
+    ]
+
+
+def test_cycle_is_bounded_by_max_iters(kg):
+    # e broader e is a cycle: the closure cannot converge, max_iters caps
+    # the doubling; the pair set is still just {(e, e)}
+    got = bgp_match_paths(kg, [("?x", "broader+", "e")], max_iters=3).collect()
+    assert sorted(r["x"] for r in got) == ["e"]
+
+
+def test_plain_patterns_keep_bag_semantics_alongside_paths(kg):
+    # the augmented triple table must not disturb non-path patterns:
+    # (?x broader a) still sees the duplicate triple twice
+    got = bgp_match_paths(
+        kg, [("?x", "broader", "a")], max_iters=4
+    ).collect()
+    assert sorted(r["x"] for r in got) == ["b", "c", "c"]
+
+
+def test_with_path_closures_matches_sql_recursion(kg, spark):
+    # the closure-augmented table must agree with a hand-rolled iterative
+    # SQL expansion of broader+ on the acyclic component
+    aug = with_path_closures(
+        kg.filter(F.col("subject") != "e"), [("?x", "broader+", "?y")], max_iters=4
+    )
+    got = (
+        aug.filter(F.col("predicate") == "broader+")
+        .select("subject", "object")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == [
+        ("b", "a"),
+        ("c", "a"),
+        ("d", "a"),
+        ("d", "b"),
+    ]
