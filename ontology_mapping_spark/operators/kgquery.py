@@ -72,22 +72,15 @@ def _pattern_df(
     return df.select(*cols), set(first_pos_of)
 
 
-def bgp_match(
+def _compile_bgp(
     triples: DataFrame,
     patterns: Sequence[Pattern],
-    select: Sequence[str] | None = None,
-    allow_product: bool = False,
-    broadcast_min_constants: int = 2,
-) -> DataFrame:
-    """Match a conjunctive basic graph pattern against a triple table.
-
-    ``triples`` has columns (subject, predicate, object); ``patterns`` is a
-    non-empty sequence of (s, p, o) terms where '?name' marks a variable
-    and anything else is a constant. Returns one row per solution mapping
-    (bag semantics: duplicate triples produce duplicate solutions, exactly
-    as the equivalent SQL self-join would), one column per variable, or
-    the ``select`` projection.
-    """
+    allow_product: bool,
+    broadcast_min_constants: int,
+) -> tuple[DataFrame, set[str]]:
+    """Compile one conjunctive pattern group to (solution DataFrame with one
+    column per bound variable, bound-variable set). Shared by the required
+    part of ``bgp_match``, each OPTIONAL group, and each UNION branch."""
     if not patterns:
         raise ValueError("BGP needs at least one pattern")
     n_const = [sum(0 if is_var(t) else 1 for t in p) for p in patterns]
@@ -139,6 +132,12 @@ def bgp_match(
     ground_cols = [c for c in out.columns if c.startswith("__ground_")]
     if ground_cols:
         out = out.drop(*ground_cols)
+    return out, bound
+
+
+def _project(
+    out: DataFrame, bound: set[str], select: Sequence[str] | None
+) -> DataFrame:
     if not bound:
         # all-ground BGP: one `matched` row per solution (multiplicity =
         # product of the ground triples' multiplicities)
@@ -148,10 +147,97 @@ def bgp_match(
         missing = [n for n in names if n not in bound]
         if missing:
             raise ValueError(f"select references unbound variables: {missing}")
-        out = out.select(*names)
-    else:
-        out = out.select(*sorted(bound))
-    return out
+        return out.select(*names)
+    return out.select(*sorted(bound))
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns: Sequence[Pattern],
+    select: Sequence[str] | None = None,
+    allow_product: bool = False,
+    broadcast_min_constants: int = 2,
+    optional: Sequence[Sequence[Pattern]] = (),
+    filter_expr: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Match a conjunctive basic graph pattern against a triple table.
+
+    ``triples`` has columns (subject, predicate, object); ``patterns`` is a
+    non-empty sequence of (s, p, o) terms where '?name' marks a variable
+    and anything else is a constant. Returns one row per solution mapping
+    (bag semantics: duplicate triples produce duplicate solutions, exactly
+    as the equivalent SQL self-join would), one column per variable, or
+    the ``select`` projection.
+
+    ``optional`` is a sequence of pattern groups, each a SPARQL
+    ``OPTIONAL { ... }``: the group is compiled as its own BGP and
+    left-outer-joined to the running solution on the shared variables
+    (SPARQL's left-associative leftjoin), so its variables null-pad where
+    the group has no match. Each group must share >=1 variable with what
+    is already bound — an unshared OPTIONAL would be a left cross product.
+
+    ``filter_expr`` is one SQL boolean expression (or a sequence applied
+    conjunctively) over the variable columns — SPARQL ``FILTER`` after all
+    joins; NULL (unbound) evaluates to not-kept, matching SPARQL's
+    error-drops-solution rule.
+    """
+    out, bound = _compile_bgp(
+        triples, patterns, allow_product, broadcast_min_constants
+    )
+    for grp in optional:
+        g, gvars = _compile_bgp(
+            triples, grp, allow_product, broadcast_min_constants
+        )
+        if not gvars:
+            raise ValueError(
+                f"OPTIONAL group {grp!r} binds no variables; a ground "
+                "existence check belongs in the required patterns"
+            )
+        shared = sorted(gvars & bound)
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL group {grp!r} shares no variable with the bound "
+                f"set {sorted(bound)} — a left cross product"
+            )
+        out = out.join(g, on=shared, how="left")
+        bound |= gvars
+    if filter_expr is not None:
+        exprs = [filter_expr] if isinstance(filter_expr, str) else filter_expr
+        for e in exprs:
+            out = out.filter(F.expr(e))
+    return _project(out, bound, select)
+
+
+def bgp_union(
+    triples: DataFrame,
+    groups: Sequence[Sequence[Pattern]],
+    select: Sequence[str] | None = None,
+    allow_product: bool = False,
+    broadcast_min_constants: int = 2,
+) -> DataFrame:
+    """SPARQL ``UNION``: the bag union of each group's solution set.
+
+    Groups are compiled independently (each may bind a different variable
+    set); a variable bound in only some branches null-pads in the others
+    (``unionByName(allowMissingColumns=True)``), exactly SPARQL's
+    set-of-mappings union. Distributed shape: a UNION is plan-level —
+    Spark unions the child plans with no shuffle of its own."""
+    if not groups:
+        raise ValueError("UNION needs at least one group")
+    sols: list[DataFrame] = []
+    all_bound: set[str] = set()
+    for grp in groups:
+        g, gvars = _compile_bgp(
+            triples, grp, allow_product, broadcast_min_constants
+        )
+        if not gvars:
+            raise ValueError(f"UNION branch {grp!r} binds no variables")
+        sols.append(_project(g, gvars, None))
+        all_bound |= gvars
+    out = sols[0]
+    for s in sols[1:]:
+        out = out.unionByName(s, allowMissingColumns=True)
+    return _project(out, all_bound, select)
 
 
 def with_path_closures(
@@ -216,12 +302,20 @@ def bgp_match_paths(
     select: Sequence[str] | None = None,
     allow_product: bool = False,
     max_iters: int = 20,
+    optional: Sequence[Sequence[Pattern]] = (),
+    filter_expr: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """``bgp_match`` with SPARQL 1.1 property-path predicates ('pred+',
-    'pred*') resolved through the distributed transitive closure."""
+    'pred*') resolved through the distributed transitive closure; path
+    predicates inside OPTIONAL groups resolve the same way."""
+    all_patterns = list(patterns)
+    for grp in optional:
+        all_patterns.extend(grp)
     return bgp_match(
-        with_path_closures(triples, patterns, max_iters=max_iters),
+        with_path_closures(triples, all_patterns, max_iters=max_iters),
         patterns,
         select=select,
         allow_product=allow_product,
+        optional=optional,
+        filter_expr=filter_expr,
     )

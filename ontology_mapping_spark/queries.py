@@ -157,6 +157,8 @@ LOCAL_ONLY: frozenset = frozenset(
         # driver-covered transitive closure under the same compiler)
         "triple_pattern_scan",
         "kg_bgp_paths",
+        "kg_bgp_optional",
+        "kg_bgp_union",
     }
 )
 
@@ -2742,4 +2744,90 @@ def q_kg_bgp_paths(spark, sf):
     return bgp_match_paths(
         broader.unionByName(labels),
         [("?x", "broader+", "?a"), ("?a", "label", "?al")],
+    )
+
+
+@query(
+    "kg_bgp_optional",
+    """WITH br AS (
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS x,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS y
+      FROM part WHERE p_partkey >= 2
+    ), lab AS (
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS s, p_name AS xl
+      FROM part WHERE p_partkey % 3 <> 0
+    )
+    SELECT br.x AS x, lab.xl AS xl, br.y AS y
+    FROM br LEFT JOIN lab ON lab.s = br.x
+    WHERE br.y LIKE 'p:1%'""",
+)
+def q_kg_bgp_optional(spark, sf):
+    # SPARQL OPTIONAL + FILTER over the part-tree KG: every third node has
+    # no label triple, so the optional group null-pads exactly where the
+    # oracle's LEFT JOIN does; the FILTER compiles to a Catalyst predicate
+    # over the bound variable columns.
+    from ontology_mapping_spark.operators.kgquery import bgp_match
+
+    part = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    node = F.concat(F.lit("p:"), pk.cast("string"))
+    broader = part.filter(pk >= 2).select(
+        node.alias("subject"),
+        F.lit("broader").alias("predicate"),
+        F.concat(
+            F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
+        ).alias("object"),
+    )
+    labels = part.filter(pk % 3 != 0).select(
+        node.alias("subject"),
+        F.lit("label").alias("predicate"),
+        F.col("p_name").alias("object"),
+    )
+    return bgp_match(
+        broader.unionByName(labels),
+        [("?x", "broader", "?y")],
+        optional=[[("?x", "label", "?xl")]],
+        filter_expr="y LIKE 'p:1%'",
+    )
+
+
+@query(
+    "kg_bgp_union",
+    """WITH tr AS (
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS subject,
+             'broader' AS predicate,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS object
+      FROM part WHERE p_partkey >= 2
+      UNION ALL
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR), 'label', p_name FROM part)
+    SELECT subject AS x, object AS l, CAST(NULL AS VARCHAR) AS y
+    FROM tr WHERE predicate = 'label'
+    UNION ALL
+    SELECT subject AS x, CAST(NULL AS VARCHAR) AS l, object AS y
+    FROM tr WHERE predicate = 'broader'""",
+)
+def q_kg_bgp_union(spark, sf):
+    # SPARQL UNION: branches bind different variable sets (l vs y) and
+    # null-pad each other — a plan-level union of two filtered scans,
+    # no shuffle (pinned in test_kgquery.py).
+    from ontology_mapping_spark.operators.kgquery import bgp_union
+
+    part = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    node = F.concat(F.lit("p:"), pk.cast("string"))
+    broader = part.filter(pk >= 2).select(
+        node.alias("subject"),
+        F.lit("broader").alias("predicate"),
+        F.concat(
+            F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
+        ).alias("object"),
+    )
+    labels = part.select(
+        node.alias("subject"),
+        F.lit("label").alias("predicate"),
+        F.col("p_name").alias("object"),
+    )
+    return bgp_union(
+        broader.unionByName(labels),
+        [[("?x", "label", "?l")], [("?x", "broader", "?y")]],
     )

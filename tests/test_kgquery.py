@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ontology_mapping_spark.operators.kgquery import (
     bgp_match,
     bgp_match_paths,
+    bgp_union,
     with_path_closures,
 )
 
@@ -186,3 +187,94 @@ def test_with_path_closures_matches_sql_recursion(kg, spark):
         ("d", "a"),
         ("d", "b"),
     ]
+
+
+# --------------------------------------------------------------------------
+# OPTIONAL / UNION / FILTER (the SPARQL algebra beyond the conjunctive BGP)
+# --------------------------------------------------------------------------
+
+def test_optional_null_pads_unmatched(kg):
+    # e has no label: OPTIONAL keeps its solution with l = NULL
+    got = bgp_match(
+        kg, [("?x", "broader", "?y")], optional=[[("?x", "label", "?l")]]
+    ).collect()
+    assert sorted(((r["x"], r["y"], r["l"]) for r in got), key=str) == sorted(
+        [
+            ("b", "a", "left"),
+            ("c", "a", "right"),
+            ("c", "a", "right"),
+            ("d", "b", "leaf"),
+            ("e", "e", None),
+        ],
+        key=str,
+    )
+
+
+def test_optional_requires_shared_variable(kg):
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_match(
+            kg, [("?x", "broader", "a")], optional=[[("?z", "label", "?l")]]
+        )
+    with pytest.raises(ValueError, match="binds no variables"):
+        bgp_match(kg, [("?x", "broader", "a")], optional=[[("d", "broader", "b")]])
+
+
+def test_filter_expr_prunes_solutions(kg):
+    got = bgp_match(
+        kg, [("?x", "broader", "?y")], filter_expr="x <> y"
+    ).collect()
+    assert sorted(r["x"] for r in got) == ["b", "c", "c", "d"]
+
+
+def test_filter_on_unbound_optional_drops_null_rows(kg):
+    # SPARQL: FILTER over an unbound variable errors -> solution dropped;
+    # Spark: NULL comparison is not-true -> filtered. Same outcome.
+    got = bgp_match(
+        kg,
+        [("?x", "broader", "?y")],
+        optional=[[("?x", "label", "?l")]],
+        filter_expr="l = 'leaf'",
+    ).collect()
+    assert [(r["x"], r["l"]) for r in got] == [("d", "leaf")]
+
+
+def test_union_null_pads_disjoint_variables(kg):
+    got = bgp_union(
+        kg, [[("?x", "label", "?l")], [("?x", "broader", "a")]]
+    ).collect()
+    rows = sorted(((r["x"], r["l"]) for r in got), key=str)
+    assert rows == sorted(
+        [
+            ("a", "root"),
+            ("b", "left"),
+            ("c", "right"),
+            ("d", "leaf"),
+            ("b", None),
+            ("c", None),
+            ("c", None),  # duplicate triple: UNION is a bag union
+        ],
+        key=str,
+    )
+
+
+def test_union_plan_has_no_extra_shuffle(kg):
+    plan = (
+        bgp_union(kg, [[("?x", "label", "?l")], [("?x", "broader", "a")]])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # union of two filtered scans is shuffle-free
+
+
+def test_paths_inside_optional(kg):
+    # required: every labelled node; optional: its broader+ ancestors
+    got = bgp_match_paths(
+        kg,
+        [("?x", "label", "?l")],
+        optional=[[("?x", "broader+", "?anc")]],
+        max_iters=4,
+    ).collect()
+    assert sorted(((r["x"], r["anc"]) for r in got), key=str) == sorted(
+        [("a", None), ("b", "a"), ("c", "a"), ("d", "a"), ("d", "b")], key=str
+    )
