@@ -1,0 +1,138 @@
+"""KG maintenance: recrawl dedup, triple upsert, snapshot diff.
+
+A Common-Crawl-style corpus is not static — every crawl re-captures pages
+and the KG built from it must be maintainable, not rebuilt from zero. The
+reference builds its artifact once (thesis/main.py runs end-to-end and
+writes a final frame); at 10^12 documents the engine instead needs the
+three idempotent maintenance primitives this module provides:
+
+* ``latest_captures`` — recrawl semantics: many (url, warc_ts) captures of
+  the same page, newest wins. One map-side-combinable ``max(struct)``
+  aggregate — NO window sort: a window needs the same shuffle plus a full
+  per-partition sort, while the struct-max folds in the combiner, so only
+  one reduced row per url crosses the wire.
+* ``merge_triples`` — upsert a delta batch of observed triples into the
+  provenance-carrying KG table: new triples appear with the batch's
+  timestamps, re-observed triples extend ``last_seen`` and accumulate
+  ``support``. Delta is pre-aggregated per triple (partial agg), then ONE
+  full-outer shuffle join on the triple key. At scale the KG table is
+  bucketed by hash(subject, predicate, object) so the merge co-locates
+  with the existing layout and only the (much smaller) delta shuffles.
+* ``triple_diff`` — added / removed / kept between two KG snapshots, the
+  audit primitive behind "what did this crawl change".
+
+Support counts make the KG self-cleaning: downstream consumers threshold
+``support`` (a triple seen once in 10^12 pages is noise; one seen 10^4
+times is signal), which is the same confidence idea the reference encodes
+in its ensemble vote (thesis/main.py:131) re-expressed as data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TRIPLE_KEY = ["subject", "predicate", "object"]
+
+
+def latest_captures(
+    pages: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Keep the newest capture per ``key_col``; deterministic under ties.
+
+    Ordering is (ts_col DESC, tie_cols DESC, content-hash DESC): callers
+    that need an oracle-reproducible tie-break pass explicit ``tie_cols``;
+    the trailing xxhash64 over the payload makes the pick deterministic
+    even when no tie column is given (two byte-identical captures tie to
+    the same row either way).
+
+    Plan shape: ``groupBy(key).agg(max(struct(...)))`` — partial aggregation
+    combines map-side, so each url contributes ONE surviving row to the
+    shuffle regardless of recrawl count; struct comparison is lexicographic
+    so the big payload fields are only compared on full ties.
+    """
+    bad = [c for c in (key_col, ts_col, *tie_cols) if c not in pages.columns]
+    if bad:
+        raise ValueError(f"columns not in frame: {bad}")
+    payload = [c for c in pages.columns if c != key_col]
+    rest = [c for c in payload if c != ts_col and c not in tie_cols]
+    content_tie = (
+        F.xxhash64(*[F.col(c) for c in rest]) if rest else F.lit(0)
+    )
+    packed = F.struct(
+        F.col(ts_col).alias(ts_col),
+        *[F.col(c).alias(c) for c in tie_cols],
+        content_tie.alias("__tie"),
+        *[F.col(c).alias(c) for c in rest],
+    )
+    won = pages.groupBy(key_col).agg(F.max(packed).alias("__w"))
+    return won.select(
+        key_col, *[F.col(f"__w.{c}").alias(c) for c in payload]
+    )
+
+
+def merge_triples(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Upsert observed triples into the provenance-carrying KG table.
+
+    ``existing``: (subject, predicate, object, first_seen, last_seen,
+    support) — the KG as of the previous crawl. ``delta``: (subject,
+    predicate, object, ts) — one row per OBSERVATION (the same triple may
+    appear many times in a batch). Returns the merged table, same schema
+    as ``existing``:
+
+    * unseen triple  -> first_seen = min ts, last_seen = max ts,
+      support = observation count;
+    * re-observed    -> first_seen unchanged, last_seen extended,
+      support accumulated;
+    * not in delta   -> row unchanged (triples are never dropped here;
+      retraction is a policy decision ``triple_diff`` supports upstream).
+
+    Idempotent per batch: merging the same delta twice doubles ``support``
+    but fixes the same first/last timestamps — checkpoint-resume safe when
+    the caller runs it inside a StageRunner stage (plans/stages.py).
+    """
+    d = delta.groupBy(*TRIPLE_KEY).agg(
+        F.min("ts").alias("__d_first"),
+        F.max("ts").alias("__d_last"),
+        F.count(F.lit(1)).cast("long").alias("__d_support"),
+    )
+    merged = existing.join(d, on=TRIPLE_KEY, how="full_outer")
+    return merged.select(
+        *TRIPLE_KEY,
+        # least/greatest skip NULLs in Spark, so the one-sided rows fall
+        # out of the same expressions as the matched rows
+        F.least("first_seen", "__d_first").alias("first_seen"),
+        F.greatest("last_seen", "__d_last").alias("last_seen"),
+        (
+            F.coalesce(F.col("support"), F.lit(0))
+            + F.coalesce(F.col("__d_support"), F.lit(0))
+        )
+        .cast("long")
+        .alias("support"),
+    )
+
+
+def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(subject, predicate, object, status) with status in
+    {'added', 'removed', 'kept'} — the audit diff between two KG
+    snapshots (what did this crawl change?).
+
+    Both sides are reduced to DISTINCT triple keys first (diff is a set
+    question; provenance columns are ignored), then one full-outer join on
+    the triple key decides the status — the same single-shuffle shape as
+    ``merge_triples``, bucket-friendly on the same key.
+    """
+    o = old.select(*TRIPLE_KEY).distinct().withColumn("__o", F.lit(1))
+    n = new.select(*TRIPLE_KEY).distinct().withColumn("__n", F.lit(1))
+    return o.join(n, on=TRIPLE_KEY, how="full_outer").select(
+        *TRIPLE_KEY,
+        F.when(F.col("__o").isNull(), F.lit("added"))
+        .when(F.col("__n").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )

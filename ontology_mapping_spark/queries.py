@@ -159,6 +159,17 @@ LOCAL_ONLY: frozenset = frozenset(
         "kg_bgp_paths",
         "kg_bgp_optional",
         "kg_bgp_union",
+        # parked round 4 for the KG-maintenance primaries
+        # (latest_capture_wins, kg_triple_merge): union_sides is a 2-row
+        # union+tag the union shape of which every kg_bgp_* and kgmaint
+        # query also exercises; max_depth_per_side shares the depths()
+        # core with the curated node_depths
+        "union_sides",
+        "max_depth_per_side",
+        # snapshot-diff variant of the kg_triple_merge family (same
+        # full-outer-on-triple-key shape, status projection instead of
+        # provenance arithmetic)
+        "kg_triple_diff",
     }
 )
 
@@ -2830,4 +2841,185 @@ def q_kg_bgp_union(spark, sf):
     return bgp_union(
         broader.unionByName(labels),
         [[("?x", "label", "?l")], [("?x", "broader", "?y")]],
+    )
+
+
+# --------------------------------------------------------------------------
+# KG maintenance (operators/kgmaint.py): recrawl dedup, upsert, snapshot diff
+# --------------------------------------------------------------------------
+
+@query(
+    "latest_capture_wins",
+    """SELECT url, warc_ts, okey, price FROM (
+      SELECT 'u:' || CAST(o_custkey % 500 AS VARCHAR) AS url,
+             o_orderdate AS warc_ts,
+             o_orderkey AS okey,
+             ROUND(o_totalprice, 6) AS price,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey % 500
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders) t WHERE rn = 1""",
+)
+def q_latest_capture_wins(spark, sf):
+    # recrawl semantics: orders stand in for repeated captures of the same
+    # url (o_custkey % 500 -> many captures per url); newest o_orderdate
+    # wins, o_orderkey is the deterministic tie-break. The engine's
+    # struct-max aggregate must agree with the oracle's window row_number.
+    from ontology_mapping_spark.operators.kgmaint import latest_captures
+
+    caps = _t(spark, sf, "orders").select(
+        F.concat(
+            F.lit("u:"), (F.col("o_custkey") % 500).cast("string")
+        ).alias("url"),
+        F.col("o_orderdate").alias("warc_ts"),
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice"), 6).alias("price"),
+    )
+    return latest_captures(caps, tie_cols=["okey"])
+
+
+_KG_EXISTING_SQL = """
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS subject,
+             'broader' AS predicate,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS object,
+             DATE '2024-01-01' AS first_seen,
+             DATE '2024-01-31' AS last_seen,
+             CAST(p_partkey % 3 + 1 AS BIGINT) AS support
+      FROM part WHERE p_partkey >= 2"""
+
+_KG_OBS_SQL = """
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS subject,
+             'broader' AS predicate,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS object,
+             DATE '2024-02-01' + CAST(p_partkey % 28 AS INTEGER) AS ts
+      FROM part WHERE p_partkey >= 2 AND p_partkey % 2 = 0
+      UNION ALL
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR), 'broader',
+             'p:' || CAST(p_partkey // 2 AS VARCHAR),
+             DATE '2024-02-01' + CAST(p_partkey % 11 AS INTEGER)
+      FROM part WHERE p_partkey >= 2 AND p_partkey % 2 = 0
+      UNION ALL
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR), 'seen_in',
+             'crawl-2024-02', DATE '2024-02-15'
+      FROM part WHERE p_partkey % 7 = 0"""
+
+
+def _kg_existing(spark, sf):
+    part = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    return part.filter(pk >= 2).select(
+        F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
+        F.lit("broader").alias("predicate"),
+        F.concat(
+            F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
+        ).alias("object"),
+        F.to_date(F.lit("2024-01-01")).alias("first_seen"),
+        F.to_date(F.lit("2024-01-31")).alias("last_seen"),
+        (pk % 3 + 1).cast("long").alias("support"),
+    )
+
+
+def _kg_delta(spark, sf):
+    part = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    node = F.concat(F.lit("p:"), pk.cast("string"))
+    parent = F.concat(
+        F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
+    )
+    feb = F.to_date(F.lit("2024-02-01"))
+    reobs = part.filter((pk >= 2) & (pk % 2 == 0))
+    a = reobs.select(
+        node.alias("subject"),
+        F.lit("broader").alias("predicate"),
+        parent.alias("object"),
+        F.date_add(feb, (pk % 28).cast("int")).alias("ts"),
+    )
+    b = reobs.select(
+        node.alias("subject"),
+        F.lit("broader").alias("predicate"),
+        parent.alias("object"),
+        F.date_add(feb, (pk % 11).cast("int")).alias("ts"),
+    )
+    c = part.filter(pk % 7 == 0).select(
+        node.alias("subject"),
+        F.lit("seen_in").alias("predicate"),
+        F.lit("crawl-2024-02").alias("object"),
+        F.to_date(F.lit("2024-02-15")).alias("ts"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+@query(
+    "kg_triple_merge",
+    f"""WITH existing AS ({_KG_EXISTING_SQL}
+    ), obs AS ({_KG_OBS_SQL}
+    ), d AS (
+      SELECT subject, predicate, object,
+             MIN(ts) AS d_first, MAX(ts) AS d_last,
+             CAST(COUNT(*) AS BIGINT) AS d_support
+      FROM obs GROUP BY subject, predicate, object
+    )
+    SELECT COALESCE(e.subject, d.subject) AS subject,
+           COALESCE(e.predicate, d.predicate) AS predicate,
+           COALESCE(e.object, d.object) AS object,
+           CAST(CASE WHEN e.first_seen IS NULL THEN d.d_first
+                WHEN d.d_first IS NULL THEN e.first_seen
+                ELSE LEAST(e.first_seen, d.d_first) END AS VARCHAR)
+             AS first_seen,
+           CAST(CASE WHEN e.last_seen IS NULL THEN d.d_last
+                WHEN d.d_last IS NULL THEN e.last_seen
+                ELSE GREATEST(e.last_seen, d.d_last) END AS VARCHAR)
+             AS last_seen,
+           CAST(COALESCE(e.support, 0) + COALESCE(d.d_support, 0) AS BIGINT)
+             AS support
+    FROM existing e FULL OUTER JOIN d
+      ON e.subject = d.subject AND e.predicate = d.predicate
+     AND e.object = d.object""",
+)
+def q_kg_triple_merge(spark, sf):
+    # crawl-over-crawl KG upsert: the January KG (part-tree triples with
+    # provenance) absorbs a February observation batch — even-key edges
+    # re-observed twice (support accumulates, last_seen extends) plus new
+    # 'seen_in' triples (delta-only provenance); one pre-aggregated
+    # full-outer merge on the triple key (operators/kgmaint.merge_triples)
+    from ontology_mapping_spark.operators.kgmaint import merge_triples
+
+    merged = merge_triples(_kg_existing(spark, sf), _kg_delta(spark, sf))
+    # gate projection: provenance dates as ISO strings so the type-strict
+    # value hash agrees with the oracle's CAST(date AS VARCHAR)
+    return merged.select(
+        "subject",
+        "predicate",
+        "object",
+        F.col("first_seen").cast("string").alias("first_seen"),
+        F.col("last_seen").cast("string").alias("last_seen"),
+        "support",
+    )
+
+
+@query(
+    "kg_triple_diff",
+    f"""WITH old AS (
+      SELECT DISTINCT subject, predicate, object FROM ({_KG_EXISTING_SQL}) e
+    ), new AS (
+      SELECT DISTINCT subject, predicate, object FROM ({_KG_OBS_SQL}) o
+    )
+    SELECT COALESCE(o.subject, n.subject) AS subject,
+           COALESCE(o.predicate, n.predicate) AS predicate,
+           COALESCE(o.object, n.object) AS object,
+           CASE WHEN o.subject IS NULL THEN 'added'
+                WHEN n.subject IS NULL THEN 'removed'
+                ELSE 'kept' END AS status
+    FROM old o FULL OUTER JOIN new n
+      ON o.subject = n.subject AND o.predicate = n.predicate
+     AND o.object = n.object""",
+)
+def q_kg_triple_diff(spark, sf):
+    # snapshot audit: which triples did the February crawl add / drop /
+    # keep vs the January KG (operators/kgmaint.triple_diff)
+    from ontology_mapping_spark.operators.kgmaint import triple_diff
+
+    return triple_diff(
+        _kg_existing(spark, sf),
+        _kg_delta(spark, sf).select("subject", "predicate", "object"),
     )

@@ -1,0 +1,145 @@
+"""KG maintenance: recrawl dedup, provenance upsert, snapshot diff.
+
+Semantics pinned on hand-computed cases plus the plan-shape guarantees
+(struct-max aggregate, not a window sort; single full-outer join).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.operators.kgmaint import (
+    latest_captures,
+    merge_triples,
+    triple_diff,
+)
+
+D = dt.date
+
+
+@pytest.fixture(scope="module")
+def captures(spark):
+    rows = [
+        ("u1", D(2024, 1, 1), "old"),
+        ("u1", D(2024, 3, 1), "new"),
+        ("u2", D(2024, 2, 2), "only"),
+        # u3: timestamp tie -> tie_cols must decide
+        ("u3", D(2024, 5, 5), "a"),
+        ("u3", D(2024, 5, 5), "b"),
+    ]
+    return spark.createDataFrame(rows, "url string, warc_ts date, body string")
+
+
+def test_latest_capture_wins(captures):
+    got = {r["url"]: (r["warc_ts"], r["body"])
+           for r in latest_captures(captures, tie_cols=["body"]).collect()}
+    assert got == {
+        "u1": (D(2024, 3, 1), "new"),
+        "u2": (D(2024, 2, 2), "only"),
+        "u3": (D(2024, 5, 5), "b"),  # tie broken by body DESC
+    }
+
+
+def test_latest_capture_deterministic_without_tie_cols(captures):
+    # no explicit tie columns: the payload-hash tie-break is deterministic,
+    # so repeated runs agree with themselves
+    a = latest_captures(captures).collect()
+    b = latest_captures(captures).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 3
+
+
+def test_latest_capture_plan_is_aggregate_not_window(captures):
+    plan = (
+        latest_captures(captures)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_latest_capture_unknown_column_raises(captures):
+    with pytest.raises(ValueError, match="not in frame"):
+        latest_captures(captures, tie_cols=["nope"])
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    rows = [
+        ("a", "broader", "b", D(2024, 1, 1), D(2024, 2, 1), 3),
+        ("c", "broader", "d", D(2024, 1, 5), D(2024, 1, 5), 1),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subject string, predicate string, object string, "
+        "first_seen date, last_seen date, support long",
+    )
+
+
+@pytest.fixture(scope="module")
+def delta(spark):
+    rows = [
+        # re-observes (a, broader, b) twice
+        ("a", "broader", "b", D(2024, 3, 1)),
+        ("a", "broader", "b", D(2024, 3, 9)),
+        # brand-new triple, observed once
+        ("x", "label", "why", D(2024, 3, 2)),
+    ]
+    return spark.createDataFrame(
+        rows, "subject string, predicate string, object string, ts date"
+    )
+
+
+def test_merge_triples_cases(kg, delta):
+    got = {
+        (r["subject"], r["predicate"], r["object"]): (
+            r["first_seen"], r["last_seen"], r["support"])
+        for r in merge_triples(kg, delta).collect()
+    }
+    assert got == {
+        # re-observed: first_seen kept, last_seen extended, support += 2
+        ("a", "broader", "b"): (D(2024, 1, 1), D(2024, 3, 9), 5),
+        # untouched: unchanged
+        ("c", "broader", "d"): (D(2024, 1, 5), D(2024, 1, 5), 1),
+        # new: delta's own min/max/count
+        ("x", "label", "why"): (D(2024, 3, 2), D(2024, 3, 2), 1),
+    }
+
+
+def test_merge_triples_idempotent_timestamps(kg, delta):
+    once = merge_triples(kg, delta)
+    twice = merge_triples(once, delta)
+    row = {
+        (r["subject"], r["predicate"], r["object"]): r
+        for r in twice.collect()
+    }[("a", "broader", "b")]
+    # same first/last either way; support doubles the delta contribution
+    assert (row["first_seen"], row["last_seen"]) == (D(2024, 1, 1), D(2024, 3, 9))
+    assert row["support"] == 7
+
+
+def test_merge_output_schema_matches_existing(kg, delta):
+    assert merge_triples(kg, delta).columns == kg.columns
+
+
+def test_triple_diff(spark, kg):
+    new = spark.createDataFrame(
+        [
+            ("a", "broader", "b"),   # kept
+            ("x", "label", "why"),   # added
+            ("x", "label", "why"),   # duplicate row must not duplicate diff
+        ],
+        "subject string, predicate string, object string",
+    )
+    got = {
+        (r["subject"], r["predicate"], r["object"]): r["status"]
+        for r in triple_diff(kg, new).collect()
+    }
+    assert got == {
+        ("a", "broader", "b"): "kept",
+        ("c", "broader", "d"): "removed",
+        ("x", "label", "why"): "added",
+    }
+    assert triple_diff(kg, new).count() == 3
