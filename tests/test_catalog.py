@@ -13,13 +13,16 @@ from ontology_mapping_spark import queries as q
 # driver dropped in round 2 and the new streaming parity row. Round 4 parks
 # fold_accents back into LOCAL_ONLY (normalization family variant —
 # normalization_ops_suite + normalize_golden_hash stay the curated
-# primaries) to free slots for the link-graph family primaries.
+# primaries) to free slots for the link-graph family primaries, then
+# max_depth_per_side + union_sides (depth/union family variants) to free
+# slots for the KG-maintenance primaries.
 REQUIRED = {
     "extract_links_resolved",
     "pagerank_graph",
     "pattern_relation_triples",
     "sentence_cooccurrence",
-    "max_depth_per_side",
+    "latest_capture_wins",
+    "kg_triple_merge",
     "mint_uris",
     "normalization_ops_suite",
     "mentions_stream_parity",
