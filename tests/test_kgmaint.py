@@ -143,3 +143,37 @@ def test_triple_diff(spark, kg):
         ("x", "label", "why"): "added",
     }
     assert triple_diff(kg, new).count() == 3
+
+
+def test_update_kg_state_two_crawls(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.submit_pipeline import update_kg_state
+
+    state = str(tmp_path / "kg_state")
+    crawl1 = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "b"), ("c", "p", "d")],
+        "subject string, predicate string, object string",
+    )
+    n1 = update_kg_state(spark, state, crawl1, "2024-01-01 00:00:00")
+    assert n1 == 2  # distinct triples; duplicate observation folds in
+    crawl2 = spark.createDataFrame(
+        [("a", "p", "b"), ("x", "p", "y")],
+        "subject string, predicate string, object string",
+    )
+    n2 = update_kg_state(spark, state, crawl2, "2024-02-01 00:00:00")
+    assert n2 == 3
+    got = {
+        (r["subject"], r["object"]): (
+            str(r["first_seen"]), str(r["last_seen"]), r["support"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got[("a", "b")] == ("2024-01-01 00:00:00", "2024-02-01 00:00:00", 3)
+    assert got[("c", "d")] == ("2024-01-01 00:00:00", "2024-01-01 00:00:00", 1)
+    assert got[("x", "y")] == ("2024-02-01 00:00:00", "2024-02-01 00:00:00", 1)
+    # previous state kept as rollback
+    prev = {
+        (r["subject"], r["object"]) for r in spark.read.parquet(state + ".prev").collect()
+    }
+    assert prev == {("a", "b"), ("c", "d")}

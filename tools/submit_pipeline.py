@@ -56,6 +56,60 @@ def build_zip() -> str:
     return out
 
 
+def update_kg_state(spark, state_path: str, triples, crawl_ts) -> int:
+    """Merge one crawl's (subject, predicate, object) triples into the
+    provenance-carrying KG state table at ``state_path``.
+
+    Every triple of this crawl is stamped with ``crawl_ts`` (the crawl is
+    the observation) and upserted via ``operators.kgmaint.merge_triples``:
+    first crawl creates the table, later crawls extend ``last_seen`` and
+    accumulate ``support``. Returns the merged row count.
+
+    Swap discipline: the merge plan reads the OLD state lazily, so the
+    merged table is fully materialized to ``<path>.next`` before the old
+    directory is moved to ``<path>.prev`` (kept as rollback) and the new
+    one renamed into place. On a real deployment this table is the Iceberg
+    table the north rule names and the swap is a catalog-atomic
+    ``replace`` (StageRunner catalog mode, plans/stages.py); the rename
+    pair here is the local-filesystem equivalent.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ontology_mapping_spark.operators.kgmaint import merge_triples
+
+    delta = triples.select(
+        "subject",
+        "predicate",
+        "object",
+        F.lit(str(crawl_ts)).cast("timestamp").alias("ts"),
+    )
+    if os.path.isdir(state_path):
+        existing = spark.read.parquet(state_path)
+    else:
+        # first crawl: an empty state with the exact merged schema, derived
+        # from the delta itself so ts/support types can never drift
+        existing = (
+            delta.groupBy("subject", "predicate", "object")
+            .agg(
+                F.min("ts").alias("first_seen"),
+                F.max("ts").alias("last_seen"),
+                F.count(F.lit(1)).cast("long").alias("support"),
+            )
+            .limit(0)
+        )
+    merged = merge_triples(existing, delta)
+    nxt = state_path.rstrip("/") + ".next"
+    prev = state_path.rstrip("/") + ".prev"
+    merged.write.mode("overwrite").parquet(nxt)
+    if os.path.isdir(state_path):
+        shutil.rmtree(prev, ignore_errors=True)
+        os.rename(state_path, prev)
+    os.rename(nxt, state_path)
+    return spark.read.parquet(state_path).count()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--build-zip", action="store_true", help="package for --py-files and exit")
@@ -70,6 +124,19 @@ def main() -> None:
         "--ntriples-out",
         default=None,
         help="also serialize kg_triples as N-Triples text to this path",
+    )
+    ap.add_argument(
+        "--kg-state",
+        default=None,
+        help="provenance-carrying KG state table (parquet dir): merge this "
+        "crawl's triples in (first_seen/last_seen/support upsert); created "
+        "on first run, previous state kept at <path>.prev",
+    )
+    ap.add_argument(
+        "--crawl-ts",
+        default=None,
+        help="observation timestamp for --kg-state (ISO); default: the "
+        "input corpus's max warc_ts",
     )
     args = ap.parse_args()
 
@@ -150,6 +217,16 @@ def main() -> None:
         from ontology_mapping_spark.sources.rdf import write_ntriples
 
         write_ntriples(res.triples, args.ntriples_out)
+    kg_state_rows = None
+    if args.kg_state:
+        from pyspark.sql import functions as F
+
+        crawl_ts = args.crawl_ts or str(
+            pages.agg(F.max("warc_ts")).first()[0]
+        )
+        kg_state_rows = update_kg_state(
+            spark, args.kg_state, res.triples, crawl_ts
+        )
     n_triples = res.triples.count()
     n_pages = pages.count()
     report = {
@@ -170,6 +247,11 @@ def main() -> None:
                 "master": spark.conf.get("spark.master"),
                 "resumed_stages": sorted(
                     s for s, ev in res.runner.events if ev == "skipped"
+                ),
+                **(
+                    {"kg_state_triples": kg_state_rows}
+                    if kg_state_rows is not None
+                    else {}
                 ),
             }
         )
