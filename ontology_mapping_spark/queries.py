@@ -170,6 +170,10 @@ LOCAL_ONLY: frozenset = frozenset(
         # full-outer-on-triple-key shape, status projection instead of
         # provenance arithmetic)
         "kg_triple_diff",
+        # SHACL-lite validation: scan-filter-aggregate shapes already
+        # driver-covered (group-count, anti-join, rlike); the composed
+        # checker keeps its arithmetic-derivation oracle in the local gate
+        "kg_shape_violations",
     }
 )
 
@@ -3023,3 +3027,68 @@ def q_kg_triple_diff(spark, sf):
         _kg_existing(spark, sf),
         _kg_delta(spark, sf).select("subject", "predicate", "object"),
     )
+
+
+@query(
+    "kg_shape_violations",
+    """WITH labelviol AS (
+      SELECT 'labelled' AS rule,
+             'p:' || CAST(p_partkey AS VARCHAR) AS node,
+             'count label = 0 < min 1' AS detail
+      FROM part
+      -- focus nodes are KG SUBJECTS: p_partkey 0 (present in testdata)
+      -- has neither a broader edge (k >= 2) nor a label (k % 3 = 0), so
+      -- it is outside the focus set and cannot violate
+      WHERE p_partkey % 3 = 0 AND p_partkey >= 2
+    ), parentviol AS (
+      SELECT DISTINCT 'parent-labelled' AS rule,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS node,
+             'object of broader is not a subject of label' AS detail
+      FROM part WHERE p_partkey >= 2 AND (p_partkey // 2) % 3 = 0
+    ), shapeviol AS (
+      SELECT DISTINCT 'node-id-shape' AS rule,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS node,
+             'object of broader !~ /^p:[0-9]{2,}$/' AS detail
+      FROM part WHERE p_partkey >= 2 AND p_partkey // 2 < 10
+    )
+    SELECT * FROM labelviol
+    UNION ALL SELECT * FROM parentviol
+    UNION ALL SELECT * FROM shapeviol""",
+)
+def q_kg_shape_violations(spark, sf):
+    # SHACL-lite validation of the part-tree KG (labels withheld from
+    # every third node): cardinality (min/max), range membership
+    # (broader targets must be labelled), and literal shape (node-id
+    # regex); 'single-parent' is clean by construction — the oracle
+    # re-derives every violation set arithmetically.
+    from ontology_mapping_spark.operators.kgvalidate import (
+        ShapeRule,
+        validate_kg,
+    )
+
+    part = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    node = F.concat(F.lit("p:"), pk.cast("string"))
+    broader = part.filter(pk >= 2).select(
+        node.alias("subject"),
+        F.lit("broader").alias("predicate"),
+        F.concat(
+            F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
+        ).alias("object"),
+    )
+    labels = part.filter(pk % 3 != 0).select(
+        node.alias("subject"),
+        F.lit("label").alias("predicate"),
+        F.col("p_name").alias("object"),
+    )
+    rules = [
+        ShapeRule("labelled", "label", min_count=1),
+        ShapeRule("single-parent", "broader", max_count=1),
+        ShapeRule(
+            "parent-labelled", "broader", object_in_subjects_of="label"
+        ),
+        ShapeRule(
+            "node-id-shape", "broader", object_pattern="^p:[0-9]{2,}$"
+        ),
+    ]
+    return validate_kg(broader.unionByName(labels), rules)
