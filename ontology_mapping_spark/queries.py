@@ -174,6 +174,11 @@ LOCAL_ONLY: frozenset = frozenset(
         # driver-covered (group-count, anti-join, rlike); the composed
         # checker keeps its arithmetic-derivation oracle in the local gate
         "kg_shape_violations",
+        # CC-family variant: the curated connected_components row covers
+        # the star-contraction core; the incremental fold's full-recompute
+        # oracle stays in the local gate (equivalence also property-pinned
+        # in test_graph_ops.py)
+        "incremental_components_merge",
     }
 )
 
@@ -3092,3 +3097,34 @@ def q_kg_shape_violations(spark, sf):
         ),
     ]
     return validate_kg(broader.unionByName(labels), rules)
+
+
+@query(
+    "incremental_components_merge",
+    f"""WITH RECURSIVE e0 AS ({_FOREST_SQL}),
+       verts AS (SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+       und AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+       reach(node, r) AS (
+         SELECT node, node FROM verts
+         UNION
+         SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u)
+       SELECT node, min(r) AS component FROM reach GROUP BY node""",
+)
+def q_incremental_components(spark, sf):
+    # crawl-cadence CC maintenance: components are built from 4/5 of the
+    # forest, then the remaining fifth arrives as a delta batch and is
+    # folded in through the quotient graph (graph.incremental_components);
+    # the oracle is the FULL recompute over all edges — the two must be
+    # identical under the min-member-id convention.
+    part = _t(spark, sf, "part").filter(
+        (F.col("p_partkey") >= 2) & (F.col("p_partkey") % 13 != 0)
+    )
+    edges = part.select(
+        F.col("p_partkey").cast("string").alias("u"),
+        F.floor(F.col("p_partkey") / 2).cast("bigint").cast("string").alias("v"),
+        (F.col("p_partkey") % 5 == 0).alias("is_delta"),
+    )
+    initial = edges.filter(~F.col("is_delta")).select("u", "v")
+    delta = edges.filter(F.col("is_delta")).select("u", "v")
+    assign = G.connected_components(initial)
+    return G.incremental_components(assign, delta)

@@ -127,3 +127,57 @@ def test_bounded_bfs_from_seeded_scales_with_sources(spark):
         for r in G.bounded_bfs_from(df, seeds, 2).collect()
     }
     assert capped == {k: v for k, v in got.items() if v <= 2}
+
+
+# --------------------------------------------------------------------------
+# incremental connected components (crawl-cadence CC maintenance)
+# --------------------------------------------------------------------------
+
+def _cc_dict(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_incremental_merges_components(spark):
+    assign = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("d", "d")],
+        "node string, component string",
+    )
+    delta = spark.createDataFrame([("b", "c")], "u string, v string")
+    got = _cc_dict(G.incremental_components(assign, delta))
+    # a,b,c merge under min id 'a'; d untouched
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d"}
+
+
+def test_incremental_new_nodes(spark):
+    assign = spark.createDataFrame([("c", "c")], "node string, component string")
+    delta = spark.createDataFrame(
+        [("x", "y"), ("z", "c")], "u string, v string"
+    )
+    got = _cc_dict(G.incremental_components(assign, delta))
+    assert got == {"c": "c", "z": "c", "x": "x", "y": "x"}
+
+
+def test_incremental_intra_component_edge_is_noop(spark):
+    assign = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("q", "q")], "node string, component string"
+    )
+    delta = spark.createDataFrame([("a", "b")], "u string, v string")
+    got = _cc_dict(G.incremental_components(assign, delta))
+    assert got == {"a": "a", "b": "a", "q": "q"}
+
+
+def test_incremental_equals_full_recompute(spark):
+    # the factoring claim: incremental over (E0 -> assign, then E1) must
+    # equal one CC over E0 ∪ E1, on a seeded random graph
+    import random
+
+    rng = random.Random(20240818)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    e0 = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(35)]
+    e1 = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(15)]
+    df0 = spark.createDataFrame(e0, "u string, v string")
+    df1 = spark.createDataFrame(e1, "u string, v string")
+    assign = G.connected_components(df0)
+    inc = _cc_dict(G.incremental_components(assign, df1))
+    full = _cc_dict(G.connected_components(df0.unionByName(df1)))
+    assert inc == full
