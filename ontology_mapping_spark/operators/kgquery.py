@@ -319,3 +319,73 @@ def bgp_match_paths(
         optional=optional,
         filter_expr=filter_expr,
     )
+
+
+def bgp_construct(
+    triples: DataFrame,
+    patterns: Sequence[Pattern],
+    template: Sequence[Pattern],
+    allow_product: bool = False,
+    optional: Sequence[Sequence[Pattern]] = (),
+    filter_expr: str | Sequence[str] | None = None,
+    distinct: bool = True,
+) -> DataFrame:
+    """SPARQL ``CONSTRUCT``: materialize new triples from BGP solutions —
+    the engine's rule-based inference primitive (e.g. derive
+    ``grandparent`` edges from two ``broader`` hops, or lift a
+    same-as + label pair into a label for the canonical node).
+
+    ``template`` is a sequence of (s, p, o) terms: '?name' substitutes the
+    solution binding, anything else is a constant. Every template triple
+    is emitted once per solution (then deduplicated — SPARQL CONSTRUCT
+    produces a GRAPH, i.e. a triple set; pass ``distinct=False`` to keep
+    the solution bag when feeding support-counting downstream, e.g.
+    ``kgmaint.merge_triples``). Solutions with an unbound (NULL) variable
+    in a template position drop that template triple, per the SPARQL spec.
+
+    The output schema is (subject, predicate, object) — directly
+    unionable into the KG, mergeable via kgmaint, and queryable by
+    ``bgp_match``. Plan shape: the solution join tree from ``bgp_match``
+    plus one projection per template triple unioned plan-level; dedup is
+    one hash aggregate on the triple key.
+    """
+    if not template:
+        raise ValueError("CONSTRUCT needs at least one template triple")
+    sols = bgp_match(
+        triples,
+        patterns,
+        allow_product=allow_product,
+        optional=optional,
+        filter_expr=filter_expr,
+    )
+    bound = set(sols.columns)
+
+    def term(t: str):
+        if is_var(t):
+            name = t[1:]
+            if name not in bound:
+                raise ValueError(
+                    f"template variable {t!r} is not bound by the patterns "
+                    f"(bound: {sorted(bound)})"
+                )
+            return F.col(name)
+        return F.lit(t)
+
+    parts = []
+    for s, p, o in template:
+        row = sols.select(
+            term(s).alias("subject"),
+            term(p).alias("predicate"),
+            term(o).alias("object"),
+        )
+        # SPARQL: a template triple with an unbound term is not produced
+        row = row.filter(
+            F.col("subject").isNotNull()
+            & F.col("predicate").isNotNull()
+            & F.col("object").isNotNull()
+        )
+        parts.append(row)
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.distinct() if distinct else out

@@ -159,6 +159,7 @@ LOCAL_ONLY: frozenset = frozenset(
         "kg_bgp_paths",
         "kg_bgp_optional",
         "kg_bgp_union",
+        "kg_bgp_construct",
         # parked round 4 for the KG-maintenance primaries
         # (latest_capture_wins, kg_triple_merge): union_sides is a 2-row
         # union+tag the union shape of which every kg_bgp_* and kgmaint
@@ -3128,3 +3129,40 @@ def q_incremental_components(spark, sf):
     delta = edges.filter(F.col("is_delta")).select("u", "v")
     assign = G.connected_components(initial)
     return G.incremental_components(assign, delta)
+
+
+@query(
+    "kg_bgp_construct",
+    """WITH tr AS (
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS subject,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS object
+      FROM part WHERE p_partkey >= 2
+    ), g AS (
+      SELECT DISTINCT a.subject AS x, b.object AS z
+      FROM tr a JOIN tr b ON b.subject = a.object
+    )
+    SELECT x AS subject, 'grandparent' AS predicate, z AS object FROM g
+    UNION ALL
+    SELECT z AS subject, 'grandchild' AS predicate, x AS object FROM g""",
+)
+def q_kg_bgp_construct(spark, sf):
+    # SPARQL CONSTRUCT as rule inference: materialize grandparent /
+    # grandchild edges from two broader hops over the part-tree KG
+    # (kgquery.bgp_construct); graph semantics — duplicate solutions
+    # collapse — mirrored by the oracle's DISTINCT two-hop core.
+    from ontology_mapping_spark.operators.kgquery import bgp_construct
+
+    part = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    broader = part.filter(pk >= 2).select(
+        F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
+        F.lit("broader").alias("predicate"),
+        F.concat(
+            F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
+        ).alias("object"),
+    )
+    return bgp_construct(
+        broader,
+        [("?x", "broader", "?y"), ("?y", "broader", "?z")],
+        [("?x", "grandparent", "?z"), ("?z", "grandchild", "?x")],
+    )

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ontology_mapping_spark.operators.kgquery import (
+    bgp_construct,
     bgp_match,
     bgp_match_paths,
     bgp_union,
@@ -278,3 +279,75 @@ def test_paths_inside_optional(kg):
     assert sorted(((r["x"], r["anc"]) for r in got), key=str) == sorted(
         [("a", None), ("b", "a"), ("c", "a"), ("d", "a"), ("d", "b")], key=str
     )
+
+
+# --------------------------------------------------------------------------
+# CONSTRUCT (rule-based materialization of new triples from BGP solutions)
+# --------------------------------------------------------------------------
+
+def test_construct_grandparent_rule(kg):
+    got = bgp_construct(
+        kg,
+        [("?x", "broader", "?y"), ("?y", "broader", "?z")],
+        [("?x", "grandparent", "?z")],
+    ).collect()
+    # d->b->a plus the e self-loop (e,broader,e twice-joined -> e,e)
+    assert sorted(map(tuple, got)) == [
+        ("d", "grandparent", "a"),
+        ("e", "grandparent", "e"),
+    ]
+
+
+def test_construct_multiple_templates_and_constants(kg):
+    got = bgp_construct(
+        kg,
+        [("?x", "broader", "a")],
+        [("?x", "child_of", "a"), ("a", "parent_of", "?x")],
+    ).collect()
+    assert sorted(map(tuple, got)) == [
+        ("a", "parent_of", "b"),
+        ("a", "parent_of", "c"),
+        ("b", "child_of", "a"),
+        ("c", "child_of", "a"),
+    ]
+
+
+def test_construct_distinct_is_graph_semantics(kg):
+    # duplicate triple (c, broader, a) produces duplicate solutions; the
+    # constructed GRAPH dedups them unless distinct=False
+    bag = bgp_construct(
+        kg, [("?x", "broader", "a")], [("?x", "seen", "yes")], distinct=False
+    )
+    assert bag.count() == 3
+    graph = bgp_construct(kg, [("?x", "broader", "a")], [("?x", "seen", "yes")])
+    assert graph.count() == 2
+
+
+def test_construct_drops_unbound_optional_terms(kg):
+    # e has no label: its (e, lbl, ?l) template triple must not be emitted,
+    # but its (e, kind, node) one is
+    got = bgp_construct(
+        kg,
+        [("?x", "broader", "?y")],
+        [("?x", "lbl", "?l"), ("?x", "kind", "node")],
+        optional=[[("?x", "label", "?l")]],
+    ).collect()
+    rows = sorted(map(tuple, got))
+    assert ("e", "kind", "node") in rows
+    assert not any(r[0] == "e" and r[1] == "lbl" for r in rows)
+    assert ("b", "lbl", "left") in rows
+
+
+def test_construct_unbound_template_var_raises(kg):
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_construct(kg, [("?x", "broader", "a")], [("?x", "p", "?nope")])
+
+
+def test_construct_output_is_queryable(kg):
+    derived = bgp_construct(
+        kg,
+        [("?x", "broader", "?y"), ("?y", "broader", "?z")],
+        [("?x", "grandparent", "?z")],
+    )
+    back = bgp_match(derived, [("?g", "grandparent", "a")]).collect()
+    assert [r["g"] for r in back] == ["d"]
