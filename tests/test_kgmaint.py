@@ -177,3 +177,18 @@ def test_update_kg_state_two_crawls(spark, tmp_path):
         (r["subject"], r["object"]) for r in spark.read.parquet(state + ".prev").collect()
     }
     assert prev == {("a", "b"), ("c", "d")}
+
+
+def test_merge_triples_plan_single_shuffle_join(kg, delta):
+    plan = (
+        merge_triples(kg, delta)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    )
+    assert joins == 1, plan  # ONE join on the triple key, nothing else
+    # delta observation counts combine map-side before the shuffle
+    assert "partial_min" in plan or "partial_count" in plan, plan

@@ -351,3 +351,20 @@ def test_construct_output_is_queryable(kg):
     )
     back = bgp_match(derived, [("?g", "grandparent", "a")]).collect()
     assert [r["g"] for r in back] == ["d"]
+
+
+def test_constant_predicate_pushes_to_parquet_scan(kg, spark, tmp_path):
+    # the 10^12-scale claim: a constant term becomes a data-source filter,
+    # not a post-scan one — pinned on a real parquet scan
+    path = str(tmp_path / "triples_parquet")
+    kg.write.mode("overwrite").parquet(path)
+    scanned = spark.read.parquet(path)
+    plan = (
+        bgp_match(scanned, [("?x", "broader", "a")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan, plan
+    assert "EqualTo(predicate,broader)" in plan, plan
+    assert "EqualTo(object,a)" in plan, plan
