@@ -136,3 +136,57 @@ def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         .otherwise(F.lit("kept"))
         .alias("status"),
     )
+
+
+def upsert_observations(
+    spark, state_path: str, observations: DataFrame, commit_meta=None
+) -> int:
+    """Merge a batch of (subject, predicate, object, ts) observations into
+    the provenance-carrying KG state table at ``state_path`` (parquet
+    directory); create it on first use. Returns the merged row count.
+
+    Swap discipline: the merge plan reads the OLD state lazily, so the
+    merged table is fully materialized to ``<path>.next`` before the old
+    directory moves to ``<path>.prev`` (kept as rollback) and the new one
+    renames into place. On a real deployment this is the Iceberg table the
+    north rule names and the swap is a catalog-atomic replace (StageRunner
+    catalog mode, plans/stages.py); the rename pair is the local-filesystem
+    equivalent. Shared by the spark-submit --kg-state path
+    (tools/submit_pipeline.py) and the streaming foreachBatch sink
+    (streaming/kg_state_stream.py).
+    """
+    import os
+    import shutil
+
+    if os.path.isdir(state_path):
+        existing = spark.read.parquet(state_path)
+    else:
+        # first batch: an empty state with the exact merged schema, derived
+        # from the observations so ts/support types can never drift
+        existing = (
+            observations.groupBy(*TRIPLE_KEY)
+            .agg(
+                F.min("ts").alias("first_seen"),
+                F.max("ts").alias("last_seen"),
+                F.count(F.lit(1)).cast("long").alias("support"),
+            )
+            .limit(0)
+        )
+    merged = merge_triples(existing, observations)
+    nxt = state_path.rstrip("/") + ".next"
+    prev = state_path.rstrip("/") + ".prev"
+    merged.write.mode("overwrite").parquet(nxt)
+    if commit_meta is not None:
+        # commit metadata travels INSIDE the swapped directory (underscore
+        # files are invisible to the parquet reader), so "which batch is
+        # merged" commits atomically with the data — the streaming sink's
+        # exactly-once marker (streaming/kg_state_stream.py)
+        import json
+
+        with open(os.path.join(nxt, "_commit.json"), "w") as f:
+            json.dump(commit_meta, f)
+    if os.path.isdir(state_path):
+        shutil.rmtree(prev, ignore_errors=True)
+        os.rename(state_path, prev)
+    os.rename(nxt, state_path)
+    return spark.read.parquet(state_path).count()

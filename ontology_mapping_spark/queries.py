@@ -175,6 +175,10 @@ LOCAL_ONLY: frozenset = frozenset(
         # driver-covered (group-count, anti-join, rlike); the composed
         # checker keeps its arithmetic-derivation oracle in the local gate
         "kg_shape_violations",
+        # streaming-merge parity: the streaming family keeps
+        # mentions_stream_parity curated; this foreachBatch-upsert twin of
+        # kg_triple_merge stays in the local gate
+        "kg_state_stream_parity",
         # CC-family variant: the curated connected_components row covers
         # the star-contraction core; the incremental fold's full-recompute
         # oracle stays in the local gate (equivalence also property-pinned
@@ -3166,3 +3170,53 @@ def q_kg_bgp_construct(spark, sf):
         [("?x", "broader", "?y"), ("?y", "broader", "?z")],
         [("?x", "grandparent", "?z"), ("?z", "grandchild", "?x")],
     )
+
+
+@query(
+    "kg_state_stream_parity",
+    f"""WITH obs AS ({_KG_OBS_SQL}
+    )
+    SELECT subject, predicate, object,
+           CAST(CAST(MIN(ts) AS TIMESTAMP) AS VARCHAR) AS first_seen,
+           CAST(CAST(MAX(ts) AS TIMESTAMP) AS VARCHAR) AS last_seen,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM obs GROUP BY subject, predicate, object""",
+)
+def q_kg_state_stream_parity(spark, sf):
+    """Streaming KG-state gate row: the same observation batch the batch
+    merge row (kg_triple_merge) consumes is written as a multi-file drop,
+    streamed through stream_upsert_kg_state (availableNow, several
+    micro-batches, foreachBatch upsert with the atomic _commit marker),
+    and the final state must equal the one-shot relational aggregation —
+    the strongest driver-checkable batch/stream merge parity."""
+    import shutil
+    import tempfile
+
+    from ontology_mapping_spark.streaming.kg_state_stream import (
+        stream_observations,
+        stream_upsert_kg_state,
+    )
+
+    obs = _kg_delta(spark, sf).select(
+        "subject", "predicate", "object", F.col("ts").cast("timestamp").alias("ts")
+    )
+    tmp = tempfile.mkdtemp(prefix="omsp_kgstate_stream_")
+    try:
+        obs.repartition(6).write.mode("overwrite").parquet(f"{tmp}/obs")
+        q = stream_upsert_kg_state(
+            stream_observations(spark, f"{tmp}/obs", max_files_per_trigger=2),
+            f"{tmp}/state",
+            f"{tmp}/ckpt",
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(f"{tmp}/state").select(
+            "subject",
+            "predicate",
+            "object",
+            F.col("first_seen").cast("string").alias("first_seen"),
+            F.col("last_seen").cast("string").alias("last_seen"),
+            "support",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,91 @@
+"""Continuous KG construction: stream observed triples into the
+provenance-carrying state table.
+
+The batch path merges one crawl at a time (tools/submit_pipeline.py
+--kg-state); this module is its streaming twin — observations arrive as a
+file stream and each micro-batch is upserted through the SAME
+``kgmaint.upsert_observations`` core, so batch and streaming state tables
+cannot drift semantically.
+
+Exactly-once: Structured Streaming replays the last uncommitted batch
+after a restart, and a replayed merge would double ``support``. The sink
+therefore records the merged ``batch_id`` in ``_commit.json`` INSIDE the
+state directory via ``upsert_observations(commit_meta=...)`` — the marker
+is written into ``<path>.next`` before the rename, so "which batch is in
+this state" commits atomically with the data, and a replayed batch id is
+skipped by comparing against it. (The checkpoint's own WAL dedups file
+*inputs*; the marker dedups the *merge side effect*.)
+
+State-table compaction cadence: each merge rewrites the state table, so a
+per-microbatch merge is right when batches are crawl-segment-sized. For
+high-frequency streams, land observations with a plain append sink and
+run the merge on a timer — the marker logic is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+OBSERVATION_SCHEMA = T.StructType(
+    [
+        T.StructField("subject", T.StringType(), False),
+        T.StructField("predicate", T.StringType(), False),
+        T.StructField("object", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+
+def stream_observations(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Parquet file stream of (subject, predicate, object, ts)
+    observations; ``max_files_per_trigger`` shapes micro-batch size so an
+    availableNow run exercises multiple batches."""
+    return (
+        spark.readStream.schema(OBSERVATION_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def merged_batch_id(state_path: str) -> int | None:
+    """The batch id recorded in the state's atomic commit marker, or None
+    for a fresh/batch-built state."""
+    marker = os.path.join(state_path, "_commit.json")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        return json.load(f).get("batch_id")
+
+
+def stream_upsert_kg_state(
+    observations: DataFrame, state_path: str, checkpoint_dir: str
+):
+    """Wire an observation stream into the KG state table; returns the
+    StreamingQuery (caller awaits/stops). availableNow trigger: drains
+    what exists and stops — the crawl-segment cadence; swap the trigger
+    for a processing-time one for a long-lived query."""
+    from ontology_mapping_spark.operators.kgmaint import upsert_observations
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        last = merged_batch_id(state_path)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: its merge already committed
+        upsert_observations(
+            batch.sparkSession,
+            state_path,
+            batch,
+            commit_meta={"batch_id": batch_id},
+        )
+
+    return (
+        observations.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

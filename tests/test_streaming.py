@@ -158,3 +158,78 @@ def test_stream_relations_equals_batch(spark, fx_dfs, tmp_path):
     counts = stream_relation_counts(rel)
     assert counts.isStreaming
     assert {"subj", "pred", "obj", "n"} <= set(counts.columns)
+
+
+# --------------------------------------------------------------------------
+# streaming KG state upsert (continuous construction; batch==stream merge)
+# --------------------------------------------------------------------------
+
+def test_stream_upsert_equals_batch_merge(spark, tmp_path):
+    import datetime as dt
+
+    from ontology_mapping_spark.operators.kgmaint import upsert_observations
+    from ontology_mapping_spark.streaming.kg_state_stream import (
+        merged_batch_id,
+        stream_observations,
+        stream_upsert_kg_state,
+    )
+
+    TS = dt.datetime
+    obs_dir = str(tmp_path / "obs")
+    rows = [
+        ("a", "p", "b", TS(2024, 1, 1)),
+        ("a", "p", "b", TS(2024, 1, 2)),
+        ("c", "p", "d", TS(2024, 1, 3)),
+        ("a", "p", "b", TS(2024, 2, 1)),
+        ("e", "p", "f", TS(2024, 2, 2)),
+        ("c", "p", "d", TS(2024, 2, 3)),
+    ]
+    all_obs = spark.createDataFrame(
+        rows, "subject string, predicate string, object string, ts timestamp"
+    )
+    # one file per observation -> maxFilesPerTrigger=2 forces 3 microbatches
+    for i, r in enumerate(rows):
+        spark.createDataFrame(
+            [r], "subject string, predicate string, object string, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{obs_dir}/f{i}")
+    # the file-stream source lists leaf files; point it at the glob
+    state = str(tmp_path / "state")
+    q = stream_upsert_kg_state(
+        stream_observations(spark, f"{obs_dir}/f*", max_files_per_trigger=2),
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["subject"], r["object"]): (str(r["first_seen"]), str(r["last_seen"]), r["support"])
+        for r in spark.read.parquet(state).collect()
+    }
+    # reference: the SAME observations merged in one batch
+    ref_state = str(tmp_path / "ref_state")
+    upsert_observations(spark, ref_state, all_obs)
+    want = {
+        (r["subject"], r["object"]): (str(r["first_seen"]), str(r["last_seen"]), r["support"])
+        for r in spark.read.parquet(ref_state).collect()
+    }
+    assert got == want
+    assert got[("a", "b")][2] == 3  # support accumulated across batches
+
+    # exactly-once: the commit marker rides in the state dir, and a
+    # replayed (stale) batch id is a no-op
+    last = merged_batch_id(state)
+    assert last is not None and last >= 1
+    from ontology_mapping_spark.operators.kgmaint import merge_triples  # noqa: F401
+    before = got
+    # rerun the whole stream on the same checkpoint: no new files -> no
+    # batches -> state unchanged
+    q2 = stream_upsert_kg_state(
+        stream_observations(spark, f"{obs_dir}/f*", max_files_per_trigger=2),
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    after = {
+        (r["subject"], r["object"]): (str(r["first_seen"]), str(r["last_seen"]), r["support"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert after == before

@@ -65,19 +65,12 @@ def update_kg_state(spark, state_path: str, triples, crawl_ts) -> int:
     first crawl creates the table, later crawls extend ``last_seen`` and
     accumulate ``support``. Returns the merged row count.
 
-    Swap discipline: the merge plan reads the OLD state lazily, so the
-    merged table is fully materialized to ``<path>.next`` before the old
-    directory is moved to ``<path>.prev`` (kept as rollback) and the new
-    one renamed into place. On a real deployment this table is the Iceberg
-    table the north rule names and the swap is a catalog-atomic
-    ``replace`` (StageRunner catalog mode, plans/stages.py); the rename
-    pair here is the local-filesystem equivalent.
+    Thin wrapper over ``kgmaint.upsert_observations`` (which owns the
+    materialize-then-swap discipline) stamping one constant crawl ts.
     """
-    import shutil
-
     from pyspark.sql import functions as F
 
-    from ontology_mapping_spark.operators.kgmaint import merge_triples
+    from ontology_mapping_spark.operators.kgmaint import upsert_observations
 
     delta = triples.select(
         "subject",
@@ -85,29 +78,7 @@ def update_kg_state(spark, state_path: str, triples, crawl_ts) -> int:
         "object",
         F.lit(str(crawl_ts)).cast("timestamp").alias("ts"),
     )
-    if os.path.isdir(state_path):
-        existing = spark.read.parquet(state_path)
-    else:
-        # first crawl: an empty state with the exact merged schema, derived
-        # from the delta itself so ts/support types can never drift
-        existing = (
-            delta.groupBy("subject", "predicate", "object")
-            .agg(
-                F.min("ts").alias("first_seen"),
-                F.max("ts").alias("last_seen"),
-                F.count(F.lit(1)).cast("long").alias("support"),
-            )
-            .limit(0)
-        )
-    merged = merge_triples(existing, delta)
-    nxt = state_path.rstrip("/") + ".next"
-    prev = state_path.rstrip("/") + ".prev"
-    merged.write.mode("overwrite").parquet(nxt)
-    if os.path.isdir(state_path):
-        shutil.rmtree(prev, ignore_errors=True)
-        os.rename(state_path, prev)
-    os.rename(nxt, state_path)
-    return spark.read.parquet(state_path).count()
+    return upsert_observations(spark, state_path, delta)
 
 
 def main() -> None:
