@@ -78,7 +78,11 @@ def update_kg_state(spark, state_path: str, triples, crawl_ts) -> int:
         "object",
         F.lit(str(crawl_ts)).cast("timestamp").alias("ts"),
     )
-    return upsert_observations(spark, state_path, delta)
+    # the crawl records itself in the state's atomic commit marker (the
+    # same _commit.json the streaming sink uses for its batch id)
+    return upsert_observations(
+        spark, state_path, delta, commit_meta={"crawl_ts": str(crawl_ts)}
+    )
 
 
 def main() -> None:
