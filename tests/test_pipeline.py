@@ -156,3 +156,59 @@ def test_distributed_gold_matches_pages_and_recall_is_one(spark):
     }
     missing = set(gold_rows) - detected
     assert not missing, f"planted mentions missed: {sorted(missing)[:5]}"
+
+
+def test_kg_lifecycle_end_to_end(spark, e2e, tmp_path):
+    """The emitted KG is a living artifact: upsert it into the provenance
+    state, validate shapes, query it with the SPARQL layer, and derive new
+    triples — the full lifecycle on the real pipeline output."""
+    from pyspark.sql import functions as F
+
+    from ontology_mapping_spark.operators.kgquery import bgp_construct, bgp_match
+    from ontology_mapping_spark.operators.kgvalidate import (
+        ShapeRule,
+        validation_report,
+    )
+    from ontology_mapping_spark.operators.kgmaint import upsert_observations
+
+    _fx, res, _, _, _cfg = e2e
+    # maintain: the crawl lands in the provenance state
+    state = str(tmp_path / "kg_state")
+    obs = res.triples.select(
+        "subject", "predicate", "object",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+    n_state = upsert_observations(spark, state, obs)
+    assert n_state == res.triples.distinct().count()
+    kg = spark.read.parquet(state).select("subject", "predicate", "object")
+
+    # validate: emitted predicates are well-formed; sameAs endpoints exist
+    rep = {
+        r["rule"]: r["violations"]
+        for r in validation_report(
+            kg,
+            [
+                ShapeRule("known-predicates", "kg:sameAs",
+                          object_pattern=r"^.+$"),
+                ShapeRule("mention-pages-nonempty", "kg:mentionedIn",
+                          object_pattern=r"^.+$"),
+            ],
+        ).collect()
+    }
+    assert rep == {"known-predicates": 0, "mention-pages-nonempty": 0}
+
+    # query: sameAs pairs whose subject also has a mention, via one BGP
+    linked_mentioned = bgp_match(
+        kg, [("?s", "kg:sameAs", "?t"), ("?s", "kg:mentionedIn", "?pg")]
+    )
+    assert linked_mentioned.count() > 0
+
+    # construct: lift mentions across sameAs onto the target concept and
+    # check the derived graph is queryable
+    derived = bgp_construct(
+        kg,
+        [("?s", "kg:sameAs", "?t"), ("?s", "kg:mentionedIn", "?pg")],
+        [("?t", "kg:mentionedIn", "?pg")],
+    )
+    assert derived.count() == linked_mentioned.select("t", "pg").distinct().count()
+    assert bgp_match(derived, [("?t", "kg:mentionedIn", "?pg")]).count() > 0
