@@ -192,3 +192,34 @@ def test_merge_triples_plan_single_shuffle_join(kg, delta):
     assert joins == 1, plan  # ONE join on the triple key, nothing else
     # delta observation counts combine map-side before the shuffle
     assert "partial_min" in plan or "partial_count" in plan, plan
+
+
+def test_bucketed_state_merge_shuffles_only_the_delta(spark, kg, delta, tmp_path):
+    # the SCALING.md claim: with the state table bucketed by the triple
+    # key, the provenance merge shuffles ONLY the crawl-sized delta — the
+    # state side is read pre-partitioned (no Exchange above its scan)
+    spark.sql("DROP TABLE IF EXISTS kg_state_bucketed")
+    (
+        kg.write.mode("overwrite")
+        .bucketBy(8, "subject", "predicate", "object")
+        .sortBy("subject", "predicate", "object")
+        .saveAsTable("kg_state_bucketed")
+    )
+    try:
+        state = spark.table("kg_state_bucketed")
+        plan = (
+            merge_triples(state, delta)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # exactly ONE Exchange in the whole merge — the delta's
+        # pre-aggregation shuffle; the bucketed state scan feeds the join
+        # through a Sort alone
+        assert plan.count("Exchange") == 1, plan
+        assert "Bucketed: true" in plan, plan
+        # and the join is still exactly one
+        joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+        assert joins == 1, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS kg_state_bucketed")
