@@ -3,10 +3,17 @@
 The pipeline's end product is a flat (subject, predicate, object) triple
 table (plans/pipeline.py ``kg_triples``; the reference's final artifact is
 the same flat triple frame, thesis/process_data_features.py:98-102). A KG
-you cannot query is a dead artifact: this module provides the conjunctive
-query primitive — a list of triple patterns with shared variables, SPARQL
-BGP bag semantics — compiled to DataFrame equi-joins, so the constructed
-graph is directly consumable from Spark without a separate triple store.
+you cannot query is a dead artifact: this module compiles a useful
+SPARQL subset to DataFrame plans, so the constructed graph is directly
+consumable from Spark without a separate triple store:
+
+* ``bgp_match``       — conjunctive triple patterns (BGP, bag semantics)
+                        with OPTIONAL groups and FILTER expressions;
+* ``bgp_union``       — UNION of pattern groups (null-padded bag union);
+* ``bgp_match_paths`` — SPARQL 1.1 property paths ('pred+', 'pred*')
+                        through the distributed transitive closure;
+* ``bgp_construct``   — CONSTRUCT: rule-based materialization of new
+                        triples from solutions.
 
 Scale notes (10^12-triple KG):
 * Each pattern compiles to ONE filtered scan of the triple table. Constant
