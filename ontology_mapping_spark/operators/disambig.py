@@ -20,10 +20,23 @@ lexicographically on uri (deterministic).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ontology_mapping_spark.functions.vectors import cosine_col, make_embed_udf
+
+
+def ambiguous_keys(mentions: DataFrame) -> DataFrame:
+    """(url, surface) keys claimed by >1 uri — ONE partial+final
+    countDistinct over the mention table, shared by every consumer
+    (``ambiguous_mentions`` and both sides of ``resolve_mentions``) so
+    the corpus-scale aggregate never appears twice in a plan."""
+    return (
+        mentions.groupBy("url", "surface")
+        .agg(F.countDistinct("uri").alias("n_uris"))
+        .filter(F.col("n_uris") > 1)
+        .select("url", "surface")
+    )
 
 
 def ambiguous_mentions(mentions: DataFrame) -> DataFrame:
@@ -31,13 +44,7 @@ def ambiguous_mentions(mentions: DataFrame) -> DataFrame:
     Partial+final count on the pair key, then an inner join back —
     unambiguous mentions (the overwhelming majority) bypass
     disambiguation entirely."""
-    multi = (
-        mentions.groupBy("url", "surface")
-        .agg(F.countDistinct("uri").alias("n_uris"))
-        .filter(F.col("n_uris") > 1)
-        .select("url", "surface")
-    )
-    return mentions.join(multi, ["url", "surface"])
+    return mentions.join(ambiguous_keys(mentions), ["url", "surface"])
 
 
 def disambiguate_mentions(
@@ -46,6 +53,7 @@ def disambiguate_mentions(
     concept_vecs: DataFrame,
     embed_udf=None,
     dim: int = 64,
+    amb_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Resolve ambiguous mentions to ONE uri each.
 
@@ -56,9 +64,19 @@ def disambiguate_mentions(
     (url, surface), uri = argmax cosine(page vec, concept vec).
 
     Unambiguous mentions are NOT returned — callers keep them as-is and
-    anti-join the losers; see :func:`resolve_mentions`."""
+    anti-join the losers; see :func:`resolve_mentions`. An ambiguous key
+    whose page is missing from ``pages_text`` or whose candidates have no
+    concept vector yields NO row here (nothing to score) —
+    ``resolve_mentions`` keeps those via a deterministic fallback.
+
+    ``amb_keys``: precomputed ``ambiguous_keys(mentions)`` so a caller
+    that also needs the keys doesn't duplicate the corpus-scale aggregate
+    in its plan."""
     embed_udf = make_embed_udf(dim) if embed_udf is None else embed_udf
-    amb = ambiguous_mentions(mentions).select("url", "surface", "uri")
+    keys = ambiguous_keys(mentions) if amb_keys is None else amb_keys
+    amb = mentions.join(keys, ["url", "surface"]).select(
+        "url", "surface", "uri"
+    )
     # embed only pages that actually carry an ambiguous mention
     pages_needed = pages_text.join(
         amb.select("url").distinct(), "url", "left_semi"
@@ -99,16 +117,39 @@ def resolve_mentions(
 ) -> DataFrame:
     """The full mention table with ambiguity resolved: unambiguous rows
     pass through untouched; for ambiguous (url, surface) only the
-    winning uri's row survives."""
+    winning uri's row survives. NO mention key is ever dropped: an
+    ambiguous key that context scoring cannot decide (its page is absent
+    from ``pages_text``, or none of its candidate uris has a concept
+    vector) falls back to the lexicographically smallest uri — a
+    deterministic pick, same tie-break direction as the scored path."""
+    keys = ambiguous_keys(mentions)
     best = disambiguate_mentions(
-        mentions, pages_text, concept_vecs, embed_udf=embed_udf, dim=dim
+        mentions,
+        pages_text,
+        concept_vecs,
+        embed_udf=embed_udf,
+        dim=dim,
+        amb_keys=keys,
     ).select("url", "surface", "uri")
-    multi = (
-        mentions.groupBy("url", "surface")
-        .agg(F.countDistinct("uri").alias("n_uris"))
-        .filter(F.col("n_uris") > 1)
-        .select("url", "surface")
-    )
-    unambiguous = mentions.join(multi, ["url", "surface"], "left_anti")
+    unambiguous = mentions.join(keys, ["url", "surface"], "left_anti")
     winners = mentions.join(best, ["url", "surface", "uri"])
-    return unambiguous.unionByName(winners)
+    # ambiguous keys with no scored winner: min-uri fallback so the
+    # mention survives resolution instead of silently vanishing
+    unscored = keys.join(
+        best.select("url", "surface"), ["url", "surface"], "left_anti"
+    )
+    rest = [c for c in mentions.columns if c not in ("url", "surface", "uri")]
+    packed = F.struct(F.col("uri"), *[F.col(c) for c in rest])
+    fallback = (
+        mentions.join(unscored, ["url", "surface"])
+        .groupBy("url", "surface")
+        .agg(F.min(packed).alias("__w"))
+        .select(
+            "url",
+            "surface",
+            F.col("__w.uri").alias("uri"),
+            *[F.col(f"__w.{c}").alias(c) for c in rest],
+        )
+        .select(*mentions.columns)
+    )
+    return unambiguous.unionByName(winners).unionByName(fallback)

@@ -138,26 +138,76 @@ def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
+def recover_state(state_path: str) -> None:
+    """Repair the swap's crash window before any read of the state.
+
+    ``upsert_observations`` fully materializes ``<path>.next`` (parquet
+    AND the ``_commit.json`` marker) before the first rename, so a crash
+    between ``rename(state, prev)`` and ``rename(next, state)`` leaves a
+    missing live directory but a *committed* ``.next`` beside the old
+    ``.prev`` — roll FORWARD by promoting ``.next``; its marker then makes
+    a replay of the same batch a no-op. A missing state with ``.next`` but
+    no ``.prev`` is a first-batch write that died mid-write (no rename had
+    started), so the partial ``.next`` is dropped and the merge restarts
+    from empty. Any leftover ``.next`` beside a live state is a dead
+    partial write and is removed. Callers that *read* the marker
+    (streaming/kg_state_stream.merged_batch_id) must recover first too,
+    or a replayed batch would see "no marker" mid-window and re-merge.
+    """
+    import os
+    import shutil
+
+    nxt = state_path.rstrip("/") + ".next"
+    prev = state_path.rstrip("/") + ".prev"
+    if not os.path.isdir(state_path):
+        if os.path.isdir(prev) and os.path.isdir(nxt):
+            os.rename(nxt, state_path)
+        elif os.path.isdir(prev):
+            os.rename(prev, state_path)
+    shutil.rmtree(nxt, ignore_errors=True)
+
+
 def upsert_observations(
-    spark, state_path: str, observations: DataFrame, commit_meta=None
-) -> int:
+    spark,
+    state_path: str,
+    observations: DataFrame,
+    commit_meta=None,
+    return_count: bool = True,
+) -> int | None:
     """Merge a batch of (subject, predicate, object, ts) observations into
     the provenance-carrying KG state table at ``state_path`` (parquet
-    directory); create it on first use. Returns the merged row count.
+    directory); create it on first use. Returns the merged row count, or
+    None when ``return_count=False`` (the count is a full re-scan of the
+    state — per-micro-batch callers that discard it should opt out).
 
     Swap discipline: the merge plan reads the OLD state lazily, so the
     merged table is fully materialized to ``<path>.next`` before the old
     directory moves to ``<path>.prev`` (kept as rollback) and the new one
-    renames into place. On a real deployment this is the Iceberg table the
+    renames into place; ``recover_state`` repairs the window between the
+    two renames. On a real deployment this is the Iceberg table the
     north rule names and the swap is a catalog-atomic replace (StageRunner
     catalog mode, plans/stages.py); the rename pair is the local-filesystem
     equivalent. Shared by the spark-submit --kg-state path
     (tools/submit_pipeline.py) and the streaming foreachBatch sink
     (streaming/kg_state_stream.py).
+
+    ``commit_meta`` MERGES over the existing marker (new keys win, absent
+    keys survive), and ``commit_meta=None`` carries the old marker forward
+    unchanged — so a batch crawl stamping ``crawl_ts`` can never erase the
+    streaming sink's ``batch_id``/``checkpoint`` replay guard.
     """
+    import json
     import os
     import shutil
 
+    recover_state(state_path)
+    marker = os.path.join(state_path, "_commit.json")
+    meta = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+    if commit_meta is not None:
+        meta = {**(meta or {}), **commit_meta}
     if os.path.isdir(state_path):
         existing = spark.read.parquet(state_path)
     else:
@@ -176,17 +226,17 @@ def upsert_observations(
     nxt = state_path.rstrip("/") + ".next"
     prev = state_path.rstrip("/") + ".prev"
     merged.write.mode("overwrite").parquet(nxt)
-    if commit_meta is not None:
+    if meta is not None:
         # commit metadata travels INSIDE the swapped directory (underscore
         # files are invisible to the parquet reader), so "which batch is
         # merged" commits atomically with the data — the streaming sink's
         # exactly-once marker (streaming/kg_state_stream.py)
-        import json
-
         with open(os.path.join(nxt, "_commit.json"), "w") as f:
-            json.dump(commit_meta, f)
+            json.dump(meta, f)
     if os.path.isdir(state_path):
         shutil.rmtree(prev, ignore_errors=True)
         os.rename(state_path, prev)
     os.rename(nxt, state_path)
+    if not return_count:
+        return None
     return spark.read.parquet(state_path).count()

@@ -49,15 +49,26 @@ def is_var(term: str) -> bool:
 
 
 def _pattern_df(
-    triples: DataFrame, pat: Pattern, idx: int
+    triples: DataFrame,
+    pat: Pattern,
+    idx: int,
+    var_pred_source: DataFrame | None = None,
 ) -> tuple[DataFrame, set[str]]:
     """One triple pattern -> (DataFrame with one column per variable,
     variable-name set). Constants filter; a variable repeated within the
     pattern (e.g. (?x, p, ?x)) adds an intra-row equality filter and binds
-    one column."""
+    one column.
+
+    ``var_pred_source``: alternate table for patterns whose PREDICATE is a
+    variable. ``bgp_match_paths`` augments the triple table with synthetic
+    'pred+'/'pred*' closure rows; those are the path relation, not part of
+    the dataset (SPARQL 1.1 §9.1), so a ?p scan must read the original
+    table or it would bind fabricated predicates."""
     if len(pat) != 3:
         raise ValueError(f"pattern must be (s, p, o), got {pat!r}")
     df = triples
+    if var_pred_source is not None and is_var(pat[1]):
+        df = var_pred_source
     first_pos_of: dict[str, str] = {}
     for pos, term in zip(_POS, pat):
         if is_var(term):
@@ -84,6 +95,7 @@ def _compile_bgp(
     patterns: Sequence[Pattern],
     allow_product: bool,
     broadcast_min_constants: int,
+    var_pred_source: DataFrame | None = None,
 ) -> tuple[DataFrame, set[str]]:
     """Compile one conjunctive pattern group to (solution DataFrame with one
     column per bound variable, bound-variable set). Shared by the required
@@ -94,7 +106,7 @@ def _compile_bgp(
     var_sets: list[set[str]] = []
     dfs: list[DataFrame] = []
     for idx, p in enumerate(patterns):
-        df, vs = _pattern_df(triples, p, idx)
+        df, vs = _pattern_df(triples, p, idx, var_pred_source)
         if n_const[idx] >= broadcast_min_constants:
             df = F.broadcast(df)
         dfs.append(df)
@@ -166,6 +178,7 @@ def bgp_match(
     broadcast_min_constants: int = 2,
     optional: Sequence[Sequence[Pattern]] = (),
     filter_expr: str | Sequence[str] | None = None,
+    var_pred_source: DataFrame | None = None,
 ) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple table.
 
@@ -187,13 +200,19 @@ def bgp_match(
     conjunctively) over the variable columns — SPARQL ``FILTER`` after all
     joins; NULL (unbound) evaluates to not-kept, matching SPARQL's
     error-drops-solution rule.
+
+    ``var_pred_source``: alternate scan table for variable-PREDICATE
+    patterns (see ``_pattern_df``; used by ``bgp_match_paths`` to keep
+    synthetic closure rows out of ?p bindings).
     """
     out, bound = _compile_bgp(
-        triples, patterns, allow_product, broadcast_min_constants
+        triples, patterns, allow_product, broadcast_min_constants,
+        var_pred_source,
     )
     for grp in optional:
         g, gvars = _compile_bgp(
-            triples, grp, allow_product, broadcast_min_constants
+            triples, grp, allow_product, broadcast_min_constants,
+            var_pred_source,
         )
         if not gvars:
             raise ValueError(
@@ -298,7 +317,11 @@ def with_path_closures(
                     F.lit(pp).alias("predicate"),
                     F.col("n").alias("object"),
                 )
-            )
+            ).distinct()
+            # distinct: a node on a cycle reaches itself through the
+            # one-or-more closure AND the zero-length identity row; the
+            # pair must still be ONE solution (closure output is already
+            # pair-distinct, so only the '*' union needs this)
         aug = aug.unionByName(pairs.select("subject", "predicate", "object"))
     return aug
 
@@ -314,7 +337,11 @@ def bgp_match_paths(
 ) -> DataFrame:
     """``bgp_match`` with SPARQL 1.1 property-path predicates ('pred+',
     'pred*') resolved through the distributed transitive closure; path
-    predicates inside OPTIONAL groups resolve the same way."""
+    predicates inside OPTIONAL groups resolve the same way.
+
+    Variable-predicate patterns in the same BGP scan the ORIGINAL table
+    (``var_pred_source``): the synthetic closure rows are the path
+    relation, not dataset triples, and must not bind a ?p."""
     all_patterns = list(patterns)
     for grp in optional:
         all_patterns.extend(grp)
@@ -325,6 +352,7 @@ def bgp_match_paths(
         allow_product=allow_product,
         optional=optional,
         filter_expr=filter_expr,
+        var_pred_source=triples,
     )
 
 

@@ -13,8 +13,11 @@ therefore records the merged ``batch_id`` in ``_commit.json`` INSIDE the
 state directory via ``upsert_observations(commit_meta=...)`` — the marker
 is written into ``<path>.next`` before the rename, so "which batch is in
 this state" commits atomically with the data, and a replayed batch id is
-skipped by comparing against it. (The checkpoint's own WAL dedups file
-*inputs*; the marker dedups the *merge side effect*.)
+skipped by comparing against it. The marker also records WHICH checkpoint
+wrote it: batch ids restart from 0 under a fresh checkpointLocation, so
+the guard only fires within the same checkpoint lineage. (The
+checkpoint's own WAL dedups file *inputs*; the marker dedups the *merge
+side effect*.)
 
 State-table compaction cadence: each merge rewrites the state table, so a
 per-microbatch merge is right when batches are crawl-segment-sized. For
@@ -53,14 +56,35 @@ def stream_observations(
     )
 
 
-def merged_batch_id(state_path: str) -> int | None:
+def merged_batch_id(
+    state_path: str, checkpoint_dir: str | None = None
+) -> int | None:
     """The batch id recorded in the state's atomic commit marker, or None
-    for a fresh/batch-built state."""
+    for a fresh/batch-built state.
+
+    Micro-batch ids are only meaningful WITHIN one checkpoint lineage: a
+    query restarted with a fresh checkpointLocation numbers its batches
+    from 0 again, and guarding those against a marker left by an earlier
+    lineage would silently drop genuinely new data. Pass the current
+    ``checkpoint_dir`` to scope the answer: the recorded id is returned
+    only when the marker was written by the same checkpoint; with
+    ``checkpoint_dir=None`` the raw recorded id is returned (inspection).
+    """
+    from ontology_mapping_spark.operators.kgmaint import recover_state
+
+    # repair the swap crash window FIRST: mid-window the marker is only in
+    # .next, and reading "no marker" there would re-merge a committed batch
+    recover_state(state_path)
     marker = os.path.join(state_path, "_commit.json")
     if not os.path.exists(marker):
         return None
     with open(marker) as f:
-        return json.load(f).get("batch_id")
+        meta = json.load(f)
+    if checkpoint_dir is not None and meta.get("checkpoint") != os.path.abspath(
+        checkpoint_dir
+    ):
+        return None
+    return meta.get("batch_id")
 
 
 def stream_upsert_kg_state(
@@ -73,14 +97,21 @@ def stream_upsert_kg_state(
     from ontology_mapping_spark.operators.kgmaint import upsert_observations
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        last = merged_batch_id(state_path)
+        last = merged_batch_id(state_path, checkpoint_dir)
         if last is not None and batch_id <= last:
             return  # replayed batch: its merge already committed
         upsert_observations(
             batch.sparkSession,
             state_path,
             batch,
-            commit_meta={"batch_id": batch_id},
+            # checkpoint identity scopes the replay guard to THIS query
+            # lineage; a restart with a fresh checkpoint starts over at
+            # batch 0 and must not be mistaken for a replay
+            commit_meta={
+                "batch_id": batch_id,
+                "checkpoint": os.path.abspath(checkpoint_dir),
+            },
+            return_count=False,  # per-batch full state re-scan, discarded
         )
 
     return (

@@ -93,3 +93,31 @@ def test_ambiguous_subset_and_plan(spark):
     # concept vectors must broadcast; no cartesian anywhere
     assert "BroadcastHashJoin" in plan
     assert "Cartesian" not in plan
+
+
+def test_resolve_keeps_unscorable_ambiguous_mentions(spark):
+    """An ambiguous mention whose page has no text row (or whose candidates
+    have no concept vector) must survive resolution via the deterministic
+    min-uri fallback — never silently vanish from the resolved table."""
+    pages, mentions, vecs = _dfs(spark)
+    # p1 disappears from the text corpus -> its 'cat' mention can't be
+    # context-scored; p2 keeps its scored winner
+    pages_missing = pages.filter(F.col("url") != "p1")
+    out = {
+        (r["url"], r["surface"]): r["uri"]
+        for r in resolve_mentions(mentions, pages_missing, vecs).collect()
+    }
+    assert out[("p1", "cat")] == "u:catA"  # min-uri fallback, deterministic
+    assert out[("p2", "cat")] == "u:catB"  # scored path unaffected
+    assert out[("p3", "dog")] == "u:dog"
+    assert len(out) == 3
+
+    # same survival when the candidates have no vectors at all
+    vecs_dogonly = vecs.filter(F.col("uri") == "u:dog")
+    out2 = {
+        (r["url"], r["surface"]): r["uri"]
+        for r in resolve_mentions(mentions, pages, vecs_dogonly).collect()
+    }
+    assert out2[("p1", "cat")] == "u:catA"
+    assert out2[("p2", "cat")] == "u:catA"  # fallback on both now
+    assert len(out2) == 3

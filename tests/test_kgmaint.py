@@ -223,3 +223,109 @@ def test_bucketed_state_merge_shuffles_only_the_delta(spark, kg, delta, tmp_path
         assert joins == 1, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS kg_state_bucketed")
+
+
+# --------------------------------------------------------------------------
+# swap-crash recovery + commit-marker merge semantics
+# --------------------------------------------------------------------------
+
+def _obs(spark, rows):
+    return spark.createDataFrame(
+        rows, "subject string, predicate string, object string, ts timestamp"
+    )
+
+
+def test_crash_between_renames_rolls_forward(spark, tmp_path):
+    """A kill between rename(state, prev) and rename(next, state) must not
+    reset the KG: .next was fully committed (data + marker) before any
+    rename, so recovery promotes it and the replayed batch is a no-op."""
+    import json
+    import os
+
+    from ontology_mapping_spark.operators.kgmaint import (
+        recover_state,
+        upsert_observations,
+    )
+
+    state = str(tmp_path / "state")
+    T = dt.datetime
+    upsert_observations(
+        spark, state, _obs(spark, [("a", "p", "b", T(2024, 1, 1))]),
+        commit_meta={"batch_id": 0},
+    )
+    upsert_observations(
+        spark, state, _obs(spark, [("c", "p", "d", T(2024, 2, 1))]),
+        commit_meta={"batch_id": 1},
+    )
+    # reconstruct the exact crash window: live dir missing, old state at
+    # .prev (left by the merge), committed new state at .next
+    os.rename(state, state + ".next")
+    assert os.path.isdir(state + ".prev") and not os.path.isdir(state)
+
+    recover_state(state)
+    got = {
+        (r["subject"], r["object"]) for r in spark.read.parquet(state).collect()
+    }
+    assert got == {("a", "b"), ("c", "d")}  # NOT reset to empty/prev-only
+    with open(os.path.join(state, "_commit.json")) as f:
+        assert json.load(f)["batch_id"] == 1  # marker survived the window
+
+    # a replay of batch 1 through the upsert path must not double support
+    n = upsert_observations(
+        spark, state, _obs(spark, [("e", "p", "f", T(2024, 3, 1))]),
+        commit_meta={"batch_id": 2},
+    )
+    assert n == 3
+
+
+def test_partial_first_write_is_dropped(spark, tmp_path):
+    """A first-batch write that died mid-write (no .prev, no live state)
+    leaves a partial .next — recovery discards it and the merge restarts
+    from empty instead of promoting torn parquet."""
+    import os
+
+    from ontology_mapping_spark.operators.kgmaint import (
+        recover_state,
+        upsert_observations,
+    )
+
+    state = str(tmp_path / "state")
+    os.makedirs(state + ".next")
+    with open(os.path.join(state + ".next", "part-torn.parquet"), "wb") as f:
+        f.write(b"\x00garbage")
+    recover_state(state)
+    assert not os.path.isdir(state) and not os.path.isdir(state + ".next")
+    n = upsert_observations(
+        spark, state, _obs(spark, [("a", "p", "b", dt.datetime(2024, 1, 1))])
+    )
+    assert n == 1
+
+
+def test_commit_meta_merges_instead_of_clobbering(spark, tmp_path):
+    """A batch crawl stamping crawl_ts must not erase the streaming replay
+    guard's batch_id, and commit_meta=None carries the marker forward."""
+    import json
+    import os
+
+    from ontology_mapping_spark.operators.kgmaint import upsert_observations
+
+    state = str(tmp_path / "state")
+    T = dt.datetime
+    upsert_observations(
+        spark, state, _obs(spark, [("a", "p", "b", T(2024, 1, 1))]),
+        commit_meta={"batch_id": 6, "checkpoint": "/ck1"},
+    )
+    upsert_observations(
+        spark, state, _obs(spark, [("c", "p", "d", T(2024, 2, 1))]),
+        commit_meta={"crawl_ts": "2024-02-01"},
+    )
+    with open(os.path.join(state, "_commit.json")) as f:
+        meta = json.load(f)
+    assert meta == {
+        "batch_id": 6, "checkpoint": "/ck1", "crawl_ts": "2024-02-01"
+    }
+    upsert_observations(
+        spark, state, _obs(spark, [("e", "p", "f", T(2024, 3, 1))])
+    )
+    with open(os.path.join(state, "_commit.json")) as f:
+        assert json.load(f) == meta  # None carries the marker forward

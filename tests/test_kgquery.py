@@ -368,3 +368,35 @@ def test_constant_predicate_pushes_to_parquet_scan(kg, spark, tmp_path):
     assert "PushedFilters" in plan, plan
     assert "EqualTo(predicate,broader)" in plan, plan
     assert "EqualTo(object,a)" in plan, plan
+
+
+def test_star_self_loop_is_one_solution(kg):
+    """A node reaching itself via BOTH the one-or-more closure and the
+    zero-length identity row is still ONE solution (DISTINCT pairs)."""
+    got = [
+        (r["x"], r["z"])
+        for r in bgp_match_paths(kg, [("?x", "broader*", "?z")]).collect()
+    ]
+    assert got.count(("e", "e")) == 1
+
+
+def test_variable_predicate_ignores_synthetic_path_triples(kg):
+    """Synthetic 'pred+'/'pred*' closure rows are the path relation, not
+    dataset triples: a ?p pattern in the same BGP must never bind them."""
+    got = bgp_match_paths(
+        kg, [("?x", "broader+", "?y"), ("?y", "?p", "?o")]
+    ).collect()
+    assert got, "join should still produce real solutions"
+    assert all(not r["p"].endswith(("+", "*")) for r in got)
+    # cross-check: identical to matching the closure first, then scanning
+    # the ORIGINAL table for the second pattern
+    clo = with_path_closures(kg, [("?x", "broader+", "?y")]).filter(
+        F.col("predicate") == "broader+"
+    )
+    want = sorted(
+        (h["subject"], h["object"], t["predicate"], t["object"])
+        for h in clo.collect()
+        for t in kg.collect()
+        if t["subject"] == h["object"]
+    )
+    assert sorted((r["x"], r["y"], r["p"], r["o"]) for r in got) == want

@@ -233,3 +233,56 @@ def test_stream_upsert_equals_batch_merge(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert after == before
+
+
+def test_fresh_checkpoint_restart_is_not_mistaken_for_replay(spark, tmp_path):
+    """Batch ids restart at 0 under a new checkpointLocation; the replay
+    guard is scoped to the checkpoint that wrote the marker, so a
+    reprocess with a fresh checkpoint must merge its batches, not skip
+    them as 'already seen'."""
+    import datetime as dt
+
+    from ontology_mapping_spark.streaming.kg_state_stream import (
+        merged_batch_id,
+        stream_observations,
+        stream_upsert_kg_state,
+    )
+
+    TS = dt.datetime
+    state = str(tmp_path / "state")
+
+    def _run(obs_dir: str, rows, ckpt: str):
+        for i, r in enumerate(rows):
+            spark.createDataFrame(
+                [r],
+                "subject string, predicate string, object string, ts timestamp",
+            ).coalesce(1).write.mode("overwrite").parquet(f"{obs_dir}/f{i}")
+        q = stream_upsert_kg_state(
+            stream_observations(spark, f"{obs_dir}/f*", max_files_per_trigger=1),
+            state,
+            ckpt,
+        )
+        q.awaitTermination(120)
+
+    _run(
+        str(tmp_path / "obs1"),
+        [("a", "p", "b", TS(2024, 1, 1)), ("c", "p", "d", TS(2024, 1, 2))],
+        str(tmp_path / "ckpt1"),
+    )
+    assert merged_batch_id(state) is not None  # marker exists (raw read)
+    # NEW data, NEW checkpoint: micro-batch ids restart at 0 — the old
+    # guard (id <= recorded id) would silently drop this batch
+    _run(
+        str(tmp_path / "obs2"),
+        [("x", "p", "y", TS(2024, 2, 1))],
+        str(tmp_path / "ckpt2"),
+    )
+    got = {
+        (r["subject"], r["object"]): r["support"]
+        for r in spark.read.parquet(state).collect()
+    }
+    assert ("x", "y") in got, "fresh-checkpoint batch was wrongly skipped"
+    assert got == {("a", "b"): 1, ("c", "d"): 1, ("x", "y"): 1}
+    # the guard is scoped: the marker answers for its own checkpoint only
+    assert merged_batch_id(state, str(tmp_path / "ckpt2")) == 0
+    assert merged_batch_id(state, str(tmp_path / "ckpt1")) is None

@@ -72,11 +72,20 @@ def update_kg_state(spark, state_path: str, triples, crawl_ts) -> int:
 
     from ontology_mapping_spark.operators.kgmaint import upsert_observations
 
+    # fail fast on an unparsable timestamp: a silent NULL here would stamp
+    # every observation with first_seen/last_seen = NULL, provenance the
+    # least/greatest merge can never repair afterwards
+    ts_lit = F.lit(str(crawl_ts)).cast("timestamp")
+    if spark.range(1).select(ts_lit.alias("ts")).first()[0] is None:
+        raise ValueError(
+            f"crawl_ts {crawl_ts!r} does not parse as a timestamp "
+            "(pass --crawl-ts in ISO form, e.g. 2024-02-01T00:00:00)"
+        )
     delta = triples.select(
         "subject",
         "predicate",
         "object",
-        F.lit(str(crawl_ts)).cast("timestamp").alias("ts"),
+        ts_lit.alias("ts"),
     )
     # the crawl records itself in the state's atomic commit marker (the
     # same _commit.json the streaming sink uses for its batch id)
@@ -196,9 +205,15 @@ def main() -> None:
     if args.kg_state:
         from pyspark.sql import functions as F
 
-        crawl_ts = args.crawl_ts or str(
-            pages.agg(F.max("warc_ts")).first()[0]
-        )
+        crawl_ts = args.crawl_ts
+        if crawl_ts is None:
+            max_ts = pages.agg(F.max("warc_ts")).first()[0]
+            if max_ts is None:
+                raise SystemExit(
+                    "--kg-state needs an observation timestamp, but the "
+                    "corpus has no non-null warc_ts; pass --crawl-ts"
+                )
+            crawl_ts = str(max_ts)
         kg_state_rows = update_kg_state(
             spark, args.kg_state, res.triples, crawl_ts
         )
