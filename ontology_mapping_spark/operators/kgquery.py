@@ -8,12 +8,16 @@ SPARQL subset to DataFrame plans, so the constructed graph is directly
 consumable from Spark without a separate triple store:
 
 * ``bgp_match``       — conjunctive triple patterns (BGP, bag semantics)
-                        with OPTIONAL groups and FILTER expressions;
+                        with OPTIONAL groups, FILTER expressions,
+                        FILTER NOT EXISTS / MINUS negation, and VALUES
+                        inline bindings;
 * ``bgp_union``       — UNION of pattern groups (null-padded bag union);
-* ``bgp_match_paths`` — SPARQL 1.1 property paths ('pred+', 'pred*')
-                        through the distributed transitive closure;
+* ``bgp_match_paths`` — SPARQL 1.1 property paths: 'pred+'/'pred*'
+                        through the distributed transitive closure,
+                        inverse '^pred', sequence 'p1/p2', alternation
+                        'a|b';
 * ``bgp_construct``   — CONSTRUCT: rule-based materialization of new
-                        triples from solutions.
+                        triples from solutions (optionally over paths).
 
 Scale notes (10^12-triple KG):
 * Each pattern compiles to ONE filtered scan of the triple table. Constant
@@ -179,6 +183,9 @@ def bgp_match(
     optional: Sequence[Sequence[Pattern]] = (),
     filter_expr: str | Sequence[str] | None = None,
     var_pred_source: DataFrame | None = None,
+    not_exists: Sequence[Sequence[Pattern]] = (),
+    minus: Sequence[Sequence[Pattern]] = (),
+    values: DataFrame | Sequence[dict] | None = None,
 ) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple table.
 
@@ -204,6 +211,26 @@ def bgp_match(
     ``var_pred_source``: alternate scan table for variable-PREDICATE
     patterns (see ``_pattern_df``; used by ``bgp_match_paths`` to keep
     synthetic closure rows out of ?p bindings).
+
+    ``not_exists`` is a sequence of pattern groups, each a SPARQL
+    ``FILTER NOT EXISTS { ... }``: a solution is dropped when the group
+    matches under its bindings — compiled as its own BGP and
+    LEFT-ANTI-joined on the shared variables (the group's private
+    variables are existential). Each group must share >=1 variable with
+    the bound set, else the test degenerates to a constant.
+
+    ``minus`` is SPARQL ``MINUS``: same anti-join, except a group sharing
+    NO variable removes nothing (per spec, disjoint domains are never
+    incompatible) instead of raising. For both negation forms a solution
+    whose shared variable is NULL (unbound via OPTIONAL) is KEPT — Spark
+    join-null semantics; SPARQL's unbound-compatibility corner differs and
+    callers negating OPTIONAL-bound variables should FILTER first.
+
+    ``values`` is SPARQL ``VALUES``: an inline solution table (DataFrame
+    whose columns are variable names, or a sequence of dicts) inner-joined
+    on its shared variables — broadcast, since VALUES blocks are
+    inline-sized by definition. Columns not yet bound extend the solution;
+    a values table sharing no variable is the spec's cartesian extension.
     """
     out, bound = _compile_bgp(
         triples, patterns, allow_product, broadcast_min_constants,
@@ -227,6 +254,37 @@ def bgp_match(
             )
         out = out.join(g, on=shared, how="left")
         bound |= gvars
+    if values is not None:
+        vdf = (
+            values
+            if isinstance(values, DataFrame)
+            else triples.sparkSession.createDataFrame(list(values))
+        )
+        vshared = sorted(set(vdf.columns) & bound)
+        if vshared:
+            out = out.join(F.broadcast(vdf), on=vshared, how="inner")
+        else:
+            out = out.crossJoin(F.broadcast(vdf))
+        bound |= set(vdf.columns)
+    for kind, groups_ in (("NOT EXISTS", not_exists), ("MINUS", minus)):
+        for grp in groups_:
+            g, gvars = _compile_bgp(
+                triples, grp, allow_product, broadcast_min_constants,
+                var_pred_source,
+            )
+            shared = sorted(gvars & bound)
+            if not shared:
+                if kind == "MINUS":
+                    continue  # disjoint domains: MINUS removes nothing
+                raise ValueError(
+                    f"NOT EXISTS group {grp!r} shares no variable with the "
+                    f"bound set {sorted(bound)} — the test would be constant"
+                )
+            # the group's private variables are existential: project to the
+            # shared key before the anti-join so they can't multiply rows
+            out = out.join(
+                g.select(*shared).distinct(), on=shared, how="left_anti"
+            )
     if filter_expr is not None:
         exprs = [filter_expr] if isinstance(filter_expr, str) else filter_expr
         for e in exprs:
@@ -266,11 +324,54 @@ def bgp_union(
     return _project(out, all_bound, select)
 
 
+def expand_path_patterns(
+    patterns: Sequence[Pattern], counter: list[int]
+) -> list[Pattern]:
+    """Rewrite composite property-path predicates into primitive patterns.
+
+    Handled purely as pattern algebra (zero plan cost):
+
+    * sequence ``p1/p2/...`` — chained patterns through fresh existential
+      variables (``?__pathN``; the prefix is reserved and dropped from the
+      default projection by ``bgp_match_paths``);
+    * inverse ``^p`` — subject/object swap of that pattern (``^`` inverts
+      the whole remaining element, so ``^p+`` is the inverse closure —
+      closure and inverse commute).
+
+    Trailing ``+``/``*`` closures and ``a|b`` alternations survive the
+    rewrite as predicate terms for ``with_path_closures`` to materialize.
+    ``counter`` is a 1-element mutable list so fresh variables stay unique
+    across the required / OPTIONAL / negation groups of one query.
+    """
+    out: list[Pattern] = []
+    for s, p, o in patterns:
+        if is_var(p) or "/" not in p:
+            steps = [(s, p, o)]
+        else:
+            elems = p.split("/")
+            if any(not e for e in elems):
+                raise ValueError(f"empty element in path {p!r}")
+            hops = [s]
+            for _ in elems[:-1]:
+                hops.append(f"?__path{counter[0]}")
+                counter[0] += 1
+            hops.append(o)
+            steps = [
+                (hops[i], e, hops[i + 1]) for i, e in enumerate(elems)
+            ]
+        for ss, pp, oo in steps:
+            if not is_var(pp) and pp.startswith("^"):
+                out.append((oo, pp[1:], ss))
+            else:
+                out.append((ss, pp, oo))
+    return out
+
+
 def with_path_closures(
     triples: DataFrame, patterns: Sequence[Pattern], max_iters: int = 20
 ) -> DataFrame:
-    """Augment a triple table with the reachability relations every
-    property-path predicate in ``patterns`` needs.
+    """Augment a triple table with the derived relations (closures and
+    alternations) every property-path predicate in ``patterns`` needs.
 
     A constant predicate ending in '+' (one-or-more hops) or '*'
     (zero-or-more) is a SPARQL 1.1 property path: for each such predicate
@@ -296,6 +397,11 @@ def with_path_closures(
     aug = triples
     for pp in sorted(path_preds):
         base = pp[:-1]
+        if "|" in base:
+            raise ValueError(
+                f"closure over an alternation ({pp!r}) is not supported; "
+                "rewrite as a UNION of path groups"
+            )
         edges = triples.filter(F.col("predicate") == base).select(
             F.col("subject").alias("child"), F.col("object").alias("parent")
         )
@@ -323,6 +429,36 @@ def with_path_closures(
             # pair must still be ONE solution (closure output is already
             # pair-distinct, so only the '*' union needs this)
         aug = aug.unionByName(pairs.select("subject", "predicate", "object"))
+    # alternation 'a|b' (branches plain or inverse): the derived relation
+    # is the plan-level union of the branch scans under the composite
+    # predicate term — the pattern then stays a constant-predicate scan.
+    # Bag semantics: SPARQL path alternation is a bag union of the
+    # branches, so no dedup here.
+    alt_preds = {
+        p
+        for (_s, p, _o) in patterns
+        if not is_var(p) and "|" in p and p not in path_preds
+    }
+    for ap in sorted(alt_preds):
+        rows = None
+        for branch in ap.split("|"):
+            if not branch:
+                raise ValueError(f"empty branch in alternation {ap!r}")
+            if branch[-1] in "+*":
+                raise ValueError(
+                    f"closure inside alternation ({branch!r} in {ap!r}) is "
+                    "not supported; rewrite as a UNION of path groups"
+                )
+            inv = branch.startswith("^")
+            name = branch[1:] if inv else branch
+            scan = triples.filter(F.col("predicate") == name)
+            part = scan.select(
+                F.col("object" if inv else "subject").alias("subject"),
+                F.lit(ap).alias("predicate"),
+                F.col("subject" if inv else "object").alias("object"),
+            )
+            rows = part if rows is None else rows.unionByName(part)
+        aug = aug.unionByName(rows)
     return aug
 
 
@@ -334,18 +470,34 @@ def bgp_match_paths(
     max_iters: int = 20,
     optional: Sequence[Sequence[Pattern]] = (),
     filter_expr: str | Sequence[str] | None = None,
+    not_exists: Sequence[Sequence[Pattern]] = (),
+    minus: Sequence[Sequence[Pattern]] = (),
+    values: DataFrame | Sequence[dict] | None = None,
 ) -> DataFrame:
-    """``bgp_match`` with SPARQL 1.1 property-path predicates ('pred+',
-    'pred*') resolved through the distributed transitive closure; path
-    predicates inside OPTIONAL groups resolve the same way.
+    """``bgp_match`` with SPARQL 1.1 property-path predicates resolved:
 
-    Variable-predicate patterns in the same BGP scan the ORIGINAL table
-    (``var_pred_source``): the synthetic closure rows are the path
-    relation, not dataset triples, and must not bind a ?p."""
+    * ``pred+`` / ``pred*``  — one-or-more / zero-or-more hops, through
+      the distributed transitive closure;
+    * ``^pred``              — inverse (pure pattern rewrite; composes
+      with a trailing closure, e.g. ``^broader+``);
+    * ``p1/p2/...``          — sequence, chained through fresh
+      existential variables (never projected);
+    * ``a|b``                — alternation of plain/inverse predicates
+      (bag union of the branch scans).
+
+    Paths work the same inside OPTIONAL and negation groups. Variable-
+    predicate patterns in the same BGP scan the ORIGINAL table
+    (``var_pred_source``): synthetic closure/alternation rows are the
+    path relation, not dataset triples, and must not bind a ?p."""
+    counter = [0]
+    patterns = expand_path_patterns(patterns, counter)
+    optional = [expand_path_patterns(g, counter) for g in optional]
+    not_exists = [expand_path_patterns(g, counter) for g in not_exists]
+    minus = [expand_path_patterns(g, counter) for g in minus]
     all_patterns = list(patterns)
-    for grp in optional:
+    for grp in (*optional, *not_exists, *minus):
         all_patterns.extend(grp)
-    return bgp_match(
+    out = bgp_match(
         with_path_closures(triples, all_patterns, max_iters=max_iters),
         patterns,
         select=select,
@@ -353,7 +505,18 @@ def bgp_match_paths(
         optional=optional,
         filter_expr=filter_expr,
         var_pred_source=triples,
+        not_exists=not_exists,
+        minus=minus,
+        values=values,
     )
+    # sequence rewrites bind reserved ?__pathN existentials; they are not
+    # part of the query's projection
+    synth = [c for c in out.columns if c.startswith("__path")]
+    if synth and len(synth) == len(out.columns):
+        # every endpoint was ground: keep existence semantics (one row
+        # per solution), mirroring the all-ground BGP contract
+        return out.select(F.lit(True).alias("matched"))
+    return out.drop(*synth)
 
 
 def bgp_construct(
@@ -364,6 +527,10 @@ def bgp_construct(
     optional: Sequence[Sequence[Pattern]] = (),
     filter_expr: str | Sequence[str] | None = None,
     distinct: bool = True,
+    paths: bool = False,
+    not_exists: Sequence[Sequence[Pattern]] = (),
+    minus: Sequence[Sequence[Pattern]] = (),
+    values: DataFrame | Sequence[dict] | None = None,
 ) -> DataFrame:
     """SPARQL ``CONSTRUCT``: materialize new triples from BGP solutions —
     the engine's rule-based inference primitive (e.g. derive
@@ -383,15 +550,24 @@ def bgp_construct(
     ``bgp_match``. Plan shape: the solution join tree from ``bgp_match``
     plus one projection per template triple unioned plan-level; dedup is
     one hash aggregate on the triple key.
+
+    ``paths=True`` routes matching through ``bgp_match_paths`` so rules
+    can range over property paths (e.g. lift ``broader+`` into a
+    materialized ``ancestor`` edge). ``not_exists``/``minus``/``values``
+    pass through to the matcher.
     """
     if not template:
         raise ValueError("CONSTRUCT needs at least one template triple")
-    sols = bgp_match(
+    matcher = bgp_match_paths if paths else bgp_match
+    sols = matcher(
         triples,
         patterns,
         allow_product=allow_product,
         optional=optional,
         filter_expr=filter_expr,
+        not_exists=not_exists,
+        minus=minus,
+        values=values,
     )
     bound = set(sols.columns)
 

@@ -160,6 +160,13 @@ LOCAL_ONLY: frozenset = frozenset(
         "kg_bgp_optional",
         "kg_bgp_union",
         "kg_bgp_construct",
+        # SPARQL algebra extensions on the same compiler: negation
+        # (NOT EXISTS / MINUS), VALUES inline bindings, and the composite
+        # path forms (inverse ^p, sequence p1/p2, alternation a|b) each
+        # keep an exact SQL oracle in the local gate
+        "kg_bgp_negation",
+        "kg_bgp_values_minus",
+        "kg_bgp_path_forms",
         # parked round 4 for the KG-maintenance primaries
         # (latest_capture_wins, kg_triple_merge): union_sides is a 2-row
         # union+tag the union shape of which every kg_bgp_* and kgmaint
@@ -2686,6 +2693,20 @@ def q_mention_disambiguation(spark, sf):
 # KG querying (operators/kgquery.py): SPARQL-style BGP over the triple table
 # --------------------------------------------------------------------------
 
+def _part_tree_broader(spark, sf):
+    """The synthetic part-tree 'broader' edges (p:k -> p:k//2) the
+    kg_bgp_* gate queries share."""
+    part = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    return part.filter(pk >= 2).select(
+        F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
+        F.lit("broader").alias("predicate"),
+        F.concat(
+            F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
+        ).alias("object"),
+    )
+
+
 @query(
     "kg_bgp_match",
     """WITH tr AS (
@@ -3170,6 +3191,99 @@ def q_kg_bgp_construct(spark, sf):
         [("?x", "broader", "?y"), ("?y", "broader", "?z")],
         [("?x", "grandparent", "?z"), ("?z", "grandchild", "?x")],
     )
+
+
+@query(
+    "kg_bgp_negation",
+    """WITH br AS (
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS x,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS y
+      FROM part WHERE p_partkey >= 2)
+    SELECT b.x AS x, b.y AS y FROM br b
+    WHERE NOT EXISTS (SELECT 1 FROM br c WHERE c.y = b.x)""",
+)
+def q_kg_bgp_negation(spark, sf):
+    # SPARQL FILTER NOT EXISTS over the part-tree KG: edges whose child is
+    # a LEAF — {?x broader ?y . FILTER NOT EXISTS {?z broader ?x}} —
+    # compiled to a left-anti join on the shared variable
+    # (kgquery.bgp_match not_exists); the oracle is the literal SQL
+    # NOT EXISTS the anti-join must agree with.
+    from ontology_mapping_spark.operators.kgquery import bgp_match
+
+    return bgp_match(
+        _part_tree_broader(spark, sf),
+        [("?x", "broader", "?y")],
+        not_exists=[[("?z", "broader", "?x")]],
+    )
+
+
+@query(
+    "kg_bgp_values_minus",
+    """WITH lab AS (
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS x, p_name AS l
+      FROM part),
+    v(x, tag) AS (VALUES ('p:2', 'two'), ('p:5', 'five'), ('p:7', 'seven'))
+    SELECT lab.l AS l, v.tag AS tag, lab.x AS x
+    FROM lab JOIN v ON v.x = lab.x
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part c
+      WHERE c.p_partkey >= 2 AND c.p_partkey // 2 = 1
+        AND 'p:' || CAST(c.p_partkey AS VARCHAR) = lab.x)""",
+)
+def q_kg_bgp_values_minus(spark, sf):
+    # SPARQL VALUES + MINUS: labelled nodes restricted to an inline
+    # binding table (which also EXTENDS solutions with a ?tag column),
+    # minus the children of p:1 — {?x label ?l . VALUES (?x ?tag) {...}
+    # MINUS {?x broader p:1}} (kgquery.bgp_match values/minus); the
+    # oracle joins a literal VALUES table and re-states MINUS as
+    # NOT EXISTS (equivalent here: ?x is always bound).
+    from ontology_mapping_spark.operators.kgquery import bgp_match
+
+    part = _t(spark, sf, "part")
+    labels = part.select(
+        F.concat(F.lit("p:"), F.col("p_partkey").cast("string")).alias(
+            "subject"
+        ),
+        F.lit("label").alias("predicate"),
+        F.col("p_name").alias("object"),
+    )
+    tr = _part_tree_broader(spark, sf).unionByName(labels)
+    return bgp_match(
+        tr,
+        [("?x", "label", "?l")],
+        minus=[[("?x", "broader", "p:1")]],
+        values=[
+            {"x": "p:2", "tag": "two"},
+            {"x": "p:5", "tag": "five"},
+            {"x": "p:7", "tag": "seven"},
+        ],
+    )
+
+
+@query(
+    "kg_bgp_path_forms",
+    """SELECT 'p:' || CAST(p_partkey // 2 AS VARCHAR) AS x, p_name AS l
+    FROM part WHERE p_partkey >= 2""",
+)
+def q_kg_bgp_path_forms(spark, sf):
+    # Composite SPARQL 1.1 path forms: inverse + sequence in one
+    # predicate — {?x ^broader/label ?l} walks broader BACKWARD (parent
+    # to child, a pattern rewrite with subject/object swapped) then the
+    # child's label through a fresh existential variable
+    # (kgquery.expand_path_patterns); the oracle states the composed walk
+    # directly: every child contributes (its parent, its label).
+    from ontology_mapping_spark.operators.kgquery import bgp_match_paths
+
+    part = _t(spark, sf, "part")
+    labels = part.select(
+        F.concat(F.lit("p:"), F.col("p_partkey").cast("string")).alias(
+            "subject"
+        ),
+        F.lit("label").alias("predicate"),
+        F.col("p_name").alias("object"),
+    )
+    tr = _part_tree_broader(spark, sf).unionByName(labels)
+    return bgp_match_paths(tr, [("?x", "^broader/label", "?l")])
 
 
 @query(

@@ -400,3 +400,158 @@ def test_variable_predicate_ignores_synthetic_path_triples(kg):
         if t["subject"] == h["object"]
     )
     assert sorted((r["x"], r["y"], r["p"], r["o"]) for r in got) == want
+
+
+# --------------------------------------------------------------------------
+# negation (FILTER NOT EXISTS / MINUS), VALUES, and composite paths
+# --------------------------------------------------------------------------
+
+def test_not_exists_drops_matching_solutions(kg):
+    # concepts with a parent whose parent is a root (no grandparent)
+    got = bgp_match(
+        kg,
+        [("?x", "broader", "?y")],
+        not_exists=[[("?y", "broader", "?z")]],
+    ).collect()
+    # b->a, c->a (x2 dup): kept (a is a root); d->b and e->e: dropped
+    assert sorted(r["x"] for r in got) == ["b", "c", "c"]
+
+
+def test_not_exists_without_shared_variable_raises(kg):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="NOT EXISTS"):
+        bgp_match(
+            kg,
+            [("?x", "label", "?l")],
+            not_exists=[[("?a", "broader", "?b")]],
+        )
+
+
+def test_minus_disjoint_domain_removes_nothing(kg):
+    got = bgp_match(
+        kg,
+        [("?x", "label", "?l")],
+        minus=[[("?a", "broader", "?b")]],  # no shared variable -> no-op
+    ).collect()
+    assert len(got) == 4
+
+
+def test_minus_shared_variable_removes_compatible(kg):
+    # labelled concepts MINUS those that have a parent -> only 'a'
+    got = bgp_match(
+        kg,
+        [("?x", "label", "?l")],
+        minus=[[("?x", "broader", "?p")]],
+    ).collect()
+    assert sorted(r["x"] for r in got) == ["a"]
+
+
+def test_values_restricts_and_extends(kg):
+    got = bgp_match(
+        kg,
+        [("?x", "label", "?l")],
+        values=[{"x": "b", "tag": "L"}, {"x": "d", "tag": "F"}],
+    ).collect()
+    assert sorted((r["x"], r["l"], r["tag"]) for r in got) == [
+        ("b", "left", "L"),
+        ("d", "leaf", "F"),
+    ]
+
+
+def test_inverse_path_is_swapped_scan(kg):
+    got = bgp_match_paths(kg, [("a", "^broader", "?x")]).collect()
+    want = bgp_match(kg, [("?x", "broader", "a")]).collect()
+    assert sorted(r["x"] for r in got) == sorted(r["x"] for r in want)
+
+
+def test_inverse_closure_composes(kg):
+    # descendants of a = inverse of broader+ from a
+    got = sorted(
+        r["x"] for r in bgp_match_paths(kg, [("a", "^broader+", "?x")]).collect()
+    )
+    assert got == ["b", "c", "d"]
+
+
+def test_sequence_path_chains_through_fresh_vars(kg):
+    out = bgp_match_paths(kg, [("?x", "broader/label", "?l")])
+    assert sorted(out.columns) == ["l", "x"]  # no ?__pathN leakage
+    got = sorted((r["x"], r["l"]) for r in out.collect())
+    # b->a->root, c->a->root (x2: duplicate (c,broader,a)), d->b->left;
+    # e->e has no label
+    assert got == [
+        ("b", "root"), ("c", "root"), ("c", "root"), ("d", "left"),
+    ]
+
+
+def test_sequence_with_closure_element(kg):
+    got = sorted(
+        (r["x"], r["l"])
+        for r in bgp_match_paths(
+            kg, [("?x", "broader+/label", "?l")]
+        ).collect()
+    )
+    # d's proper ancestors are b and a -> labels left and root
+    assert ("d", "left") in got and ("d", "root") in got
+
+
+def test_ground_sequence_is_existence_check(kg):
+    out = bgp_match_paths(kg, [("d", "broader/broader", "a")])
+    assert out.columns == ["matched"]
+    assert out.count() == 1
+
+
+def test_alternation_is_bag_union_of_branches(kg):
+    got = bgp_match_paths(kg, [("?x", "broader|label", "?o")])
+    n_broader = bgp_match(kg, [("?x", "broader", "?o")]).count()
+    n_label = bgp_match(kg, [("?x", "label", "?o")]).count()
+    assert got.count() == n_broader + n_label
+
+
+def test_alternation_with_inverse_branch(kg):
+    got = sorted(
+        (r["x"], r["o"])
+        for r in bgp_match_paths(kg, [("b", "broader|^broader", "?o")])
+        .selectExpr("'b' as x", "o")
+        .collect()
+    )
+    # b broader a, plus inverse: d broader b -> o=d
+    assert got == [("b", "a"), ("b", "d")]
+
+
+def test_alternation_rejects_closure_branch(kg):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alternation"):
+        bgp_match_paths(kg, [("?x", "broader|label+", "?o")]).collect()
+
+
+def test_alternation_invisible_to_variable_predicate(kg):
+    got = bgp_match_paths(
+        kg, [("?x", "broader|label", "?y"), ("?y", "?p", "?o")]
+    ).collect()
+    assert got and all("|" not in r["p"] for r in got)
+
+
+def test_paths_in_not_exists_group(kg):
+    # concepts with a label that are NOT descendants of a
+    got = bgp_match_paths(
+        kg,
+        [("?x", "label", "?l")],
+        not_exists=[[("?x", "broader+", "a")]],
+    ).collect()
+    assert sorted(r["x"] for r in got) == ["a"]
+
+
+def test_construct_over_paths_materializes_ancestor_edges(kg):
+    out = bgp_construct(
+        kg,
+        [("?x", "broader+", "?y")],
+        [("?x", "ancestor", "?y")],
+        paths=True,
+    )
+    got = {(r["subject"], r["object"]) for r in out.collect()}
+    assert got == {
+        ("b", "a"), ("c", "a"), ("d", "b"), ("d", "a"), ("e", "e"),
+    }
+    assert {r["predicate"] for r in out.collect()} == {"ancestor"}
