@@ -27,10 +27,16 @@ from ontology_mapping_spark.functions.vectors import cosine_col, make_embed_udf
 
 
 def ambiguous_keys(mentions: DataFrame) -> DataFrame:
-    """(url, surface) keys claimed by >1 uri — ONE partial+final
-    countDistinct over the mention table, shared by every consumer
-    (``ambiguous_mentions`` and both sides of ``resolve_mentions``) so
-    the corpus-scale aggregate never appears twice in a plan."""
+    """(url, surface) keys claimed by >1 uri — the partial+final
+    countDistinct over the mention table, defined ONCE and shared by
+    every consumer (``ambiguous_mentions``, both sides of
+    ``resolve_mentions``). Sharing the definition keeps the semantics in
+    one place; Spark may still recompute the subtree per plan branch
+    (ReuseExchange is physical-plan luck), which is fine in the pipeline
+    because ``mentions`` is a StageRunner-materialized parquet table —
+    each branch re-scans files, not a recomputed upstream job. Callers
+    composing over a NON-materialized corpus-scale mention frame should
+    persist it (or these keys) first."""
     return (
         mentions.groupBy("url", "surface")
         .agg(F.countDistinct("uri").alias("n_uris"))
@@ -120,8 +126,11 @@ def resolve_mentions(
     winning uri's row survives. NO mention key is ever dropped: an
     ambiguous key that context scoring cannot decide (its page is absent
     from ``pages_text``, or none of its candidate uris has a concept
-    vector) falls back to the lexicographically smallest uri — a
-    deterministic pick, same tie-break direction as the scored path."""
+    vector) falls back to the lexicographically LARGEST uri — the same
+    tie-break direction the scored path's max(struct(score, uri)) applies
+    to equal scores, so which code path ran never flips a tied outcome.
+    Both paths keep EVERY mention row of the winning uri (a uri repeated
+    with different payload columns keeps all its rows)."""
     keys = ambiguous_keys(mentions)
     best = disambiguate_mentions(
         mentions,
@@ -133,23 +142,17 @@ def resolve_mentions(
     ).select("url", "surface", "uri")
     unambiguous = mentions.join(keys, ["url", "surface"], "left_anti")
     winners = mentions.join(best, ["url", "surface", "uri"])
-    # ambiguous keys with no scored winner: min-uri fallback so the
-    # mention survives resolution instead of silently vanishing
+    # ambiguous keys with no scored winner: deterministic max-uri fallback
+    # so the mention survives resolution instead of silently vanishing;
+    # join the CHOICE back to the mention table so every row of the chosen
+    # uri survives — identical multiplicity contract to the winners path
     unscored = keys.join(
         best.select("url", "surface"), ["url", "surface"], "left_anti"
     )
-    rest = [c for c in mentions.columns if c not in ("url", "surface", "uri")]
-    packed = F.struct(F.col("uri"), *[F.col(c) for c in rest])
-    fallback = (
+    fb_choice = (
         mentions.join(unscored, ["url", "surface"])
         .groupBy("url", "surface")
-        .agg(F.min(packed).alias("__w"))
-        .select(
-            "url",
-            "surface",
-            F.col("__w.uri").alias("uri"),
-            *[F.col(f"__w.{c}").alias(c) for c in rest],
-        )
-        .select(*mentions.columns)
+        .agg(F.max("uri").alias("uri"))
     )
+    fallback = mentions.join(fb_choice, ["url", "surface", "uri"])
     return unambiguous.unionByName(winners).unionByName(fallback)

@@ -52,6 +52,19 @@ def is_var(term: str) -> bool:
     return term.startswith("?")
 
 
+def is_iri_ref(term: str) -> bool:
+    """'<...>'-wrapped term: an opaque IRI constant, per SPARQL surface
+    syntax. The wrapper is the escape hatch that keeps real-world IRI
+    predicates (which legally contain '/', and could contain '^'/'|'/'+')
+    out of the property-path mini-grammar; the stored triple value is the
+    BARE iri — the brackets are stripped before matching."""
+    return len(term) >= 2 and term.startswith("<") and term.endswith(">")
+
+
+def _strip_iri(term: str) -> str:
+    return term[1:-1] if is_iri_ref(term) else term
+
+
 def _pattern_df(
     triples: DataFrame,
     pat: Pattern,
@@ -84,7 +97,7 @@ def _pattern_df(
             else:
                 first_pos_of[name] = pos
         else:
-            df = df.filter(F.col(pos) == F.lit(term))
+            df = df.filter(F.col(pos) == F.lit(_strip_iri(term)))
     cols = [F.col(pos).alias(name) for name, pos in first_pos_of.items()]
     if not cols:
         # fully-ground pattern: contributes an existence check (1 row per
@@ -191,7 +204,11 @@ def bgp_match(
 
     ``triples`` has columns (subject, predicate, object); ``patterns`` is a
     non-empty sequence of (s, p, o) terms where '?name' marks a variable
-    and anything else is a constant. Returns one row per solution mapping
+    and anything else is a constant ('<...>'-wrapped constants match the
+    bare IRI inside, per SPARQL surface syntax — and in
+    ``bgp_match_paths`` the wrapper also shields IRIs containing
+    '/', '^', '|', '+', '*' from path interpretation). Returns one row
+    per solution mapping
     (bag semantics: duplicate triples produce duplicate solutions, exactly
     as the equivalent SQL self-join would), one column per variable, or
     the ``select`` projection.
@@ -345,12 +362,25 @@ def expand_path_patterns(
     """
     out: list[Pattern] = []
     for s, p, o in patterns:
-        if is_var(p) or "/" not in p:
+        # '^<iri>' is inverse-of-opaque: check iri-ref-ness past the '^'
+        core = p[1:] if (not is_var(p) and p.startswith("^")) else p
+        if is_var(p) or is_iri_ref(core) or "/" not in p:
             steps = [(s, p, o)]
         else:
+            if "|" in p:
+                # SPARQL precedence: '|' binds LOOSEST, so 'a|b/c' is
+                # a|(b/c) — not expressible by this flat splitter; make
+                # the ambiguity loud instead of guessing
+                raise ValueError(
+                    f"mixed alternation and sequence in one path ({p!r}) "
+                    "is not supported; rewrite as a UNION of path groups"
+                )
             elems = p.split("/")
             if any(not e for e in elems):
-                raise ValueError(f"empty element in path {p!r}")
+                raise ValueError(
+                    f"empty element in path {p!r}; write IRI predicates "
+                    "containing '/' as '<iri>' to keep them opaque"
+                )
             hops = [s]
             for _ in elems[:-1]:
                 hops.append(f"?__path{counter[0]}")
@@ -360,7 +390,14 @@ def expand_path_patterns(
                 (hops[i], e, hops[i + 1]) for i, e in enumerate(elems)
             ]
         for ss, pp, oo in steps:
-            if not is_var(pp) and pp.startswith("^"):
+            if (
+                not is_var(pp)
+                and pp.startswith("^")
+                and (is_iri_ref(pp[1:]) or "|" not in pp)
+            ):
+                # whole-element inverse; '^a|b' is NOT whole-element —
+                # SPARQL binds '^' tighter than '|', so it stays a term
+                # and the alternation parser inverts the ^a branch only
                 out.append((oo, pp[1:], ss))
             else:
                 out.append((ss, pp, oo))
@@ -392,17 +429,20 @@ def with_path_closures(
     path_preds = {
         p
         for (_s, p, _o) in patterns
-        if not is_var(p) and len(p) > 1 and p[-1] in "+*"
+        if not is_var(p)
+        and not is_iri_ref(p)
+        and len(p) > 1
+        and p[-1] in "+*"
     }
     aug = triples
     for pp in sorted(path_preds):
         base = pp[:-1]
-        if "|" in base:
+        if "|" in base and not is_iri_ref(base):
             raise ValueError(
                 f"closure over an alternation ({pp!r}) is not supported; "
                 "rewrite as a UNION of path groups"
             )
-        edges = triples.filter(F.col("predicate") == base).select(
+        edges = triples.filter(F.col("predicate") == _strip_iri(base)).select(
             F.col("subject").alias("child"), F.col("object").alias("parent")
         )
         clo = G.transitive_closure(edges, max_iters=max_iters)
@@ -437,7 +477,10 @@ def with_path_closures(
     alt_preds = {
         p
         for (_s, p, _o) in patterns
-        if not is_var(p) and "|" in p and p not in path_preds
+        if not is_var(p)
+        and not is_iri_ref(p)
+        and "|" in p
+        and p not in path_preds
     }
     for ap in sorted(alt_preds):
         rows = None
@@ -450,7 +493,7 @@ def with_path_closures(
                     "not supported; rewrite as a UNION of path groups"
                 )
             inv = branch.startswith("^")
-            name = branch[1:] if inv else branch
+            name = _strip_iri(branch[1:] if inv else branch)
             scan = triples.filter(F.col("predicate") == name)
             part = scan.select(
                 F.col("object" if inv else "subject").alias("subject"),
@@ -580,7 +623,7 @@ def bgp_construct(
                     f"(bound: {sorted(bound)})"
                 )
             return F.col(name)
-        return F.lit(t)
+        return F.lit(_strip_iri(t))
 
     parts = []
     for s, p, o in template:

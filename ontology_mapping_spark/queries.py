@@ -2707,6 +2707,19 @@ def _part_tree_broader(spark, sf):
     )
 
 
+def _part_tree_labels(spark, sf):
+    """The part-tree 'label' triples (p:k -> p_name) paired with
+    :func:`_part_tree_broader`."""
+    part = _t(spark, sf, "part")
+    return part.select(
+        F.concat(F.lit("p:"), F.col("p_partkey").cast("string")).alias(
+            "subject"
+        ),
+        F.lit("label").alias("predicate"),
+        F.col("p_name").alias("object"),
+    )
+
+
 @query(
     "kg_bgp_match",
     """WITH tr AS (
@@ -2729,23 +2742,9 @@ def q_kg_bgp(spark, sf):
     # literal SQL self-join the compiler must agree with
     from ontology_mapping_spark.operators.kgquery import bgp_match
 
-    part = _t(spark, sf, "part")
-    pk = F.col("p_partkey")
-    node = F.concat(F.lit("p:"), pk.cast("string"))
-    broader = part.filter(pk >= 2).select(
-        node.alias("subject"),
-        F.lit("broader").alias("predicate"),
-        F.concat(
-            F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
-        ).alias("object"),
-    )
-    labels = part.select(
-        node.alias("subject"),
-        F.lit("label").alias("predicate"),
-        F.col("p_name").alias("object"),
-    )
+    tr = _part_tree_broader(spark, sf).unionByName(_part_tree_labels(spark, sf))
     return bgp_match(
-        broader.unionByName(labels),
+        tr,
         [("?x", "broader", "?y"), ("?y", "broader", "?z"), ("?x", "label", "?xl")],
     )
 
@@ -2772,23 +2771,9 @@ def q_kg_bgp_paths(spark, sf):
     # oracle re-derives reachability with a recursive CTE.
     from ontology_mapping_spark.operators.kgquery import bgp_match_paths
 
-    part = _t(spark, sf, "part")
-    pk = F.col("p_partkey")
-    node = F.concat(F.lit("p:"), pk.cast("string"))
-    broader = part.filter(pk >= 2).select(
-        node.alias("subject"),
-        F.lit("broader").alias("predicate"),
-        F.concat(
-            F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
-        ).alias("object"),
-    )
-    labels = part.select(
-        node.alias("subject"),
-        F.lit("label").alias("predicate"),
-        F.col("p_name").alias("object"),
-    )
+    tr = _part_tree_broader(spark, sf).unionByName(_part_tree_labels(spark, sf))
     return bgp_match_paths(
-        broader.unionByName(labels),
+        tr,
         [("?x", "broader+", "?a"), ("?a", "label", "?al")],
     )
 
@@ -3177,17 +3162,8 @@ def q_kg_bgp_construct(spark, sf):
     # collapse — mirrored by the oracle's DISTINCT two-hop core.
     from ontology_mapping_spark.operators.kgquery import bgp_construct
 
-    part = _t(spark, sf, "part")
-    pk = F.col("p_partkey")
-    broader = part.filter(pk >= 2).select(
-        F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
-        F.lit("broader").alias("predicate"),
-        F.concat(
-            F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
-        ).alias("object"),
-    )
     return bgp_construct(
-        broader,
+        _part_tree_broader(spark, sf),
         [("?x", "broader", "?y"), ("?y", "broader", "?z")],
         [("?x", "grandparent", "?z"), ("?z", "grandchild", "?x")],
     )
@@ -3239,15 +3215,9 @@ def q_kg_bgp_values_minus(spark, sf):
     # NOT EXISTS (equivalent here: ?x is always bound).
     from ontology_mapping_spark.operators.kgquery import bgp_match
 
-    part = _t(spark, sf, "part")
-    labels = part.select(
-        F.concat(F.lit("p:"), F.col("p_partkey").cast("string")).alias(
-            "subject"
-        ),
-        F.lit("label").alias("predicate"),
-        F.col("p_name").alias("object"),
+    tr = _part_tree_broader(spark, sf).unionByName(
+        _part_tree_labels(spark, sf)
     )
-    tr = _part_tree_broader(spark, sf).unionByName(labels)
     return bgp_match(
         tr,
         [("?x", "label", "?l")],
@@ -3274,15 +3244,9 @@ def q_kg_bgp_path_forms(spark, sf):
     # directly: every child contributes (its parent, its label).
     from ontology_mapping_spark.operators.kgquery import bgp_match_paths
 
-    part = _t(spark, sf, "part")
-    labels = part.select(
-        F.concat(F.lit("p:"), F.col("p_partkey").cast("string")).alias(
-            "subject"
-        ),
-        F.lit("label").alias("predicate"),
-        F.col("p_name").alias("object"),
+    tr = _part_tree_broader(spark, sf).unionByName(
+        _part_tree_labels(spark, sf)
     )
-    tr = _part_tree_broader(spark, sf).unionByName(labels)
     return bgp_match_paths(tr, [("?x", "^broader/label", "?l")])
 
 

@@ -69,6 +69,16 @@ def merged_batch_id(
     ``checkpoint_dir`` to scope the answer: the recorded id is returned
     only when the marker was written by the same checkpoint; with
     ``checkpoint_dir=None`` the raw recorded id is returned (inspection).
+
+    Checkpoint identity is ``os.path.realpath`` (symlinks resolve to one
+    canonical path), but a RELATIVE checkpoint_dir still canonicalizes
+    through the driver's cwd — pass absolute paths so a cwd change across
+    restarts can't split one lineage into two. A marker that carries a
+    batch_id but no checkpoint (written before lineage scoping existed)
+    answers for ANY checkpoint: for a pre-existing state the conservative
+    reading is "already merged" — skipping a replay is recoverable
+    (re-drop the files under a fresh checkpoint), double-merging support
+    is not; the next merge upgrades the marker in place.
     """
     from ontology_mapping_spark.operators.kgmaint import recover_state
 
@@ -80,8 +90,10 @@ def merged_batch_id(
         return None
     with open(marker) as f:
         meta = json.load(f)
-    if checkpoint_dir is not None and meta.get("checkpoint") != os.path.abspath(
-        checkpoint_dir
+    if (
+        checkpoint_dir is not None
+        and "checkpoint" in meta
+        and meta["checkpoint"] != os.path.realpath(checkpoint_dir)
     ):
         return None
     return meta.get("batch_id")
@@ -109,7 +121,7 @@ def stream_upsert_kg_state(
             # batch 0 and must not be mistaken for a replay
             commit_meta={
                 "batch_id": batch_id,
-                "checkpoint": os.path.abspath(checkpoint_dir),
+                "checkpoint": os.path.realpath(checkpoint_dir),
             },
             return_count=False,  # per-batch full state re-scan, discarded
         )

@@ -98,7 +98,8 @@ def test_ambiguous_subset_and_plan(spark):
 def test_resolve_keeps_unscorable_ambiguous_mentions(spark):
     """An ambiguous mention whose page has no text row (or whose candidates
     have no concept vector) must survive resolution via the deterministic
-    min-uri fallback — never silently vanish from the resolved table."""
+    max-uri fallback (the scored path's tie-break direction) — never
+    silently vanish from the resolved table."""
     pages, mentions, vecs = _dfs(spark)
     # p1 disappears from the text corpus -> its 'cat' mention can't be
     # context-scored; p2 keeps its scored winner
@@ -107,7 +108,7 @@ def test_resolve_keeps_unscorable_ambiguous_mentions(spark):
         (r["url"], r["surface"]): r["uri"]
         for r in resolve_mentions(mentions, pages_missing, vecs).collect()
     }
-    assert out[("p1", "cat")] == "u:catA"  # min-uri fallback, deterministic
+    assert out[("p1", "cat")] == "u:catB"  # max-uri fallback, deterministic
     assert out[("p2", "cat")] == "u:catB"  # scored path unaffected
     assert out[("p3", "dog")] == "u:dog"
     assert len(out) == 3
@@ -118,6 +119,26 @@ def test_resolve_keeps_unscorable_ambiguous_mentions(spark):
         (r["url"], r["surface"]): r["uri"]
         for r in resolve_mentions(mentions, pages, vecs_dogonly).collect()
     }
-    assert out2[("p1", "cat")] == "u:catA"
-    assert out2[("p2", "cat")] == "u:catA"  # fallback on both now
+    assert out2[("p1", "cat")] == "u:catB"
+    assert out2[("p2", "cat")] == "u:catB"  # fallback on both now
     assert len(out2) == 3
+
+
+def test_resolve_fallback_keeps_all_rows_of_chosen_uri(spark):
+    """Multiplicity contract: like the scored-winner path, the fallback
+    keeps EVERY mention row of the chosen uri (e.g. distinct spans), not
+    one arbitrary representative."""
+    pages, _m, vecs = _dfs(spark)
+    mentions = spark.createDataFrame(
+        [
+            ("p9", "u:catA", "cat", 1),
+            ("p9", "u:catB", "cat", 2),
+            ("p9", "u:catB", "cat", 7),  # chosen uri appears twice
+        ],
+        "url string, uri string, surface string, span int",
+    )
+    out = resolve_mentions(mentions, pages, vecs).collect()  # p9 unscorable
+    assert sorted((r["uri"], r["span"]) for r in out) == [
+        ("u:catB", 2),
+        ("u:catB", 7),
+    ]

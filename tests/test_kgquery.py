@@ -555,3 +555,74 @@ def test_construct_over_paths_materializes_ancestor_edges(kg):
         ("b", "a"), ("c", "a"), ("d", "b"), ("d", "a"), ("e", "e"),
     }
     assert {r["predicate"] for r in out.collect()} == {"ancestor"}
+
+
+def test_mixed_alternation_sequence_raises(kg):
+    """SPARQL precedence makes 'a|b/c' mean a|(b/c); the flat splitter
+    cannot express that, so the ambiguity is loud, not guessed."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mixed alternation"):
+        bgp_match_paths(kg, [("?x", "broader|label/label", "?o")])
+
+
+def test_caret_binds_tighter_than_alternation(kg):
+    """'^a|b' is (^a)|b per the SPARQL grammar — the inverse applies to
+    the a branch only, not the whole alternation."""
+    got = sorted(
+        (r["x"], r["o"])
+        for r in bgp_match_paths(kg, [("?x", "^broader|label", "?o")])
+        .collect()
+    )
+    inv = [(r["o"], r["x"]) for r in bgp_match(kg, [("?x", "broader", "?o")]).collect()]
+    lab = [(r["x"], r["o"]) for r in bgp_match(kg, [("?x", "label", "?o")]).collect()]
+    assert got == sorted(inv + lab)
+
+
+@pytest.fixture(scope="module")
+def iri_kg(spark):
+    rows = [
+        ("s1", "http://schema.org/name", "Alice"),
+        ("s2", "http://schema.org/name", "Bob"),
+        ("s1", "a^b|c", "weird"),
+    ]
+    return spark.createDataFrame(
+        rows, "subject string, predicate string, object string"
+    )
+
+
+def test_iri_ref_predicate_is_opaque_in_paths(iri_kg):
+    """'<...>'-wrapped constants shield real-world IRIs (which legally
+    contain '/') from the path mini-grammar; the bare IRI is matched."""
+    got = bgp_match_paths(
+        iri_kg, [("?x", "<http://schema.org/name>", "?n")]
+    ).collect()
+    assert sorted(r["n"] for r in got) == ["Alice", "Bob"]
+    # unwrapped, the same term is a path expression and raises on '//'
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty element"):
+        bgp_match_paths(iri_kg, [("?x", "http://schema.org/name", "?n")])
+
+
+def test_iri_ref_shields_path_metachars(iri_kg):
+    got = bgp_match_paths(iri_kg, [("?x", "<a^b|c>", "?o")]).collect()
+    assert [(r["x"], r["o"]) for r in got] == [("s1", "weird")]
+
+
+def test_iri_ref_inverse_composes(iri_kg):
+    got = bgp_match_paths(
+        iri_kg, [("Alice", "^<http://schema.org/name>", "?s")]
+    ).collect()
+    assert [r["s"] for r in got] == ["s1"]
+
+
+def test_iri_ref_in_plain_match_and_construct(iri_kg):
+    got = bgp_match(iri_kg, [("?x", "<http://schema.org/name>", "?n")])
+    assert got.count() == 2
+    out = bgp_construct(
+        iri_kg,
+        [("?x", "<http://schema.org/name>", "?n")],
+        [("?x", "<http://xmlns.com/foaf/0.1/name>", "?n")],
+    ).collect()
+    assert {r["predicate"] for r in out} == {"http://xmlns.com/foaf/0.1/name"}
