@@ -17,7 +17,9 @@ consumable from Spark without a separate triple store:
                         inverse '^pred', sequence 'p1/p2', alternation
                         'a|b';
 * ``bgp_construct``   — CONSTRUCT: rule-based materialization of new
-                        triples from solutions (optionally over paths).
+                        triples from solutions (optionally over paths);
+* ``bgp_ask``         — ASK: lazy existence test, LIMIT-1-bounded;
+* ``describe_node``   — DESCRIBE: depth-1 bounded description scan.
 
 Scale notes (10^12-triple KG):
 * Each pattern compiles to ONE filtered scan of the triple table. Constant
@@ -643,3 +645,57 @@ def bgp_construct(
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out.distinct() if distinct else out
+
+
+def bgp_ask(
+    triples: DataFrame,
+    patterns: Sequence[Pattern],
+    allow_product: bool = False,
+    paths: bool = False,
+    optional: Sequence[Sequence[Pattern]] = (),
+    filter_expr: str | Sequence[str] | None = None,
+    not_exists: Sequence[Sequence[Pattern]] = (),
+    minus: Sequence[Sequence[Pattern]] = (),
+    values: DataFrame | Sequence[dict] | None = None,
+) -> DataFrame:
+    """SPARQL ``ASK``: does at least one solution exist?
+
+    Returns a LAZY one-column DataFrame ``(ask: boolean)`` with exactly
+    one row — true or false — so the existence test stays a plan until
+    the caller acts on it (``.first()["ask"]`` for the scalar). Plan
+    shape: the solution tree capped by LIMIT 1 (Spark stops the scan at
+    the first produced row — a CollectLimit, not a full count), then a
+    count-nonzero projection; cost is bounded by finding ONE solution,
+    not enumerating all of them.
+    """
+    matcher = bgp_match_paths if paths else bgp_match
+    sols = matcher(
+        triples,
+        patterns,
+        allow_product=allow_product,
+        optional=optional,
+        filter_expr=filter_expr,
+        not_exists=not_exists,
+        minus=minus,
+        values=values,
+    )
+    return (
+        sols.limit(1)
+        .select(F.lit(1).alias("__one"))
+        .agg((F.count("__one") > 0).alias("ask"))
+    )
+
+
+def describe_node(triples: DataFrame, node: str) -> DataFrame:
+    """SPARQL ``DESCRIBE <node>`` (concise-bounded-description, depth 1):
+    every triple in which the node appears as subject or object.
+
+    One OR-filtered scan of the triple table — both disjuncts push down
+    to the parquet/Iceberg scan, and with the subject-or-object value as
+    a constant the row-group min/max stats prune most files. '<...>'
+    wrapping is accepted and stripped, as everywhere else.
+    """
+    n = _strip_iri(node)
+    return triples.filter(
+        (F.col("subject") == F.lit(n)) | (F.col("object") == F.lit(n))
+    )

@@ -626,3 +626,38 @@ def test_iri_ref_in_plain_match_and_construct(iri_kg):
         [("?x", "<http://xmlns.com/foaf/0.1/name>", "?n")],
     ).collect()
     assert {r["predicate"] for r in out} == {"http://xmlns.com/foaf/0.1/name"}
+
+
+def test_ask_true_false_and_lazy_shape(kg):
+    from ontology_mapping_spark.operators.kgquery import bgp_ask
+
+    assert bgp_ask(kg, [("d", "broader", "?y")]).first()["ask"] is True
+    assert bgp_ask(kg, [("a", "broader", "?y")]).first()["ask"] is False
+    # paths + negation compose through the same matcher
+    assert bgp_ask(kg, [("d", "broader+", "a")], paths=True).first()["ask"]
+    assert (
+        bgp_ask(
+            kg, [("?x", "label", "?l")], not_exists=[[("?x", "broader", "?p")]]
+        ).first()["ask"]
+        is True
+    )
+    plan = (
+        bgp_ask(kg, [("?x", "broader", "?y")])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CollectLimit" in plan or "LocalLimit" in plan  # stops at 1 row
+
+
+def test_describe_node_both_directions(kg):
+    from ontology_mapping_spark.operators.kgquery import describe_node
+
+    got = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in describe_node(kg, "b").collect()
+    }
+    assert got == {
+        ("b", "broader", "a"),
+        ("d", "broader", "b"),
+        ("b", "label", "left"),
+    }
+    assert describe_node(kg, "<b>").count() == describe_node(kg, "b").count()
