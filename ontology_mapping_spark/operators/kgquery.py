@@ -19,7 +19,16 @@ consumable from Spark without a separate triple store:
 * ``bgp_construct``   — CONSTRUCT: rule-based materialization of new
                         triples from solutions (optionally over paths);
 * ``bgp_ask``         — ASK: lazy existence test, LIMIT-1-bounded;
-* ``describe_node``   — DESCRIBE: depth-1 bounded description scan.
+* ``describe_node``   — DESCRIBE: depth-1 bounded description scan;
+* ``bgp_select`` /
+  ``solution_modifiers`` — SELECT with the full modifier pipeline:
+                        BIND, GROUP BY + aggregates (COUNT/SUM/AVG/MIN/
+                        MAX/SAMPLE/GROUP_CONCAT), HAVING, DISTINCT,
+                        ORDER BY, OFFSET/LIMIT — aggregates map-side-
+                        combined, ordered LIMIT a TakeOrderedAndProject;
+* ``update_graph``    — UPDATE: DELETE/INSERT WHERE as one broadcast
+                        anti-join + plan-level union (set semantics,
+                        idempotent).
 
 Scale notes (10^12-triple KG):
 * Each pattern compiles to ONE filtered scan of the triple table. Constant
@@ -614,6 +623,18 @@ def bgp_construct(
         minus=minus,
         values=values,
     )
+    out = _instantiate_templates(sols, template)
+    return out.distinct() if distinct else out
+
+
+def _instantiate_templates(
+    sols: DataFrame, template: Sequence[Pattern]
+) -> DataFrame:
+    """Emit one (subject, predicate, object) row per solution per template
+    triple (bag — callers dedup where graph-set semantics apply).
+    Solutions with an unbound (NULL) variable in a template position drop
+    that template triple, per the SPARQL spec. Shared by ``bgp_construct``
+    and the UPDATE forms (``update_graph``)."""
     bound = set(sols.columns)
 
     def term(t: str):
@@ -644,7 +665,7 @@ def bgp_construct(
     out = parts[0]
     for p_ in parts[1:]:
         out = out.unionByName(p_)
-    return out.distinct() if distinct else out
+    return out
 
 
 def bgp_ask(
@@ -684,6 +705,301 @@ def bgp_ask(
         .select(F.lit(1).alias("__one"))
         .agg((F.count("__one") > 0).alias("ask"))
     )
+
+
+_AGG_FUNCS = (
+    "count",
+    "count_distinct",
+    "sum",
+    "avg",
+    "min",
+    "max",
+    "sample",
+    "group_concat",
+)
+
+
+def _var_name(term: str) -> str:
+    """'?x' -> 'x' (plain names pass through, for symmetry with select=)."""
+    return term[1:] if term.startswith("?") else term
+
+
+def _agg_column(func: str, var: str, alias: str):
+    """One SPARQL aggregate -> a Spark aggregate Column.
+
+    ``func`` is one of ``_AGG_FUNCS``; ``group_concat`` takes an optional
+    separator after ':' (``'group_concat:;'``; the SPARQL default is a
+    single space). Determinism choices, pinned here because the gate
+    hashes values: GROUP_CONCAT sorts its group before joining (SPARQL
+    leaves the order undefined — an undefined order is useless for a
+    reproducible pipeline), and SAMPLE is the group minimum (the spec
+    allows any member; min is the one choice that is retry- and
+    partitioning-stable). Every form is partial-aggregable, so Spark
+    runs it map-side-combined (partial_... + merge_...)."""
+    name = _var_name(alias)
+    sep = " "
+    if func.startswith("group_concat:"):
+        func, _, sep = func.partition(":")
+    if func not in _AGG_FUNCS:
+        raise ValueError(
+            f"unknown aggregate {func!r}; expected one of {_AGG_FUNCS} "
+            "(group_concat may carry ':<sep>')"
+        )
+    if var == "*":
+        if func != "count":
+            raise ValueError(f"'*' is only valid with count, got {func!r}")
+        return F.count(F.lit(1)).alias(name)
+    col = F.col(_var_name(var))
+    if func == "count":
+        return F.count(col).alias(name)
+    if func == "count_distinct":
+        return F.count_distinct(col).alias(name)
+    if func == "sample":
+        return F.min(col).alias(name)
+    if func == "group_concat":
+        return F.array_join(F.sort_array(F.collect_list(col)), sep).alias(
+            name
+        )
+    return getattr(F, func)(col).alias(name)
+
+
+def solution_modifiers(
+    sols: DataFrame,
+    *,
+    bind: Sequence[tuple[str, str]] | None = None,
+    group_by: Sequence[str] | None = None,
+    aggregates: Sequence[tuple[str, str, str]] | None = None,
+    having: str | None = None,
+    select: Sequence[str] | None = None,
+    distinct: bool = False,
+    order_by: Sequence[str] | None = None,
+    limit: int | None = None,
+    offset: int | None = None,
+) -> DataFrame:
+    """SPARQL 1.1 solution modifiers over a solution DataFrame (one column
+    per variable — the output of ``bgp_match`` / ``bgp_union`` /
+    ``bgp_match_paths``, or any DataFrame shaped like one).
+
+    Applied in the spec's evaluation order (SPARQL 1.1 §18.2.4-18.2.5):
+
+    * ``bind`` — ordered (``?var``, sql_expr) pairs, each a SPARQL
+      ``BIND(expr AS ?var)``: the expression (over the columns bound so
+      far, including earlier binds) extends every solution. This is where
+      plain-literal objects become numbers for sum/avg
+      (``("?w", "CAST(weight AS DOUBLE)")``).
+    * ``group_by`` + ``aggregates`` — ``aggregates`` is a sequence of
+      (func, ?var-or-'*', ?alias) triples, func in ``_AGG_FUNCS``
+      (``group_concat`` may carry ':<sep>'). ``aggregates`` without
+      ``group_by`` is the single-group form (one global row);
+      ``group_by`` without ``aggregates`` is rejected (SPARQL projects
+      only grouped/aggregated variables — an implicit SAMPLE would hide a
+      bug). ``having`` filters groups by an SQL expression over the
+      grouped keys and aggregate aliases.
+    * ``select`` — projection (defaults to everything bound).
+    * ``distinct`` — DISTINCT over the projection.
+    * ``order_by`` — '?var' / '?var DESC' keys. Callers wanting a
+      deterministic LIMIT slice must make the order total (add tiebreak
+      keys): ties under a partial order are partitioning-dependent.
+    * ``offset`` / ``limit`` — the slice of the ordered sequence.
+
+    Deviation from the spec's letter, for a reason: the spec orders the
+    sequence BEFORE projecting/deduplicating; this compiles DISTINCT
+    first, then ORDER BY — identical results whenever the order keys are
+    projected (which SPARQL itself requires of DISTINCT queries), and it
+    lets Spark plan ORDER BY + LIMIT as a TakeOrderedAndProject (per-
+    partition top-k, one singleton merge — no global sort) instead of
+    sorting before a shuffling dedup.
+
+    Scale notes: every aggregate here is partial-aggregable (incl.
+    group_concat's collect_list), so the groupBy is one hash-partition
+    exchange with map-side combine; a bare LIMIT without ORDER BY is a
+    CollectLimit (scan stops early); OFFSET ships with its LIMIT in one
+    GlobalLimit — rows are skipped at the merge, never materialized."""
+    out = sols
+    if bind:
+        for v, e in bind:
+            name = _var_name(v)
+            if name in out.columns:
+                raise ValueError(
+                    f"BIND target ?{name} is already bound (SPARQL forbids "
+                    "rebinding); project it away first"
+                )
+            out = out.withColumn(name, F.expr(e))
+    if aggregates:
+        keys = [_var_name(g) for g in (group_by or ())]
+        missing = [k for k in keys if k not in out.columns]
+        if missing:
+            raise ValueError(f"group_by references unbound variables: {missing}")
+        aggs = [_agg_column(f, v, a) for (f, v, a) in aggregates]
+        out = out.groupBy(*keys).agg(*aggs)
+        if having is not None:
+            out = out.filter(F.expr(having))
+    elif group_by:
+        raise ValueError(
+            "group_by without aggregates: SPARQL projects only grouped or "
+            "aggregated variables — add aggregates, or use distinct=True "
+            "for plain dedup"
+        )
+    elif having is not None:
+        raise ValueError("HAVING requires aggregation (SPARQL 1.1 §18.2.4.4)")
+    if select is not None:
+        names = [_var_name(s) for s in select]
+        missing = [n for n in names if n not in out.columns]
+        if missing:
+            raise ValueError(f"select references unbound variables: {missing}")
+        out = out.select(*names)
+    if distinct:
+        out = out.distinct()
+    if order_by:
+        keys = []
+        for o in order_by:
+            parts = o.split()
+            if len(parts) > 2 or (
+                len(parts) == 2 and parts[1].upper() not in ("ASC", "DESC")
+            ):
+                raise ValueError(f"order_by key must be '?var [ASC|DESC]', got {o!r}")
+            c = F.col(_var_name(parts[0]))
+            keys.append(
+                c.desc() if len(parts) == 2 and parts[1].upper() == "DESC" else c.asc()
+            )
+        out = out.orderBy(*keys)
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def bgp_select(
+    triples: DataFrame,
+    patterns: Sequence[Pattern],
+    *,
+    paths: bool = False,
+    allow_product: bool = False,
+    optional: Sequence[Sequence[Pattern]] = (),
+    filter_expr: str | Sequence[str] | None = None,
+    not_exists: Sequence[Sequence[Pattern]] = (),
+    minus: Sequence[Sequence[Pattern]] = (),
+    values: DataFrame | Sequence[dict] | None = None,
+    bind: Sequence[tuple[str, str]] | None = None,
+    group_by: Sequence[str] | None = None,
+    aggregates: Sequence[tuple[str, str, str]] | None = None,
+    having: str | None = None,
+    select: Sequence[str] | None = None,
+    distinct: bool = False,
+    order_by: Sequence[str] | None = None,
+    limit: int | None = None,
+    offset: int | None = None,
+) -> DataFrame:
+    """SPARQL ``SELECT`` with the full modifier pipeline: match the BGP
+    (``bgp_match``, or ``bgp_match_paths`` when ``paths=True``), then apply
+    BIND / GROUP BY-aggregates / HAVING / projection / DISTINCT /
+    ORDER BY / OFFSET / LIMIT via :func:`solution_modifiers`.
+
+    The analytics face of the KG: "top 10 entities by mention count",
+    "labels per class, alphabetized", "average depth by branch" are each
+    one call — and one Spark job whose aggregate runs map-side-combined
+    and whose ordered LIMIT is a TakeOrderedAndProject, exactly the plan
+    you would hand-write at 10^12 triples."""
+    matcher = bgp_match_paths if paths else bgp_match
+    sols = matcher(
+        triples,
+        patterns,
+        allow_product=allow_product,
+        optional=optional,
+        filter_expr=filter_expr,
+        not_exists=not_exists,
+        minus=minus,
+        values=values,
+    )
+    return solution_modifiers(
+        sols,
+        bind=bind,
+        group_by=group_by,
+        aggregates=aggregates,
+        having=having,
+        select=select,
+        distinct=distinct,
+        order_by=order_by,
+        limit=limit,
+        offset=offset,
+    )
+
+
+def update_graph(
+    triples: DataFrame,
+    patterns: Sequence[Pattern],
+    delete: Sequence[Pattern] = (),
+    insert: Sequence[Pattern] = (),
+    *,
+    paths: bool = False,
+    allow_product: bool = False,
+    optional: Sequence[Sequence[Pattern]] = (),
+    filter_expr: str | Sequence[str] | None = None,
+    not_exists: Sequence[Sequence[Pattern]] = (),
+    minus: Sequence[Sequence[Pattern]] = (),
+    values: DataFrame | Sequence[dict] | None = None,
+) -> DataFrame:
+    """SPARQL UPDATE ``DELETE { } INSERT { } WHERE { }`` over the triple
+    table: returns the post-update graph (the caller owns persistence —
+    write it back through ``kgmaint.upsert_observations`` / StageRunner
+    for the atomic-swap + lineage story).
+
+    One solution pass feeds BOTH templates (matching SPARQL's evaluate-
+    WHERE-once-then-apply semantics — an inserted triple can never match
+    its own WHERE, and a deleted one still instantiates the INSERT
+    template). ``delete`` defaults to the shorthand ``DELETE WHERE``
+    (the patterns themselves are the delete template) when ``insert`` is
+    empty; pass both for the rename/rewrite idiom (e.g. retarget every
+    edge of a deprecated predicate).
+
+    Set semantics, as RDF Update specifies graphs: DELETE removes every
+    copy of a matched triple (anti-join on the full key), and INSERT
+    normalizes each of its triples to exactly one copy (existing
+    duplicates of an inserted triple collapse) — so an update is
+    idempotent: re-running it yields the identical graph.
+
+    Plan shape at 10^12 triples: the delete- and insert-sets are
+    solution-sized (dimension-sized, from a selective WHERE), so the
+    update is ONE broadcast anti-join over the graph scan — triples
+    matching either set drop, then the insert-set unions back in
+    plan-level. The graph is scanned once and never shuffled."""
+    if not delete and not insert:
+        if paths:
+            raise ValueError(
+                "DELETE WHERE shorthand cannot range over property paths "
+                "(closure rows are derived, not dataset triples); pass an "
+                "explicit delete template"
+            )
+        delete = tuple(patterns)
+    matcher = bgp_match_paths if paths else bgp_match
+    sols = matcher(
+        triples,
+        patterns,
+        allow_product=allow_product,
+        optional=optional,
+        filter_expr=filter_expr,
+        not_exists=not_exists,
+        minus=minus,
+        values=values,
+    )
+    key = ["subject", "predicate", "object"]
+    doomed = (
+        _instantiate_templates(sols, delete).distinct() if delete else None
+    )
+    fresh = (
+        _instantiate_templates(sols, insert).distinct() if insert else None
+    )
+    # one anti-join removes both the deleted triples and any existing
+    # copies of the inserted ones (multiplicity normalization); deletes
+    # apply before inserts, so a triple in both templates survives once
+    drop = doomed if fresh is None else (
+        fresh if doomed is None else doomed.unionByName(fresh).distinct()
+    )
+    out = triples.join(F.broadcast(drop), on=key, how="left_anti")
+    if fresh is not None:
+        out = out.unionByName(fresh)
+    return out
 
 
 def describe_node(triples: DataFrame, node: str) -> DataFrame:

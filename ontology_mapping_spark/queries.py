@@ -191,6 +191,16 @@ LOCAL_ONLY: frozenset = frozenset(
         # oracle stays in the local gate (equivalence also property-pinned
         # in test_graph_ops.py)
         "incremental_components_merge",
+        # parked for the SPARQL SELECT-modifier / UPDATE primaries
+        # (kg_select_agg, kg_update_delete_insert): group_collect_labels'
+        # collect-per-key core is kg_select_agg's group_concat; the 0-row
+        # anti_join_exclusion's broadcast anti-join is the update row's
+        # core shape with ~4k non-trivial rows
+        "group_collect_labels",
+        "anti_join_exclusion",
+        # DISTINCT + ORDER + OFFSET/LIMIT paging slice: the ordered-limit
+        # shape is curated via topk_per_group and kg_select_agg
+        "kg_select_slice",
     }
 )
 
@@ -3298,3 +3308,122 @@ def q_kg_state_stream_parity(spark, sf):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# shared CTE for the SPARQL SELECT-modifier / UPDATE gate rows: the same
+# synthetic part-tree KG as kg_bgp_* (broader edges + label triples)
+_KG_TREE_SQL = """tr AS (
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS subject,
+             'broader' AS predicate,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS object
+      FROM part WHERE p_partkey >= 2
+      UNION ALL
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR), 'label', p_name FROM part)"""
+
+
+@query(
+    "kg_select_agg",
+    f"""WITH {_KG_TREE_SQL}
+    SELECT object AS y,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           string_agg(subject, ';' ORDER BY subject) AS kids,
+           CAST(SUM(CAST(substring(subject, 3) AS BIGINT)) AS BIGINT) AS sum_k,
+           ROUND(AVG(CAST(substring(subject, 3) AS BIGINT)), 6) AS mean_k
+    FROM tr WHERE predicate = 'broader'
+    GROUP BY object HAVING COUNT(*) >= 2
+    ORDER BY n DESC, y LIMIT 100""",
+)
+def q_kg_select_agg(spark, sf):
+    # SPARQL SELECT with the full modifier pipeline (kgquery.bgp_select):
+    # children per parent through {?x broader ?y}, BIND lifting the child
+    # id to a number, GROUP BY ?y with COUNT / SUM / AVG / GROUP_CONCAT,
+    # HAVING, ORDER BY (total — n ties break on the unique ?y), LIMIT.
+    # Plan: one map-side-combined hash aggregate + TakeOrderedAndProject;
+    # the oracle is the literal SQL. group_concat determinism is pinned
+    # by sorting the group in BOTH engines (sort_array / ORDER BY inside
+    # string_agg); floats round to 6dp per the gate convention.
+    from ontology_mapping_spark.operators.kgquery import bgp_select
+
+    tr = _part_tree_broader(spark, sf).unionByName(_part_tree_labels(spark, sf))
+    out = bgp_select(
+        tr,
+        [("?x", "broader", "?y")],
+        bind=[("?k", "CAST(substring(x, 3) AS BIGINT)")],
+        group_by=["?y"],
+        aggregates=[
+            ("count", "*", "?n"),
+            ("group_concat:;", "?x", "?kids"),
+            ("sum", "?k", "?sum_k"),
+            ("avg", "?k", "?mean_k"),
+        ],
+        having="n >= 2",
+        order_by=["?n DESC", "?y"],
+        limit=100,
+    )
+    return out.withColumn("mean_k", F.round(F.col("mean_k"), 6))
+
+
+@query(
+    "kg_select_slice",
+    f"""WITH {_KG_TREE_SQL}
+    SELECT DISTINCT subject AS x FROM tr WHERE predicate = 'broader'
+    ORDER BY x LIMIT 25 OFFSET 7""",
+)
+def q_kg_select_slice(spark, sf):
+    # SPARQL DISTINCT + ORDER BY + OFFSET/LIMIT slice (the paging idiom):
+    # distinct makes ?x unique, so the order is total and the slice is
+    # deterministic at any parallelism. Plan: hash-distinct, then the
+    # ordered slice ships offset+limit together in one merge.
+    from ontology_mapping_spark.operators.kgquery import bgp_select
+
+    tr = _part_tree_broader(spark, sf).unionByName(_part_tree_labels(spark, sf))
+    return bgp_select(
+        tr,
+        [("?x", "broader", "?y")],
+        select=["?x"],
+        distinct=True,
+        order_by=["?x"],
+        offset=7,
+        limit=25,
+    )
+
+
+@query(
+    "kg_update_delete_insert",
+    f"""WITH {_KG_TREE_SQL},
+    sols AS (
+      SELECT subject AS x, object AS y FROM tr
+      WHERE predicate = 'broader'
+        AND CAST(substring(subject, 3) AS INT) % 2 = 0),
+    del AS (SELECT DISTINCT x AS subject, 'broader' AS predicate, y AS object
+            FROM sols),
+    ins AS (SELECT DISTINCT y AS subject, 'narrower' AS predicate, x AS object
+            FROM sols),
+    doomed AS (SELECT * FROM del UNION SELECT * FROM ins)
+    SELECT t.subject, t.predicate, t.object FROM tr t
+    WHERE NOT EXISTS (
+      SELECT 1 FROM doomed d
+      WHERE d.subject = t.subject AND d.predicate = t.predicate
+        AND d.object = t.object)
+    UNION ALL
+    SELECT subject, predicate, object FROM ins""",
+)
+def q_kg_update_delete_insert(spark, sf):
+    # SPARQL UPDATE (kgquery.update_graph): DELETE {?x broader ?y}
+    # INSERT {?y narrower ?x} WHERE {?x broader ?y . FILTER(even ?x)} —
+    # even-keyed edges are retargeted to their inverse predicate in one
+    # broadcast anti-join over the graph scan plus a plan-level union
+    # (set semantics: every copy of a deleted triple drops, each inserted
+    # triple lands exactly once). The oracle restates the update
+    # relationally: NOT EXISTS against the delete- and insert-sets, then
+    # the insert rows union back in.
+    from ontology_mapping_spark.operators.kgquery import update_graph
+
+    tr = _part_tree_broader(spark, sf).unionByName(_part_tree_labels(spark, sf))
+    return update_graph(
+        tr,
+        [("?x", "broader", "?y")],
+        delete=[("?x", "broader", "?y")],
+        insert=[("?y", "narrower", "?x")],
+        filter_expr="CAST(substring(x, 3) AS INT) % 2 = 0",
+    )

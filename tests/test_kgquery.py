@@ -661,3 +661,240 @@ def test_describe_node_both_directions(kg):
         ("b", "label", "left"),
     }
     assert describe_node(kg, "<b>").count() == describe_node(kg, "b").count()
+
+
+# ---------------------------------------------------------------------------
+# SELECT solution modifiers: BIND / GROUP BY-aggregates / HAVING / DISTINCT /
+# ORDER BY / OFFSET-LIMIT (kgquery.bgp_select, kgquery.solution_modifiers)
+# ---------------------------------------------------------------------------
+
+
+def test_select_group_by_count_having_order_limit(kg):
+    from ontology_mapping_spark.operators.kgquery import bgp_select
+
+    # children per parent, bag semantics: a has {b, c, c} (duplicate triple
+    # counts twice), b has {d}, e has {e}
+    rows = bgp_select(
+        kg,
+        [("?x", "broader", "?y")],
+        group_by=["?y"],
+        aggregates=[("count", "?x", "?n")],
+        having="n >= 1",
+        order_by=["?n DESC", "?y"],
+        limit=2,
+    ).collect()
+    assert [(r["y"], r["n"]) for r in rows] == [("a", 3), ("b", 1)]
+
+
+def test_select_global_aggregate_and_bind(kg):
+    from ontology_mapping_spark.operators.kgquery import bgp_select
+
+    # no group_by -> one global row; BIND makes the string labels numeric
+    row = bgp_select(
+        kg,
+        [("?x", "label", "?l")],
+        bind=[("?ll", "CAST(length(l) AS DOUBLE)")],
+        aggregates=[
+            ("avg", "?ll", "?mean"),
+            ("count", "*", "?cnt"),
+            ("max", "?l", "?last"),
+        ],
+    ).first()
+    assert row["cnt"] == 4
+    assert row["mean"] == pytest.approx((4 + 4 + 5 + 4) / 4)
+    assert row["last"] == "root"
+
+
+def test_select_group_concat_sorted_and_sample_min(kg):
+    from ontology_mapping_spark.operators.kgquery import bgp_select
+
+    rows = {
+        r["y"]: (r["kids"], r["one"])
+        for r in bgp_select(
+            kg,
+            [("?x", "broader", "?y")],
+            group_by=["?y"],
+            aggregates=[
+                ("group_concat:;", "?x", "?kids"),
+                ("sample", "?x", "?one"),
+            ],
+        ).collect()
+    }
+    # group_concat sorts the group (determinism pinned); sample is min
+    assert rows["a"] == ("b;c;c", "b")
+    assert rows["b"] == ("d", "d")
+
+
+def test_select_count_var_skips_optional_nulls(kg):
+    from ontology_mapping_spark.operators.kgquery import bgp_select
+
+    # every subject with a label, OPTIONAL broader: 'a' has no parent ->
+    # NULL p; COUNT(?p) skips it, COUNT(*) does not
+    row = bgp_select(
+        kg,
+        [("?x", "label", "?l")],
+        optional=[[("?x", "broader", "?p")]],
+        aggregates=[("count", "?p", "?with_parent"), ("count", "*", "?all")],
+    ).first()
+    # bag: c broader a twice -> c contributes two solutions
+    assert (row["with_parent"], row["all"]) == (4, 5)
+
+
+def test_select_distinct_order_offset_limit_slice(kg):
+    from ontology_mapping_spark.operators.kgquery import bgp_select
+
+    rows = bgp_select(
+        kg,
+        [("?x", "broader", "?y")],
+        select=["?x"],
+        distinct=True,
+        order_by=["?x"],
+        offset=1,
+        limit=2,
+    ).collect()
+    assert [r["x"] for r in rows] == ["c", "d"]  # of sorted {b,c,d,e}
+
+
+def test_select_ordered_limit_is_take_ordered(kg):
+    from ontology_mapping_spark.operators.kgquery import bgp_select
+
+    plan = (
+        bgp_select(
+            kg,
+            [("?x", "broader", "?y")],
+            select=["?x"],
+            order_by=["?x"],
+            limit=3,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # per-partition top-k + singleton merge, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_select_modifier_validation(kg):
+    from ontology_mapping_spark.operators.kgquery import bgp_select
+
+    pats = [("?x", "broader", "?y")]
+    with pytest.raises(ValueError, match="group_by without aggregates"):
+        bgp_select(kg, pats, group_by=["?y"])
+    with pytest.raises(ValueError, match="HAVING requires aggregation"):
+        bgp_select(kg, pats, having="x > 1")
+    with pytest.raises(ValueError, match="unknown aggregate"):
+        bgp_select(kg, pats, aggregates=[("median", "?x", "?m")])
+    with pytest.raises(ValueError, match="only valid with count"):
+        bgp_select(kg, pats, aggregates=[("sum", "*", "?s")])
+    with pytest.raises(ValueError, match="already bound"):
+        bgp_select(kg, pats, bind=[("?x", "upper(y)")])
+    with pytest.raises(ValueError, match="unbound variables"):
+        bgp_select(kg, pats, group_by=["?z"], aggregates=[("count", "*", "?n")])
+    with pytest.raises(ValueError, match="order_by key"):
+        bgp_select(kg, pats, order_by=["?x SIDEWAYS"])
+    with pytest.raises(ValueError, match="references unbound"):
+        bgp_select(kg, pats, select=["?nope"])
+
+
+def test_select_over_paths(kg):
+    from ontology_mapping_spark.operators.kgquery import bgp_select
+
+    # ancestors per node through broader+ : d reaches {b, a}
+    rows = {
+        r["x"]: r["n"]
+        for r in bgp_select(
+            kg,
+            [("?x", "broader+", "?a")],
+            paths=True,
+            group_by=["?x"],
+            aggregates=[("count", "?a", "?n")],
+        ).collect()
+    }
+    assert rows["d"] == 2 and rows["b"] == 1 and rows["c"] == 1
+
+
+# ---------------------------------------------------------------------------
+# SPARQL UPDATE: DELETE / INSERT WHERE (kgquery.update_graph)
+# ---------------------------------------------------------------------------
+
+
+def triple_set(df):
+    return {(r["subject"], r["predicate"], r["object"]) for r in df.collect()}
+
+
+def test_update_rename_predicate(kg):
+    from ontology_mapping_spark.operators.kgquery import update_graph
+
+    out = update_graph(
+        kg,
+        [("?x", "broader", "?y"), ("?x", "label", "?l")],
+        delete=[("?x", "broader", "?y")],
+        insert=[("?x", "parent", "?y")],
+    )
+    got = triple_set(out)
+    # labeled subjects' broader edges retargeted; e (unlabeled) untouched
+    assert ("b", "parent", "a") in got and ("b", "broader", "a") not in got
+    assert ("e", "broader", "e") in got
+    # duplicate (c, broader, a) removed in BOTH copies, inserted once
+    assert out.filter(
+        (F.col("subject") == "c") & (F.col("predicate") == "parent")
+    ).count() == 1
+
+
+def test_update_is_idempotent_and_set_semantic(kg):
+    from ontology_mapping_spark.operators.kgquery import update_graph
+
+    args = dict(
+        patterns=[("?x", "broader", "?y"), ("?x", "label", "?l")],
+        delete=[("?x", "broader", "?y")],
+        insert=[("?x", "parent", "?y")],
+    )
+    once = update_graph(kg, args["patterns"], args["delete"], args["insert"])
+    twice = update_graph(
+        once,
+        [("?x", "parent", "?y"), ("?x", "label", "?l")],
+        delete=[("?x", "parent", "?y")],
+        insert=[("?x", "parent", "?y")],
+    )
+    assert triple_set(once) == triple_set(twice)
+    assert once.count() == twice.count()  # multiplicities stable too
+
+
+def test_update_delete_where_shorthand(kg):
+    from ontology_mapping_spark.operators.kgquery import update_graph
+
+    out = update_graph(kg, [("?x", "broader", "a")])
+    got = triple_set(out)
+    assert ("b", "broader", "a") not in got and ("c", "broader", "a") not in got
+    assert ("d", "broader", "b") in got and ("a", "label", "root") in got
+    with pytest.raises(ValueError, match="DELETE WHERE shorthand"):
+        update_graph(kg, [("?x", "broader+", "a")], paths=True)
+
+
+def test_update_insert_normalizes_multiplicity(kg):
+    from ontology_mapping_spark.operators.kgquery import update_graph
+
+    # inserting an already-duplicated triple collapses it to one copy
+    out = update_graph(
+        kg,
+        [("c", "broader", "?y")],
+        insert=[("c", "broader", "?y")],
+    )
+    assert out.filter(
+        (F.col("subject") == "c") & (F.col("predicate") == "broader")
+    ).count() == 1
+    # everything else untouched
+    assert out.count() == kg.count() - 1
+
+
+def test_update_anti_join_broadcasts(kg):
+    from ontology_mapping_spark.operators.kgquery import update_graph
+
+    plan = (
+        update_graph(kg, [("?x", "broader", "a")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
