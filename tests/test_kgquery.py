@@ -898,3 +898,22 @@ def test_update_anti_join_broadcasts(kg):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_subselect_composes_via_values(kg):
+    # SPARQL 1.1 sub-SELECT: the inner query's solutions feed the outer
+    # BGP as its VALUES block (broadcast inner join) — {SELECT ?y WHERE
+    # {?x broader ?y} GROUP BY ?y ORDER BY COUNT desc LIMIT 1} then the
+    # outer {?y label ?l}
+    from ontology_mapping_spark.operators.kgquery import bgp_match, bgp_select
+
+    inner = bgp_select(
+        kg,
+        [("?x", "broader", "?y")],
+        group_by=["?y"],
+        aggregates=[("count", "?x", "?n")],
+        order_by=["?n DESC", "?y"],
+        limit=1,
+    ).select("y")
+    rows = bgp_match(kg, [("?y", "label", "?l")], values=inner).collect()
+    assert [(r["y"], r["l"]) for r in rows] == [("a", "root")]
