@@ -1,0 +1,186 @@
+"""Forward-chaining rule saturation (Datalog-style inference) over the KG.
+
+The reference pipeline consumes ontology hierarchies whose semantics are
+RDFS-shaped (subclass transitivity, type inheritance — the ancestor sets
+of thesis/pre_processing_data.py:216-223 are exactly the subclass
+closure); this module makes that inference a first-class, *general*
+operator: a rule is the same (patterns, template) pair as
+``kgquery.bgp_construct``, and :func:`saturate` applies a rule SET to
+fixpoint, so derived triples can themselves fire further rules
+(transitivity, property hierarchies, domain/range typing, sameAs-style
+propagation — anything monotone and recursive).
+
+Evaluation is SEMI-NAIVE, the standard Datalog trick re-expressed on
+DataFrames: in round r a rule with k patterns is evaluated k times, the
+i-th evaluation pointing pattern i at the round-(r-1) DELTA and the rest
+at the full relation. Every solution that uses at least one new triple is
+found by the evaluation where that triple sits in the delta slot;
+solutions using only old triples were found in an earlier round — so per-
+round work is proportional to NEW facts, not to the accumulated graph.
+Round 1 seeds delta = the whole input (full naive evaluation once).
+
+Scale shape (10^12 triples): after round 1 the delta is small (new facts
+only), so each delta-anchored scan is dimension-sized and AQE plans the
+joins against the big relation as broadcast joins at runtime; the anti-
+join that extracts the fresh delta is keyed on the full triple and the
+accumulated relation is lineage-cut per round (``session.materialize`` —
+local blocks by default, reliable checkpoints under executor churn, same
+tradeoff as graph.connected_components). Termination is guaranteed for
+range-restricted rules (every template variable bound by the patterns —
+enforced by ``_instantiate_templates``): derived terms are drawn from the
+finite set of existing terms plus rule constants, so the Herbrand base is
+finite; ``max_iters`` bounds runaway rule sets and overflow raises rather
+than returning a silently incomplete closure.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ontology_mapping_spark.operators.kgquery import (
+    Pattern,
+    _compile_bgp,
+    _instantiate_templates,
+)
+from ontology_mapping_spark.session import materialize
+
+# a rule: body (conjunctive patterns) => head (template triples)
+Rule = tuple[Sequence[Pattern], Sequence[Pattern]]
+
+_KEY = ["subject", "predicate", "object"]
+
+
+def saturate(
+    triples: DataFrame,
+    rules: Sequence[Rule],
+    max_iters: int = 20,
+    broadcast_min_constants: int = 2,
+) -> DataFrame:
+    """Apply ``rules`` to ``triples`` until no rule derives a new triple;
+    return the saturated graph (input ∪ everything derivable), as a triple
+    SET (inference is set-semantic: a fact is a fact once).
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iters`` rounds — an incomplete closure returned silently would
+    poison every downstream join. Rounds needed = the longest derivation
+    chain (for subclass transitivity via the two-hop rule: the hierarchy
+    depth; pair it with a pre-materialized ``graph.transitive_closure``
+    seed when the hierarchy is deep — path doubling gets there in
+    O(log depth) rounds, then one saturate round confirms).
+    """
+    if not rules:
+        raise ValueError("saturate needs at least one rule")
+    for patterns, template in rules:
+        if not patterns or not template:
+            raise ValueError("each rule needs body patterns and a head template")
+    total = materialize(triples.select(*_KEY).distinct())
+    delta = total
+    for _ in range(max_iters):
+        parts: list[DataFrame] = []
+        for patterns, template in rules:
+            for i in range(len(patterns)):
+                sources: list[DataFrame | None] = [None] * len(patterns)
+                sources[i] = delta
+                sols, _bound = _compile_bgp(
+                    total,
+                    patterns,
+                    allow_product=False,
+                    broadcast_min_constants=broadcast_min_constants,
+                    sources=sources,
+                )
+                parts.append(_instantiate_templates(sols, template))
+        derived = parts[0]
+        for p_ in parts[1:]:
+            derived = derived.unionByName(p_)
+        # fresh = facts not already known; total and delta stay disjointly
+        # built, so the union below needs no re-dedup
+        delta = materialize(
+            derived.distinct().join(total, on=_KEY, how="left_anti")
+        )
+        if delta.isEmpty():
+            return total
+        total = materialize(total.unionByName(delta))
+    raise RuntimeError(
+        f"saturation did not converge within max_iters={max_iters} rounds; "
+        "raise max_iters (deep derivation chains) or check the rule set"
+    )
+
+
+def rdfs_rules(
+    sub_class: str = "subClassOf",
+    rdf_type: str = "type",
+    sub_property: str | None = None,
+    domain: str | None = None,
+    range_: str | None = None,
+) -> list[Rule]:
+    """The classic RDFS entailment core as a ``saturate`` rule set, over
+    whatever predicate vocabulary the KG actually uses (the pipeline's
+    hierarchy predicate is 'broader'; pass ``sub_class='broader'``).
+
+    Always included (rdfs11, rdfs9):
+
+    * ``(?c sub ?d) ∧ (?d sub ?e) → (?c sub ?e)``  — subclass transitivity
+    * ``(?x type ?c) ∧ (?c sub ?d) → (?x type ?d)`` — type inheritance
+
+    Opt-in (each needs a variable-predicate scan, one extra pattern
+    evaluation per round):
+
+    * ``sub_property`` (rdfs7+5): ``(?x ?p ?y) ∧ (?p subProp ?q) →
+      (?x ?q ?y)`` and subProperty transitivity;
+    * ``domain`` (rdfs2): ``(?x ?p ?y) ∧ (?p domain ?c) → (?x type ?c)``;
+    * ``range_`` (rdfs3): ``(?x ?p ?y) ∧ (?p range ?c) → (?y type ?c)``.
+    """
+    rules: list[Rule] = [
+        (
+            [("?c", sub_class, "?d"), ("?d", sub_class, "?e")],
+            [("?c", sub_class, "?e")],
+        ),
+        (
+            [("?x", rdf_type, "?c"), ("?c", sub_class, "?d")],
+            [("?x", rdf_type, "?d")],
+        ),
+    ]
+    if sub_property is not None:
+        rules.append(
+            (
+                [("?p", sub_property, "?q"), ("?q", sub_property, "?r")],
+                [("?p", sub_property, "?r")],
+            )
+        )
+        rules.append(
+            (
+                [("?x", "?p", "?y"), ("?p", sub_property, "?q")],
+                [("?x", "?q", "?y")],
+            )
+        )
+    if domain is not None:
+        rules.append(
+            (
+                [("?x", "?p", "?y"), ("?p", domain, "?c")],
+                [("?x", rdf_type, "?c")],
+            )
+        )
+    if range_ is not None:
+        rules.append(
+            (
+                [("?x", "?p", "?y"), ("?p", range_, "?c")],
+                [("?y", rdf_type, "?c")],
+            )
+        )
+    return rules
+
+
+def entailed_triples(
+    triples: DataFrame, rules: Sequence[Rule], max_iters: int = 20
+) -> DataFrame:
+    """Only the DERIVED triples (saturation minus input) — the usual shape
+    for materializing an inference layer next to the asserted graph (so
+    re-runs stay idempotent and provenance stays separable, e.g. written
+    as its own partition by ``kgmaint``/StageRunner)."""
+    sat = saturate(triples, rules, max_iters=max_iters)
+    return sat.join(
+        triples.select(*_KEY).distinct(), on=_KEY, how="left_anti"
+    )

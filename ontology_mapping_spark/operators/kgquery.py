@@ -124,17 +124,28 @@ def _compile_bgp(
     allow_product: bool,
     broadcast_min_constants: int,
     var_pred_source: DataFrame | None = None,
+    sources: Sequence[DataFrame | None] | None = None,
 ) -> tuple[DataFrame, set[str]]:
     """Compile one conjunctive pattern group to (solution DataFrame with one
     column per bound variable, bound-variable set). Shared by the required
-    part of ``bgp_match``, each OPTIONAL group, and each UNION branch."""
+    part of ``bgp_match``, each OPTIONAL group, and each UNION branch.
+
+    ``sources`` optionally overrides the scanned table per pattern
+    position (None entries fall back to ``triples``) — the hook
+    semi-naive rule evaluation (operators/kginfer) uses to point exactly
+    one pattern at the delta relation."""
     if not patterns:
         raise ValueError("BGP needs at least one pattern")
+    if sources is not None and len(sources) != len(patterns):
+        raise ValueError("sources must align 1:1 with patterns")
     n_const = [sum(0 if is_var(t) else 1 for t in p) for p in patterns]
     var_sets: list[set[str]] = []
     dfs: list[DataFrame] = []
     for idx, p in enumerate(patterns):
-        df, vs = _pattern_df(triples, p, idx, var_pred_source)
+        src = triples
+        if sources is not None and sources[idx] is not None:
+            src = sources[idx]
+        df, vs = _pattern_df(src, p, idx, var_pred_source)
         if n_const[idx] >= broadcast_min_constants:
             df = F.broadcast(df)
         dfs.append(df)

@@ -201,6 +201,10 @@ LOCAL_ONLY: frozenset = frozenset(
         # DISTINCT + ORDER + OFFSET/LIMIT paging slice: the ordered-limit
         # shape is curated via topk_per_group and kg_select_agg
         "kg_select_slice",
+        # parked for the rule-inference primary (kg_saturate_rdfs):
+        # derived_label's CASE projection recurs inside several curated
+        # rows (stopword_language_score, token_quality_stats)
+        "derived_label",
     }
 )
 
@@ -3427,3 +3431,52 @@ def q_kg_update_delete_insert(spark, sf):
         insert=[("?y", "narrower", "?x")],
         filter_expr="CAST(substring(x, 3) AS INT) % 2 = 0",
     )
+
+
+@query(
+    "kg_saturate_rdfs",
+    """WITH RECURSIVE sub AS (
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS c,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS d
+      FROM part WHERE p_partkey >= 2
+    ), clo AS (
+      SELECT c, d FROM sub
+      UNION
+      SELECT clo.c, sub.d FROM clo JOIN sub ON sub.c = clo.d
+    ), inst AS (
+      SELECT 'i:' || CAST(p_partkey AS VARCHAR) AS x,
+             'p:' || CAST(p_partkey AS VARCHAR) AS c
+      FROM part WHERE p_partkey % 7 = 0
+    )
+    SELECT x AS subject, 'type' AS predicate, c AS object FROM inst
+    UNION
+    SELECT i.x, 'type', clo.d FROM inst i JOIN clo ON clo.c = i.c""",
+)
+def q_kg_saturate_rdfs(spark, sf):
+    # Datalog-style rule saturation (operators/kginfer.saturate): RDFS
+    # subclass transitivity + type inheritance applied semi-naive to
+    # fixpoint over the part-tree (p:k subClassOf p:k//2) with planted
+    # instances (i:k type p:k for k % 7 == 0); the gate checks the type
+    # slice of the saturated graph against a recursive-CTE oracle.
+    # Semi-naive transitivity doubles reach per round, so the ~11-level
+    # tree converges in ~5 delta rounds.
+    from ontology_mapping_spark.operators.kginfer import rdfs_rules, saturate
+
+    part = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    sub = part.filter(pk >= 2).select(
+        F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
+        F.lit("subClassOf").alias("predicate"),
+        F.concat(
+            F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
+        ).alias("object"),
+    )
+    inst = part.filter(pk % 7 == 0).select(
+        F.concat(F.lit("i:"), pk.cast("string")).alias("subject"),
+        F.lit("type").alias("predicate"),
+        F.concat(F.lit("p:"), pk.cast("string")).alias("object"),
+    )
+    sat = saturate(
+        sub.unionByName(inst), rdfs_rules(sub_class="subClassOf")
+    )
+    return sat.filter(F.col("predicate") == "type")

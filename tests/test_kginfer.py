@@ -1,0 +1,110 @@
+"""Forward-chaining rule saturation (operators/kginfer).
+
+Semantics pinned on hand-computed closures; the load-bearing property is
+semi-naive completeness — a fact derivable only THROUGH another derived
+fact must still be found — plus guaranteed termination on cycles and a
+loud failure on max_iters overflow.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ontology_mapping_spark.operators.kginfer import (
+    entailed_triples,
+    rdfs_rules,
+    saturate,
+)
+
+T = "subject string, predicate string, object string"
+
+
+def tset(df):
+    return {(r["subject"], r["predicate"], r["object"]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    rows = [
+        ("b", "subClassOf", "a"),
+        ("c", "subClassOf", "a"),
+        ("d", "subClassOf", "b"),
+        ("x1", "type", "d"),
+        ("x2", "type", "c"),
+    ]
+    return spark.createDataFrame(rows, T).cache()
+
+
+def test_rdfs_closure_exact(kg):
+    ent = tset(entailed_triples(kg, rdfs_rules()))
+    assert ent == {
+        ("d", "subClassOf", "a"),
+        ("x1", "type", "b"),
+        ("x1", "type", "a"),
+        ("x2", "type", "a"),
+    }
+    sat = tset(saturate(kg, rdfs_rules()))
+    assert sat == tset(kg) | ent  # saturation = input ∪ entailed
+
+
+def test_inference_chains_through_derived_facts(spark):
+    # m hasPart n  --subPropertyOf-->  m related n  --domain-->  m type thing:
+    # the type fact is derivable ONLY from a derived fact, so it proves the
+    # fixpoint feeds derived triples back into rule bodies
+    rows = [
+        ("hasPart", "subPropertyOf", "related"),
+        ("related", "domain", "thing"),
+        ("m", "hasPart", "n"),
+    ]
+    kg = spark.createDataFrame(rows, T)
+    sat = tset(
+        saturate(kg, rdfs_rules(sub_property="subPropertyOf", domain="domain"))
+    )
+    assert ("m", "related", "n") in sat
+    assert ("m", "type", "thing") in sat
+
+
+def test_range_rule_types_the_object(spark):
+    rows = [("eats", "range", "food"), ("m", "eats", "n")]
+    kg = spark.createDataFrame(rows, T)
+    assert ("n", "type", "food") in tset(saturate(kg, rdfs_rules(range_="range")))
+
+
+def test_cycle_terminates(spark):
+    kg = spark.createDataFrame(
+        [("a", "subClassOf", "b"), ("b", "subClassOf", "a")], T
+    )
+    # finite Herbrand base: the closure is the 4 ordered pairs, then fixpoint
+    assert tset(saturate(kg, rdfs_rules())) == {
+        ("a", "subClassOf", "b"),
+        ("b", "subClassOf", "a"),
+        ("a", "subClassOf", "a"),
+        ("b", "subClassOf", "b"),
+    }
+
+
+def test_max_iters_overflow_raises(spark):
+    # depth-4 chain: round 1 derives the 2-hop pairs, round 2 the 3-hop
+    # pair, round 3 confirms the empty delta — 3 rounds to converge
+    rows = [("e", "subClassOf", "d"), ("d", "subClassOf", "b"), ("b", "subClassOf", "a")]
+    kg = spark.createDataFrame(rows, T)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        saturate(kg, rdfs_rules(), max_iters=2)
+    assert ("e", "subClassOf", "a") in tset(saturate(kg, rdfs_rules(), max_iters=3))
+
+
+def test_saturate_is_idempotent_and_set_semantic(kg):
+    once = saturate(kg, rdfs_rules())
+    twice = saturate(once, rdfs_rules())
+    assert tset(once) == tset(twice)
+    assert once.count() == twice.count() == len(tset(once))  # a set, no dups
+
+
+def test_rule_validation(kg):
+    with pytest.raises(ValueError, match="at least one rule"):
+        saturate(kg, [])
+    with pytest.raises(ValueError, match="body patterns and a head"):
+        saturate(kg, [([], [("?a", "p", "?b")])])
+    with pytest.raises(ValueError, match="not bound"):
+        # head uses a variable the body never binds (not range-restricted)
+        saturate(kg, [([("?a", "subClassOf", "?b")], [("?a", "p", "?zzz")])])
