@@ -173,6 +173,34 @@ def rdfs_rules(
     return rules
 
 
+def kg_entailment_rules(predicates: dict[str, str]) -> list[Rule]:
+    """The entailment layer the PIPELINE's emitted KG warrants, over the
+    configured predicate vocabulary (config.PipelineConfig.predicates):
+
+    * sameAs symmetry — ``(?x sameAs ?y) → (?y sameAs ?x)`` (the accepted
+      alignment links are emitted one-directional, src→tgt);
+    * mention lifting — ``(?x sameAs ?y) ∧ (?x mentionedIn ?p) →
+      (?y mentionedIn ?p)``: an aligned concept inherits its twin's pages
+      (with symmetry this propagates both ways across the link);
+    * subclass transitivity over the hierarchy predicate, for callers who
+      saturate the emitted KG UNIONED with the ontology triples.
+    """
+    same_as = predicates["same_as"]
+    mentions = predicates["mentions"]
+    sub = predicates["subclass"]
+    return [
+        ([("?x", same_as, "?y")], [("?y", same_as, "?x")]),
+        (
+            [("?x", same_as, "?y"), ("?x", mentions, "?p")],
+            [("?y", mentions, "?p")],
+        ),
+        (
+            [("?c", sub, "?d"), ("?d", sub, "?e")],
+            [("?c", sub, "?e")],
+        ),
+    ]
+
+
 def entailed_triples(
     triples: DataFrame, rules: Sequence[Rule], max_iters: int = 20
 ) -> DataFrame:

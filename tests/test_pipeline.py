@@ -212,3 +212,51 @@ def test_kg_lifecycle_end_to_end(spark, e2e, tmp_path):
     )
     assert derived.count() == linked_mentioned.select("t", "pg").distinct().count()
     assert bgp_match(derived, [("?t", "kg:mentionedIn", "?pg")]).count() > 0
+
+
+def test_entailment_stage_on_pipeline_output(spark, e2e):
+    """--entail's layer: kg_entailment_rules saturated over the emitted KG
+    ∪ ontology gives sameAs symmetry, cross-link mention lifting, and
+    subClassOf transitivity — derived-only, disjoint from the asserted
+    graph, and resumable through the runner's manifest chain."""
+    from ontology_mapping_spark.operators.kginfer import (
+        entailed_triples,
+        kg_entailment_rules,
+    )
+
+    _fx, res, (triples, *_rest), _wd, cfg = e2e
+    asserted = res.triples.unionByName(
+        triples.select("subject", "predicate", "object")
+    )
+    ent = res.runner.materialize(
+        "entailment",
+        lambda: entailed_triples(asserted, kg_entailment_rules(cfg.predicates)),
+        ["kg_triples"],
+    )
+    ent.cache()
+    key = ["subject", "predicate", "object"]
+    # derived-only: disjoint from the asserted graph
+    assert ent.join(asserted.distinct(), on=key, how="inner").count() == 0
+    same_as, mentions = cfg.predicates["same_as"], cfg.predicates["mentions"]
+    links = res.triples.filter(F.col("predicate") == same_as)
+    # every accepted link has its symmetric twin in the entailment layer
+    flipped = links.select(
+        F.col("object").alias("subject"),
+        F.col("predicate"),
+        F.col("subject").alias("object"),
+    )
+    only_asserted = flipped.join(res.triples, on=key, how="left_anti")
+    assert (
+        only_asserted.join(ent, on=key, how="left_anti").count() == 0
+    ), "a sameAs twin is missing from the entailment layer"
+    # mention lifting happened: some target concept inherited a page
+    lifted = ent.filter(F.col("predicate") == mentions)
+    assert lifted.count() > 0
+    # resumable: a second materialize with the same lineage skips the build
+    again = res.runner.materialize(
+        "entailment",
+        lambda: (_ for _ in ()).throw(AssertionError("must resume, not rebuild")),
+        ["kg_triples"],
+    )
+    assert again.count() == ent.count()
+    assert ("entailment", "skipped") in res.runner.events

@@ -122,6 +122,15 @@ def main() -> None:
         help="observation timestamp for --kg-state (ISO); default: the "
         "input corpus's max warc_ts",
     )
+    ap.add_argument(
+        "--entail",
+        action="store_true",
+        help="materialize the RDFS-style entailment layer (sameAs "
+        "symmetry, mention lifting across sameAs, subClassOf "
+        "transitivity) over kg_triples ∪ ontology as a resumable "
+        "'entailment' stage (derived triples only, kept separate from "
+        "the asserted graph)",
+    )
     args = ap.parse_args()
 
     if args.build_zip:
@@ -217,6 +226,23 @@ def main() -> None:
         kg_state_rows = update_kg_state(
             spark, args.kg_state, res.triples, crawl_ts
         )
+    entailed_rows = None
+    if args.entail:
+        from ontology_mapping_spark.operators.kginfer import (
+            entailed_triples,
+            kg_entailment_rules,
+        )
+
+        rules = kg_entailment_rules(res.runner.cfg.predicates)
+        asserted = res.triples.unionByName(
+            triples.select("subject", "predicate", "object")
+        )
+        ent = res.runner.materialize(
+            "entailment",
+            lambda: entailed_triples(asserted, rules),
+            ["kg_triples"],
+        )
+        entailed_rows = ent.count()
     n_triples = res.triples.count()
     n_pages = pages.count()
     report = {
@@ -241,6 +267,11 @@ def main() -> None:
                 **(
                     {"kg_state_triples": kg_state_rows}
                     if kg_state_rows is not None
+                    else {}
+                ),
+                **(
+                    {"entailed_triples": entailed_rows}
+                    if entailed_rows is not None
                     else {}
                 ),
             }
