@@ -65,11 +65,14 @@ def saturate(
 
     Raises ``RuntimeError`` if the fixpoint is not reached within
     ``max_iters`` rounds — an incomplete closure returned silently would
-    poison every downstream join. Rounds needed = the longest derivation
-    chain (for subclass transitivity via the two-hop rule: the hierarchy
-    depth; pair it with a pre-materialized ``graph.transitive_closure``
-    seed when the hierarchy is deep — path doubling gets there in
-    O(log depth) rounds, then one saturate round confirms).
+    poison every downstream join. For the two-hop transitivity rule,
+    semi-naive delta∘delta composition IS path doubling: reach doubles
+    per round, so a depth-D hierarchy converges in O(log D) rounds.
+    Do NOT pre-seed with ``graph.transitive_closure`` hoping to help:
+    measured at 300k edges (tools/stress_kginfer.py), the seeded path is
+    3× SLOWER than cold saturation — the seed re-does the same doubling
+    work and then forces a full naive confirmation round over the
+    closure-sized input instead of the edge-sized one.
     """
     if not rules:
         raise ValueError("saturate needs at least one rule")
