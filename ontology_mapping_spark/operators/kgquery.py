@@ -28,7 +28,13 @@ consumable from Spark without a separate triple store:
                         combined, ordered LIMIT a TakeOrderedAndProject;
 * ``update_graph``    — UPDATE: DELETE/INSERT WHERE as one broadcast
                         anti-join + plan-level union (set semantics,
-                        idempotent).
+                        idempotent);
+* GRAPH / named graphs — every matcher accepts 4-term ``(g, s, p, o)``
+                        patterns over a quad table (a ``graph`` column:
+                        asserted vs entailed layers, one graph per
+                        crawl); constant graphs scope + partition-prune,
+                        variable graphs bind and join like any variable,
+                        3-term patterns read the union of graphs.
 
 Scale notes (10^12-triple KG):
 * Each pattern compiles to ONE filtered scan of the triple table. Constant
@@ -82,23 +88,42 @@ def _pattern_df(
     idx: int,
     var_pred_source: DataFrame | None = None,
 ) -> tuple[DataFrame, set[str]]:
-    """One triple pattern -> (DataFrame with one column per variable,
+    """One triple/quad pattern -> (DataFrame with one column per variable,
     variable-name set). Constants filter; a variable repeated within the
     pattern (e.g. (?x, p, ?x)) adds an intra-row equality filter and binds
     one column.
+
+    A 4-term pattern is SPARQL's ``GRAPH`` form, ``(g, s, p, o)`` — the
+    table must carry a ``graph`` column (a quad store: e.g. the asserted
+    vs entailed layers, or one named graph per crawl). A constant graph
+    term scopes the scan to that graph (and prunes to its partition when
+    the quad table is partitioned by graph — the standard layout); a
+    variable binds the graph name into the solution; patterns within one
+    BGP share a ``?g`` exactly like any other join variable. 3-term
+    patterns over a quad table match triples in ANY graph (SPARQL's
+    default-graph-as-union reading).
 
     ``var_pred_source``: alternate table for patterns whose PREDICATE is a
     variable. ``bgp_match_paths`` augments the triple table with synthetic
     'pred+'/'pred*' closure rows; those are the path relation, not part of
     the dataset (SPARQL 1.1 §9.1), so a ?p scan must read the original
     table or it would bind fabricated predicates."""
-    if len(pat) != 3:
-        raise ValueError(f"pattern must be (s, p, o), got {pat!r}")
+    if len(pat) == 4:
+        if "graph" not in triples.columns:
+            raise ValueError(
+                f"4-term (GRAPH) pattern {pat!r} needs a 'graph' column on "
+                f"the table (got columns {triples.columns})"
+            )
+        positions: tuple[str, ...] = ("graph",) + _POS
+    elif len(pat) == 3:
+        positions = _POS
+    else:
+        raise ValueError(f"pattern must be (s, p, o) or (g, s, p, o), got {pat!r}")
     df = triples
-    if var_pred_source is not None and is_var(pat[1]):
+    if var_pred_source is not None and is_var(pat[-2]):
         df = var_pred_source
     first_pos_of: dict[str, str] = {}
-    for pos, term in zip(_POS, pat):
+    for pos, term in zip(positions, pat):
         if is_var(term):
             name = term[1:]
             if not name:
@@ -383,7 +408,14 @@ def expand_path_patterns(
     across the required / OPTIONAL / negation groups of one query.
     """
     out: list[Pattern] = []
-    for s, p, o in patterns:
+    for pat in patterns:
+        if len(pat) != 3:
+            raise ValueError(
+                f"property paths are defined over the default graph; got a "
+                f"{len(pat)}-term pattern {pat!r} — pre-filter the quad "
+                "table to one graph and use 3-term patterns"
+            )
+        s, p, o = pat
         # '^<iri>' is inverse-of-opaque: check iri-ref-ness past the '^'
         core = p[1:] if (not is_var(p) and p.startswith("^")) else p
         if is_var(p) or is_iri_ref(core) or "/" not in p:
@@ -660,7 +692,13 @@ def _instantiate_templates(
         return F.lit(_strip_iri(t))
 
     parts = []
-    for s, p, o in template:
+    for tpl in template:
+        if len(tpl) != 3:
+            raise ValueError(
+                f"CONSTRUCT/UPDATE templates emit triples; got a "
+                f"{len(tpl)}-term template {tpl!r}"
+            )
+        s, p, o = tpl
         row = sols.select(
             term(s).alias("subject"),
             term(p).alias("predicate"),

@@ -201,6 +201,10 @@ LOCAL_ONLY: frozenset = frozenset(
         # DISTINCT + ORDER + OFFSET/LIMIT paging slice: the ordered-limit
         # shape is curated via topk_per_group and kg_select_agg
         "kg_select_slice",
+        # named-graph quad matching: same join machinery as the curated
+        # kg_bgp_match, graph column as an extra join key; exact SQL
+        # oracle in the local gate
+        "kg_graph_quads",
         # parked for the rule-inference primary (kg_saturate_rdfs):
         # derived_label's CASE projection recurs inside several curated
         # rows (stopword_language_score, token_quality_stats)
@@ -3480,3 +3484,57 @@ def q_kg_saturate_rdfs(spark, sf):
         sub.unionByName(inst), rdfs_rules(sub_class="subClassOf")
     )
     return sat.filter(F.col("predicate") == "type")
+
+
+@query(
+    "kg_graph_quads",
+    """WITH q AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN 'g:even' ELSE 'g:odd' END AS graph,
+             'p:' || CAST(p_partkey AS VARCHAR) AS subject,
+             'broader' AS predicate,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS object
+      FROM part WHERE p_partkey >= 2
+      UNION ALL
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN 'g:even' ELSE 'g:odd' END,
+             'p:' || CAST(p_partkey AS VARCHAR), 'label', p_name FROM part)
+    SELECT a.graph AS g, a.subject AS x, l.object AS xl
+    FROM q a JOIN q l
+      ON l.graph = a.graph AND l.predicate = 'label' AND l.subject = a.subject
+    WHERE a.predicate = 'broader'""",
+)
+def q_kg_graph_quads(spark, sf):
+    # named-graph (quad) matching: the part-tree split into two named
+    # graphs by key parity; the BGP {GRAPH ?g {?x broader ?y . ?x label
+    # ?xl}} joins both patterns WITHIN one graph via the shared ?g —
+    # exactly the SQL same-graph self-join the oracle states. A constant
+    # graph term would prune to one partition of a graph-partitioned
+    # quad table (asserted-vs-entailed layers, one graph per crawl).
+    from ontology_mapping_spark.operators.kgquery import bgp_match
+
+    part = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    g = F.when(pk % 2 == 0, F.lit("g:even")).otherwise(F.lit("g:odd"))
+    quads = (
+        part.filter(pk >= 2)
+        .select(
+            g.alias("graph"),
+            F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
+            F.lit("broader").alias("predicate"),
+            F.concat(
+                F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
+            ).alias("object"),
+        )
+        .unionByName(
+            part.select(
+                g.alias("graph"),
+                F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
+                F.lit("label").alias("predicate"),
+                F.col("p_name").alias("object"),
+            )
+        )
+    )
+    return bgp_match(
+        quads,
+        [("?g", "?x", "broader", "?y"), ("?g", "?x", "label", "?xl")],
+        select=["?g", "?x", "?xl"],
+    )

@@ -917,3 +917,82 @@ def test_subselect_composes_via_values(kg):
     ).select("y")
     rows = bgp_match(kg, [("?y", "label", "?l")], values=inner).collect()
     assert [(r["y"], r["l"]) for r in rows] == [("a", "root")]
+
+
+# ---------------------------------------------------------------------------
+# Named graphs: 4-term (g, s, p, o) patterns over a quad table
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    rows = [
+        ("g1", "b", "broader", "a"),
+        ("g1", "c", "broader", "a"),
+        ("g2", "d", "broader", "b"),
+        ("g1", "a", "label", "root"),
+        ("g2", "a", "label", "wurzel"),
+    ]
+    return spark.createDataFrame(
+        rows, "graph string, subject string, predicate string, object string"
+    ).cache()
+
+
+def test_graph_constant_scopes_the_scan(quads):
+    got = {
+        r["x"]
+        for r in bgp_match(quads, [("g1", "?x", "broader", "?y")]).collect()
+    }
+    assert got == {"b", "c"}
+
+
+def test_graph_variable_binds_and_triple_pattern_unions(quads):
+    rows = bgp_match(quads, [("?g", "a", "label", "?l")]).collect()
+    assert {(r["g"], r["l"]) for r in rows} == {("g1", "root"), ("g2", "wurzel")}
+    # a 3-term pattern over the quad table reads the union of graphs
+    assert bgp_match(quads, [("a", "label", "?l")]).count() == 2
+
+
+def test_shared_graph_variable_joins_within_one_graph(quads):
+    # both patterns must hold in the SAME graph: only g1 has both a
+    # broader edge and the root label
+    rows = bgp_match(
+        quads, [("?g", "?x", "broader", "a"), ("?g", "a", "label", "?l")]
+    ).collect()
+    assert {(r["g"], r["x"], r["l"]) for r in rows} == {
+        ("g1", "b", "root"),
+        ("g1", "c", "root"),
+    }
+
+
+def test_graph_aggregation_via_select(quads):
+    from ontology_mapping_spark.operators.kgquery import bgp_select
+
+    rows = {
+        r["g"]: r["n"]
+        for r in bgp_select(
+            quads,
+            [("?g", "?s", "?p", "?o")],
+            group_by=["?g"],
+            aggregates=[("count", "*", "?n")],
+        ).collect()
+    }
+    assert rows == {"g1": 3, "g2": 2}
+
+
+def test_graph_pattern_requires_graph_column(kg):
+    with pytest.raises(ValueError, match="needs a 'graph' column"):
+        bgp_match(kg, [("?g", "?x", "broader", "?y")])
+
+
+def test_graph_pattern_rejected_in_paths_and_templates(quads):
+    from ontology_mapping_spark.operators.kgquery import bgp_construct
+
+    with pytest.raises(ValueError, match="default graph"):
+        bgp_match_paths(quads, [("?g", "?x", "broader+", "?y")])
+    with pytest.raises(ValueError, match="templates emit triples"):
+        bgp_construct(
+            quads,
+            [("?g", "?x", "broader", "?y")],
+            [("?g", "?x", "within", "?y")],
+        )
