@@ -108,3 +108,27 @@ def test_rule_validation(kg):
     with pytest.raises(ValueError, match="not bound"):
         # head uses a variable the body never binds (not range-restricted)
         saturate(kg, [([("?a", "subClassOf", "?b")], [("?a", "p", "?zzz")])])
+
+
+def test_incremental_equals_full_resaturation(spark, kg):
+    from ontology_mapping_spark.operators.kginfer import saturate_incremental
+
+    base = saturate(kg, rdfs_rules())
+    # a new crawl asserts: new subtree under d, and a new instance of c
+    delta = spark.createDataFrame(
+        [("f", "subClassOf", "d"), ("x3", "type", "f"), ("x2", "type", "c")],
+        T,  # x2-type-c is already known: must be ignored, not re-derived
+    )
+    inc = saturate_incremental(base, delta, rdfs_rules())
+    full = saturate(kg.unionByName(delta), rdfs_rules())
+    assert tset(inc) == tset(full)
+    # the deep chain propagated: f's instance inherits every ancestor type
+    assert {("x3", "type", c) for c in ("f", "d", "b", "a")} <= tset(inc)
+
+
+def test_incremental_empty_or_known_delta_is_noop(spark, kg):
+    from ontology_mapping_spark.operators.kginfer import saturate_incremental
+
+    base = saturate(kg, rdfs_rules())
+    known = spark.createDataFrame([("b", "subClassOf", "a")], T)
+    assert tset(saturate_incremental(base, known, rdfs_rules())) == tset(base)

@@ -131,6 +131,36 @@ def main() -> None:
     out["confirm"] = {"sec": round(time.time() - t0, 2), "rows": again_n}
     assert again_n == sat_n
 
+    # --- crawl-cadence incremental: 2% new instances vs full re-saturation
+    from ontology_mapping_spark.operators.kginfer import saturate_incremental
+
+    d = (
+        spark.range(n // 50)
+        .select(
+            F.concat(F.lit("j:"), rid.cast("string")).alias("subject"),
+            F.lit("type").alias("predicate"),
+            F.concat(
+                F.lit("c:"), (rid % (n // 2) + n // 2 + 1).cast("string")
+            ).alias("object"),
+        )
+        .cache()
+    )
+    d.count()
+    t0 = time.time()
+    inc_n = saturate_incremental(sat_cached, d, rules, max_iters=30).count()
+    inc = time.time() - t0
+    t0 = time.time()
+    full_n = saturate(kg.unionByName(d), rules, max_iters=30).count()
+    full = time.time() - t0
+    assert inc_n == full_n, f"incremental/full mismatch: {inc_n} vs {full_n}"
+    out["incremental"] = {
+        "delta_rows": n // 50,
+        "new_facts": inc_n - sat_n,
+        "inc_sec": round(inc, 2),
+        "full_sec": round(full, 2),
+        "speedup": round(full / inc, 2),
+    }
+
     out["py_burn_sec_end"] = burn()
     print(json.dumps(out))
     spark.stop()
