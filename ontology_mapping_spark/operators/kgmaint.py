@@ -223,9 +223,25 @@ def upsert_observations(
             .limit(0)
         )
     merged = merge_triples(existing, observations)
+    _swap_in(state_path, merged, meta)
+    if not return_count:
+        return None
+    return spark.read.parquet(state_path).count()
+
+
+def _swap_in(state_path: str, df: DataFrame, meta: dict | None) -> None:
+    """The atomic state swap: fully materialize ``df`` to ``<path>.next``
+    (marker included), keep the old state at ``<path>.prev`` as rollback,
+    rename into place. ``recover_state`` repairs the window between the
+    renames. Shared by the provenance upsert above and the saturated-KG
+    streaming sink (streaming/kg_state_stream.py)."""
+    import json
+    import os
+    import shutil
+
     nxt = state_path.rstrip("/") + ".next"
     prev = state_path.rstrip("/") + ".prev"
-    merged.write.mode("overwrite").parquet(nxt)
+    df.write.mode("overwrite").parquet(nxt)
     if meta is not None:
         # commit metadata travels INSIDE the swapped directory (underscore
         # files are invisible to the parquet reader), so "which batch is
@@ -237,6 +253,27 @@ def upsert_observations(
         shutil.rmtree(prev, ignore_errors=True)
         os.rename(state_path, prev)
     os.rename(nxt, state_path)
-    if not return_count:
-        return None
-    return spark.read.parquet(state_path).count()
+
+
+def swap_saturated_state(
+    spark,
+    state_path: str,
+    triples: DataFrame,
+    commit_meta: dict | None = None,
+) -> None:
+    """Replace the saturated-KG state (a plain distinct (subject,
+    predicate, object) parquet dir) under the same swap + marker
+    discipline as ``upsert_observations`` — the persistence half of the
+    streaming entailment sink."""
+    import json
+    import os
+
+    recover_state(state_path)
+    marker = os.path.join(state_path, "_commit.json")
+    meta = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+    if commit_meta is not None:
+        meta = {**(meta or {}), **commit_meta}
+    _swap_in(state_path, triples.select(*TRIPLE_KEY), meta)

@@ -186,6 +186,10 @@ LOCAL_ONLY: frozenset = frozenset(
         # mentions_stream_parity curated; this foreachBatch-upsert twin of
         # kg_triple_merge stays in the local gate
         "kg_state_stream_parity",
+        # streaming-inference parity: the saturate_incremental-per-batch
+        # twin of the curated kg_saturate_rdfs row; same recursive-CTE
+        # oracle through the availableNow stream
+        "kg_entail_stream_parity",
         # CC-family variant: the curated connected_components row covers
         # the star-contraction core; the incremental fold's full-recompute
         # oracle stays in the local gate (equivalence also property-pinned
@@ -3538,3 +3542,78 @@ def q_kg_graph_quads(spark, sf):
         [("?g", "?x", "broader", "?y"), ("?g", "?x", "label", "?xl")],
         select=["?g", "?x", "?xl"],
     )
+
+
+@query(
+    "kg_entail_stream_parity",
+    """WITH RECURSIVE sub AS (
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS c,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS d
+      FROM part WHERE p_partkey >= 2
+    ), clo AS (
+      SELECT c, d FROM sub
+      UNION
+      SELECT clo.c, sub.d FROM clo JOIN sub ON sub.c = clo.d
+    ), inst AS (
+      SELECT 'i:' || CAST(p_partkey AS VARCHAR) AS x,
+             'p:' || CAST(p_partkey AS VARCHAR) AS c
+      FROM part WHERE p_partkey % 7 = 0
+    )
+    SELECT x AS subject, 'type' AS predicate, c AS object FROM inst
+    UNION
+    SELECT i.x, 'type', clo.d FROM inst i JOIN clo ON clo.c = i.c""",
+)
+def q_kg_entail_stream_parity(spark, sf):
+    """Streaming entailment gate row: the same part-tree + instances the
+    batch saturation row (kg_saturate_rdfs) consumes arrive as a
+    multi-file observation drop, streamed through stream_entail_kg_state
+    (availableNow, several micro-batches, saturate_incremental per batch
+    with the atomic swap + replay marker) — the final saturated state's
+    type slice must equal the one-shot recursive-CTE closure: the
+    strongest driver-checkable batch/stream INFERENCE parity."""
+    import shutil
+    import tempfile
+
+    from ontology_mapping_spark.operators.kginfer import rdfs_rules
+    from ontology_mapping_spark.streaming.kg_state_stream import (
+        stream_entail_kg_state,
+        stream_observations,
+    )
+
+    part = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    sub = part.filter(pk >= 2).select(
+        F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
+        F.lit("subClassOf").alias("predicate"),
+        F.concat(
+            F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
+        ).alias("object"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+    inst = part.filter(pk % 7 == 0).select(
+        F.concat(F.lit("i:"), pk.cast("string")).alias("subject"),
+        F.lit("type").alias("predicate"),
+        F.concat(F.lit("p:"), pk.cast("string")).alias("object"),
+        F.to_timestamp(F.lit("2026-01-02 00:00:00")).alias("ts"),
+    )
+    rules = rdfs_rules(sub_class="subClassOf", rdf_type="type")
+    tmp = tempfile.mkdtemp(prefix="omsp_entail_stream_")
+    try:
+        sub.unionByName(inst).repartition(6).write.mode("overwrite").parquet(
+            f"{tmp}/obs"
+        )
+        q = stream_entail_kg_state(
+            stream_observations(spark, f"{tmp}/obs", max_files_per_trigger=2),
+            f"{tmp}/state",
+            f"{tmp}/ckpt",
+            rules,
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(f"{tmp}/state")
+            .filter(F.col("predicate") == "type")
+            .select("subject", "predicate", "object")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -132,3 +132,64 @@ def stream_upsert_kg_state(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_entail_kg_state(
+    observations: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    rules,
+):
+    """Continuously materialize the SATURATED KG: each micro-batch of
+    observed triples is folded into the inference fixpoint at
+    ``state_path`` via ``kginfer.saturate_incremental`` — only the new
+    facts' consequences are derived, so per-batch cost tracks the crawl
+    delta, not the accumulated graph (2-4x paired vs re-saturating at a
+    2% delta; tools/stress_kginfer.py). The first batch cold-saturates.
+
+    Exactly-once and crash safety are the provenance sink's machinery
+    reused verbatim: the saturated set swaps in atomically with the
+    batch-id marker (``kgmaint.swap_saturated_state``), replays are
+    skipped within the same checkpoint lineage (``merged_batch_id``), and
+    ``recover_state`` rolls the swap window forward. State schema is the
+    plain distinct (subject, predicate, object) — directly queryable by
+    the kgquery layer; parity with one-shot ``saturate`` over all
+    observations is the gate row (kg_entail_stream_parity).
+    """
+    from ontology_mapping_spark.operators.kgmaint import (
+        swap_saturated_state,
+    )
+    from ontology_mapping_spark.operators.kginfer import (
+        saturate,
+        saturate_incremental,
+    )
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        last = merged_batch_id(state_path, checkpoint_dir)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: its saturation already committed
+        spark = batch.sparkSession
+        triples = batch.select("subject", "predicate", "object")
+        if os.path.isdir(state_path):
+            current = spark.read.parquet(state_path).select(
+                "subject", "predicate", "object"
+            )
+            sat = saturate_incremental(current, triples, rules)
+        else:
+            sat = saturate(triples, rules)
+        swap_saturated_state(
+            spark,
+            state_path,
+            sat,
+            commit_meta={
+                "batch_id": batch_id,
+                "checkpoint": os.path.realpath(checkpoint_dir),
+            },
+        )
+
+    return (
+        observations.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -286,3 +286,71 @@ def test_fresh_checkpoint_restart_is_not_mistaken_for_replay(spark, tmp_path):
     # the guard is scoped: the marker answers for its own checkpoint only
     assert merged_batch_id(state, str(tmp_path / "ckpt2")) == 0
     assert merged_batch_id(state, str(tmp_path / "ckpt1")) is None
+
+
+def test_stream_entail_equals_one_shot_saturate(spark, tmp_path):
+    """The saturated-KG stream (saturate_incremental per micro-batch,
+    atomic swap + replay guard) converges to the same fixpoint as one-shot
+    saturation over all observations."""
+    import datetime as dt
+
+    from ontology_mapping_spark.operators.kginfer import rdfs_rules, saturate
+    from ontology_mapping_spark.streaming.kg_state_stream import (
+        stream_entail_kg_state,
+        stream_observations,
+    )
+
+    TS = dt.datetime
+    rows = [
+        # batch-shaped arrival: hierarchy first, then instances, then a
+        # late subtree that extends existing chains
+        ("b", "subClassOf", "a", TS(2024, 1, 1)),
+        ("c", "subClassOf", "a", TS(2024, 1, 1)),
+        ("d", "subClassOf", "b", TS(2024, 1, 2)),
+        ("x1", "type", "d", TS(2024, 1, 3)),
+        ("x2", "type", "c", TS(2024, 1, 3)),
+        ("e", "subClassOf", "d", TS(2024, 2, 1)),
+        ("x3", "type", "e", TS(2024, 2, 2)),
+    ]
+    obs_dir = str(tmp_path / "obs")
+    for i, r in enumerate(rows):
+        spark.createDataFrame(
+            [r], "subject string, predicate string, object string, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{obs_dir}/f{i}")
+    state = str(tmp_path / "sat_state")
+    rules = rdfs_rules(sub_class="subClassOf", rdf_type="type")
+    q = stream_entail_kg_state(
+        stream_observations(spark, f"{obs_dir}/f*", max_files_per_trigger=2),
+        state,
+        str(tmp_path / "ckpt"),
+        rules,
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in spark.read.parquet(state).collect()
+    }
+    all_triples = spark.createDataFrame(
+        [(s, p, o) for s, p, o, _ in rows],
+        "subject string, predicate string, object string",
+    )
+    want = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in saturate(all_triples, rules).collect()
+    }
+    assert got == want
+    # the late chain crossed batches: x3 inherits the whole ancestor line
+    assert {("x3", "type", c) for c in ("e", "d", "b", "a")} <= got
+    # re-running the drained stream on the same checkpoint is a no-op
+    q2 = stream_entail_kg_state(
+        stream_observations(spark, f"{obs_dir}/f*", max_files_per_trigger=2),
+        state,
+        str(tmp_path / "ckpt"),
+        rules,
+    )
+    q2.awaitTermination(180)
+    got2 = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got2 == got
