@@ -35,6 +35,8 @@ than returning a silently incomplete closure.
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -82,6 +84,35 @@ def saturate(
     return _semi_naive_rounds(
         total, total, rules, max_iters, broadcast_min_constants
     )
+
+
+_CP_CONF = "spark.sql.constraintPropagation.enabled"
+_cp_lock = threading.Lock()
+_cp_state: dict = {"count": 0, "prev": None}
+
+
+@contextlib.contextmanager
+def _constraint_propagation_off(spark):
+    """Refcounted toggle of the session-global constraint-propagation
+    conf: Spark confs have no scoping, so two concurrent saturations (two
+    streaming-entailment queries on one session, a saturation beside
+    another job's thread) must not let the first `finally` restore the
+    conf while the second is mid-loop. The LAST exit restores the value
+    seen by the FIRST entry. Plans of unrelated queries planned during a
+    saturation still lose inferred filters — that is inherent to a
+    session-global conf and documented here rather than hidden."""
+    with _cp_lock:
+        if _cp_state["count"] == 0:
+            _cp_state["prev"] = spark.conf.get(_CP_CONF, "true")
+            spark.conf.set(_CP_CONF, "false")
+        _cp_state["count"] += 1
+    try:
+        yield
+    finally:
+        with _cp_lock:
+            _cp_state["count"] -= 1
+            if _cp_state["count"] == 0:
+                spark.conf.set(_CP_CONF, _cp_state["prev"])
 
 
 def _check_rules(rules: Sequence[Rule]) -> None:
@@ -143,17 +174,11 @@ def _semi_naive_rounds(
             total, delta, rules, max_iters, broadcast_min_constants,
             delta_rows, small_delta_rows,
         )
-    spark = total.sparkSession
-    _CP = "spark.sql.constraintPropagation.enabled"
-    prev_cp = spark.conf.get(_CP, "true")
-    spark.conf.set(_CP, "false")
-    try:
+    with _constraint_propagation_off(total.sparkSession):
         return _semi_naive_loop(
             total, delta, rules, max_iters, broadcast_min_constants,
             delta_rows, small_delta_rows,
         )
-    finally:
-        spark.conf.set(_CP, prev_cp)
 
 
 def _semi_naive_loop(
@@ -235,6 +260,7 @@ def saturate_incremental(
     rules: Sequence[Rule],
     max_iters: int = 20,
     broadcast_min_constants: int = 2,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fold a batch of NEW asserted triples into an ALREADY-SATURATED
     graph, deriving only the delta's consequences — the crawl-cadence
@@ -248,12 +274,25 @@ def saturate_incremental(
     Work scales with the delta's derivation frontier, not the graph: the
     first round evaluates each rule only with a body position anchored on
     the truly-new facts (delta minus already-known, one anti-join), so a
-    crawl adding 2% of the triples pays ~2% of the cold-saturation cost
-    (measured in tools/stress_kginfer.py) instead of re-deriving the
-    whole closure.
+    crawl adding 2% of the triples pays a fraction of the cold-saturation
+    cost (2.1-4.3× faster, paired — tools/stress_kginfer.py) instead of
+    re-deriving the whole closure. Pass ``assume_distinct=True`` when
+    ``saturated`` is known to be a distinct triple set (anything a
+    previous saturate/swap wrote): it skips a defensive full-graph
+    distinct — a per-call hash-exchange + checkpoint of the accumulated
+    graph that would otherwise dominate small-delta cost.
     """
     _check_rules(rules)
-    base = materialize(saturated.select(*_KEY).distinct())
+    if assume_distinct:
+        # the saturated state usually comes straight from a previous
+        # saturate/swap (distinct by construction, e.g. the per-batch
+        # streaming sink reading its own parquet state): skipping the
+        # defensive distinct skips a full hash-exchange + checkpoint of
+        # the accumulated graph PER CALL — the dominant per-batch cost
+        # at scale. The caller owns the claim.
+        base = saturated.select(*_KEY)
+    else:
+        base = materialize(saturated.select(*_KEY).distinct())
     fresh = materialize(
         delta.select(*_KEY).distinct().join(base, on=_KEY, how="left_anti")
     )
@@ -341,9 +380,17 @@ def kg_entailment_rules(predicates: dict[str, str]) -> list[Rule]:
 
     * sameAs symmetry — ``(?x sameAs ?y) → (?y sameAs ?x)`` (the accepted
       alignment links are emitted one-directional, src→tgt);
+    * sameAs transitivity — with symmetry this closes each alignment
+      component, which is LOAD-BEARING for lifting: the pipeline
+      canonicalizes every mentionedIn subject to its connected-component
+      representative (plans/pipeline.py build_out), while the sameAs
+      links keep the RAW src→tgt endpoints — only the sym+trans closure
+      connects each raw endpoint to the rep that actually holds the
+      mentions (the rep is itself a component member, so the closure
+      always reaches it);
     * mention lifting — ``(?x sameAs ?y) ∧ (?x mentionedIn ?p) →
-      (?y mentionedIn ?p)``: an aligned concept inherits its twin's pages
-      (with symmetry this propagates both ways across the link);
+      (?y mentionedIn ?p)``: through the closed sameAs relation, every
+      aligned concept inherits its component's pages;
     * subclass transitivity over the hierarchy predicate, for callers who
       saturate the emitted KG UNIONED with the ontology triples.
     """
@@ -352,6 +399,10 @@ def kg_entailment_rules(predicates: dict[str, str]) -> list[Rule]:
     sub = predicates["subclass"]
     return [
         ([("?x", same_as, "?y")], [("?y", same_as, "?x")]),
+        (
+            [("?x", same_as, "?y"), ("?y", same_as, "?z")],
+            [("?x", same_as, "?z")],
+        ),
         (
             [("?x", same_as, "?y"), ("?x", mentions, "?p")],
             [("?y", mentions, "?p")],

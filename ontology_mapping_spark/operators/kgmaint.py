@@ -196,18 +196,9 @@ def upsert_observations(
     unchanged — so a batch crawl stamping ``crawl_ts`` can never erase the
     streaming sink's ``batch_id``/``checkpoint`` replay guard.
     """
-    import json
     import os
-    import shutil
 
-    recover_state(state_path)
-    marker = os.path.join(state_path, "_commit.json")
-    meta = None
-    if os.path.exists(marker):
-        with open(marker) as f:
-            meta = json.load(f)
-    if commit_meta is not None:
-        meta = {**(meta or {}), **commit_meta}
+    meta = _merged_marker_meta(state_path, commit_meta)
     if os.path.isdir(state_path):
         existing = spark.read.parquet(state_path)
     else:
@@ -255,16 +246,12 @@ def _swap_in(state_path: str, df: DataFrame, meta: dict | None) -> None:
     os.rename(nxt, state_path)
 
 
-def swap_saturated_state(
-    spark,
-    state_path: str,
-    triples: DataFrame,
-    commit_meta: dict | None = None,
-) -> None:
-    """Replace the saturated-KG state (a plain distinct (subject,
-    predicate, object) parquet dir) under the same swap + marker
-    discipline as ``upsert_observations`` — the persistence half of the
-    streaming entailment sink."""
+def _merged_marker_meta(state_path: str, commit_meta: dict | None) -> dict | None:
+    """Repair the swap window, then merge ``commit_meta`` over the state's
+    existing ``_commit.json`` (new keys win, absent keys survive;
+    ``commit_meta=None`` carries the old marker forward unchanged) — the
+    marker discipline shared by the provenance upsert and the
+    saturated-KG sink."""
     import json
     import os
 
@@ -276,4 +263,20 @@ def swap_saturated_state(
             meta = json.load(f)
     if commit_meta is not None:
         meta = {**(meta or {}), **commit_meta}
-    _swap_in(state_path, triples.select(*TRIPLE_KEY), meta)
+    return meta
+
+
+def swap_saturated_state(
+    state_path: str,
+    triples: DataFrame,
+    commit_meta: dict | None = None,
+) -> None:
+    """Replace the saturated-KG state (a plain distinct (subject,
+    predicate, object) parquet dir) under the same swap + marker
+    discipline as ``upsert_observations`` — the persistence half of the
+    streaming entailment sink."""
+    _swap_in(
+        state_path,
+        triples.select(*TRIPLE_KEY),
+        _merged_marker_meta(state_path, commit_meta),
+    )

@@ -1013,6 +1013,15 @@ def update_graph(
     update is ONE broadcast anti-join over the graph scan — triples
     matching either set drop, then the insert-set unions back in
     plan-level. The graph is scanned once and never shuffled."""
+    if "graph" in triples.columns:
+        # the delete key and the insert schema are (s, p, o): applied to a
+        # quad table the anti-join would silently drop matched triples
+        # from EVERY named graph, and a non-empty insert would fail late
+        # on the 3-vs-4-column union — refuse loudly instead
+        raise ValueError(
+            "update_graph is triple-scoped; for a quad table, filter to "
+            "one graph first and re-attach the graph column to the result"
+        )
     if not delete and not insert:
         if paths:
             raise ValueError(

@@ -174,11 +174,14 @@ def stream_entail_kg_state(
             current = spark.read.parquet(state_path).select(
                 "subject", "predicate", "object"
             )
-            sat = saturate_incremental(current, triples, rules)
+            # the state is this sink's own saturate output — distinct by
+            # construction, so skip the per-batch full-graph dedup
+            sat = saturate_incremental(
+                current, triples, rules, assume_distinct=True
+            )
         else:
             sat = saturate(triples, rules)
         swap_saturated_state(
-            spark,
             state_path,
             sat,
             commit_meta={

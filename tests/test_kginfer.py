@@ -132,3 +132,13 @@ def test_incremental_empty_or_known_delta_is_noop(spark, kg):
     base = saturate(kg, rdfs_rules())
     known = spark.createDataFrame([("b", "subClassOf", "a")], T)
     assert tset(saturate_incremental(base, known, rdfs_rules())) == tset(base)
+
+
+def test_incremental_assume_distinct_equivalent(spark, kg):
+    from ontology_mapping_spark.operators.kginfer import saturate_incremental
+
+    base = saturate(kg, rdfs_rules())
+    delta = spark.createDataFrame([("f", "subClassOf", "d"), ("x3", "type", "f")], T)
+    fast = saturate_incremental(base, delta, rdfs_rules(), assume_distinct=True)
+    slow = saturate_incremental(base, delta, rdfs_rules())
+    assert tset(fast) == tset(slow)

@@ -996,3 +996,10 @@ def test_graph_pattern_rejected_in_paths_and_templates(quads):
             [("?g", "?x", "broader", "?y")],
             [("?g", "?x", "within", "?y")],
         )
+
+
+def test_update_graph_rejects_quad_tables(quads):
+    from ontology_mapping_spark.operators.kgquery import update_graph
+
+    with pytest.raises(ValueError, match="triple-scoped"):
+        update_graph(quads, [("?x", "broader", "?y")])

@@ -252,6 +252,26 @@ def test_entailment_stage_on_pipeline_output(spark, e2e):
     # mention lifting happened: some target concept inherited a page
     lifted = ent.filter(F.col("predicate") == mentions)
     assert lifted.count() > 0
+    # and it closed the components: the pipeline canonicalizes mention
+    # subjects to component reps while links keep raw endpoints, so ONLY
+    # the sym+trans sameAs closure connects endpoints to their rep's
+    # pages — after entailment, both endpoints of every accepted link
+    # must carry identical mention sets
+    union_kg = asserted.unionByName(ent)
+    pages_of = {
+        r["subject"]: frozenset(r["pages"])
+        for r in union_kg.filter(F.col("predicate") == mentions)
+        .groupBy("subject")
+        .agg(F.collect_set("object").alias("pages"))
+        .collect()
+    }
+    n_checked = 0
+    for r in links.select("subject", "object").collect():
+        x, y = r["subject"], r["object"]
+        if x in pages_of or y in pages_of:
+            assert pages_of.get(x) == pages_of.get(y), (x, y)
+            n_checked += 1
+    assert n_checked > 0
     # resumable: a second materialize with the same lineage skips the build
     again = res.runner.materialize(
         "entailment",

@@ -147,7 +147,9 @@ def main() -> None:
     )
     d.count()
     t0 = time.time()
-    inc_n = saturate_incremental(sat_cached, d, rules, max_iters=30).count()
+    inc_n = saturate_incremental(
+        sat_cached, d, rules, max_iters=30, assume_distinct=True
+    ).count()
     inc = time.time() - t0
     t0 = time.time()
     full_n = saturate(kg.unionByName(d), rules, max_iters=30).count()
