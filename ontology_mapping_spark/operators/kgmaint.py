@@ -117,6 +117,30 @@ def merge_triples(existing: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
+def as_of(state: DataFrame, ts) -> DataFrame:
+    """Point-in-time view of the provenance state: the (subject,
+    predicate, object) set whose observation window covers ``ts``
+    (``first_seen <= ts <= last_seen``) — "what did the KG hold at crawl
+    time t", the temporal-query face of the provenance columns.
+
+    Semantics are deliberately conservative (closed-world on
+    OBSERVATIONS): a triple not re-observed after its ``last_seen`` is
+    excluded past that point even though absence of observation is not
+    deletion evidence — for crawl-cadence states, "observed by a crawl
+    covering t" is the honest readable contract, and callers wanting
+    open-world persistence can filter on ``first_seen`` alone.
+
+    Plan: a pure Catalyst conjunction — both bounds push to the
+    parquet/Iceberg scan and prune row groups on the first_seen /
+    last_seen min-max stats, so a historical query reads only the files
+    whose window overlaps ``ts``."""
+    lo = F.lit(ts).cast(state.schema["first_seen"].dataType)
+    hi = F.lit(ts).cast(state.schema["last_seen"].dataType)
+    return state.filter(
+        (F.col("first_seen") <= lo) & (F.col("last_seen") >= hi)
+    ).select(*TRIPLE_KEY)
+
+
 def triple_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """(subject, predicate, object, status) with status in
     {'added', 'removed', 'kept'} — the audit diff between two KG

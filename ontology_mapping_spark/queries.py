@@ -186,6 +186,9 @@ LOCAL_ONLY: frozenset = frozenset(
         # mentions_stream_parity curated; this foreachBatch-upsert twin of
         # kg_triple_merge stays in the local gate
         "kg_state_stream_parity",
+        # temporal as-of window filter: pure-Catalyst projection of the
+        # kg_triple_merge family's provenance columns; exact SQL oracle
+        "kg_state_as_of",
         # streaming-inference parity: the saturate_incremental-per-batch
         # twin of the curated kg_saturate_rdfs row; same recursive-CTE
         # oracle through the availableNow stream
@@ -3617,3 +3620,27 @@ def q_kg_entail_stream_parity(spark, sf):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "kg_state_as_of",
+    f"""WITH obs AS ({_KG_OBS_SQL}
+    ), state AS (
+      SELECT subject, predicate, object,
+             MIN(ts) AS first_seen, MAX(ts) AS last_seen
+      FROM obs GROUP BY subject, predicate, object)
+    SELECT subject, predicate, object FROM state
+    WHERE first_seen <= DATE '2024-02-10' AND last_seen >= DATE '2024-02-10'""",
+)
+def q_kg_state_as_of(spark, sf):
+    # temporal point-in-time query over the provenance state
+    # (kgmaint.as_of): the same observation batch the merge rows consume,
+    # aggregated to (first_seen, last_seen) windows, filtered to the
+    # triples whose window covers 2024-02-10 — one pushed-down Catalyst
+    # conjunction; the oracle restates the window filter literally.
+    from ontology_mapping_spark.operators.kgmaint import as_of
+
+    state = _kg_delta(spark, sf).groupBy("subject", "predicate", "object").agg(
+        F.min("ts").alias("first_seen"), F.max("ts").alias("last_seen")
+    )
+    return as_of(state, "2024-02-10")

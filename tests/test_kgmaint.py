@@ -329,3 +329,24 @@ def test_commit_meta_merges_instead_of_clobbering(spark, tmp_path):
     )
     with open(os.path.join(state, "_commit.json")) as f:
         assert json.load(f) == meta  # None carries the marker forward
+
+
+def test_as_of_window_semantics(spark):
+    from ontology_mapping_spark.operators.kgmaint import as_of
+
+    state = spark.createDataFrame(
+        [
+            ("a", "p", "b", "2024-01-01", "2024-03-01"),  # covers Feb
+            ("c", "p", "d", "2024-02-15", "2024-02-20"),  # starts after
+            ("e", "p", "f", "2024-01-01", "2024-01-31"),  # gone by Feb 10
+        ],
+        "subject string, predicate string, object string, fs string, ls string",
+    ).select(
+        "subject", "predicate", "object",
+        F.to_date("fs").alias("first_seen"), F.to_date("ls").alias("last_seen"),
+    )
+    got = {r["subject"] for r in as_of(state, "2024-02-10").collect()}
+    assert got == {"a"}
+    # boundary days are inclusive on both ends
+    assert {r["subject"] for r in as_of(state, "2024-02-15").collect()} == {"a", "c"}
+    assert {r["subject"] for r in as_of(state, "2024-01-31").collect()} == {"a", "e"}
