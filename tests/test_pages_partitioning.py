@@ -104,3 +104,35 @@ def test_writer_task_layout_no_tiny_files(spark, tmp_path):
     files = _scanned_files(read_pages(spark, path))
     parts = {f.rsplit("/", 1)[0] for f in files}
     assert len(files) == len(parts), "one parquet file per (lang, day) partition"
+
+
+def test_constant_graph_quad_pattern_prunes_partitions(spark, tmp_path):
+    """A quad store partitioned by graph (asserted-vs-entailed layers, one
+    named graph per crawl) must let a constant-graph BGP pattern prune to
+    that graph's files — the scale claim in kgquery's GRAPH docs."""
+    from ontology_mapping_spark.operators.kgquery import bgp_match
+
+    rows = [
+        ("g1", "b", "broader", "a"),
+        ("g1", "a", "label", "root"),
+        ("g2", "d", "broader", "b"),
+        ("g2", "a", "label", "wurzel"),
+        ("g3", "e", "broader", "d"),
+    ]
+    quads = spark.createDataFrame(
+        rows, "graph string, subject string, predicate string, object string"
+    )
+    path = str(tmp_path / "kg_quads")
+    quads.write.partitionBy("graph").parquet(path)
+
+    stored = spark.read.parquet(path)
+    scoped = bgp_match(stored, [("g1", "?x", "?p", "?o")])
+    files = _scanned_files(scoped)
+    assert files and all("/graph=g1/" in f for f in files)
+    assert scoped.count() == 2
+
+    plan = _plan_of(scoped)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "graph" in pf[0], plan
+    # a variable graph term reads every partition (union-of-graphs)
+    assert bgp_match(stored, [("?g", "?x", "broader", "?o")]).count() == 3
