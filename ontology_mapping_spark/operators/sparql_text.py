@@ -1,0 +1,570 @@
+"""SPARQL text front-end: parse a SPARQL query STRING into the kgquery
+algebra and return the DataFrame plan.
+
+The algebra layer (operators/kgquery, operators/kginfer) is the engine's
+contract; this module adds the surface a triple-store user actually
+types, covering exactly the constructs the algebra implements:
+
+* query forms — ``SELECT`` (DISTINCT, aggregate projections, expression
+  projections), ``ASK``, ``CONSTRUCT``, ``DESCRIBE <node>``;
+* group graph patterns — triple patterns (property-path predicates pass
+  through verbatim to the path compiler), ``OPTIONAL { }``,
+  ``FILTER(expr)``, ``FILTER NOT EXISTS { }``, ``MINUS { }``,
+  ``VALUES`` (inline data, ``UNDEF`` supported), ``GRAPH term { }``
+  (4-term quad patterns), and ``{ A } UNION { B }`` (as the whole group
+  body);
+* solution modifiers — ``GROUP BY`` / ``HAVING`` / ``ORDER BY`` (with
+  ``ASC()``/``DESC()``) / ``LIMIT`` / ``OFFSET``;
+* ``PREFIX`` declarations — a DECLARED prefix expands ``foo:bar`` to
+  ``<iri+bar>``; an undeclared qname stays a literal constant (this
+  engine's KGs legitimately use raw ids like ``p:1``).
+
+FILTER/BIND/HAVING expression bodies are Spark SQL over the variable
+columns with SPARQL spellings translated: ``?var`` → column name,
+``&&``/``||`` → ``AND``/``OR``, and the common SPARQL builtins mapped to
+their Spark twins (REGEX→regexp_like, STRLEN→length, UCASE/LCASE→
+upper/lower, STRSTARTS/STRENDS→startswith/endswith, CONTAINS→contains).
+Everything else Spark SQL accepts is accepted — a deliberate superset.
+
+Out of scope (raise loudly, never mis-parse): ``;``/``,`` triple
+abbreviations, subqueries in braces (compose via the algebra's
+``values=``), federation (SERVICE), UPDATE text (use
+``kgquery.update_graph``). Parsing is driver-side string work on a
+query-sized input — zero effect on the distributed plan, which is
+byte-identical to the equivalent hand-built algebra call (pinned by
+tests/test_sparql_text.py twins).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from ontology_mapping_spark.operators.kgquery import (
+    bgp_ask,
+    bgp_construct,
+    bgp_select,
+    bgp_union,
+    describe_node,
+    is_iri_ref,
+    is_var,
+    solution_modifiers,
+)
+
+_AGG_NAMES = {
+    "count": "count",
+    "sum": "sum",
+    "avg": "avg",
+    "min": "min",
+    "max": "max",
+    "sample": "sample",
+    "group_concat": "group_concat",
+}
+
+_FUNC_MAP = {
+    "regex": "regexp_like",
+    "strlen": "length",
+    "ucase": "upper",
+    "lcase": "lower",
+    "strstarts": "startswith",
+    "strends": "endswith",
+    "contains": "contains",
+    "str": "string",
+}
+
+_PATH_CHARS = set("+*/|^")
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|\#[^\n]*)            # whitespace / comment
+  | (?P<string>"(?:[^"\\]|\\.)*")   # quoted literal
+  | (?P<iri><[^<>\s]*>)             # <iri>
+  | (?P<punct>[{}()])               # braces / parens
+  | (?P<dot>\.(?=\s|}|$))           # statement dot (never inside a qname)
+  | (?P<word>[^\s{}()"#]+)          # everything else: vars, terms, keywords
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise SparqlSyntaxError(f"cannot tokenize at: {text[pos:pos+30]!r}")
+        pos = m.end()
+        if m.lastgroup == "ws":
+            continue
+        tok = m.group()
+        if m.lastgroup == "word" and tok.endswith(".") and len(tok) > 1:
+            out.extend([tok[:-1], "."])
+        else:
+            out.append(tok)
+    return out
+
+
+class _Cursor:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k: int = 0) -> str | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> str:
+        if self.i >= len(self.toks):
+            raise SparqlSyntaxError("unexpected end of query")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, want: str) -> str:
+        t = self.next()
+        if t.upper() != want.upper():
+            raise SparqlSyntaxError(f"expected {want!r}, got {t!r}")
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t is not None and t.upper() in {k.upper() for k in kws}
+
+
+# ---------------------------------------------------------------------------
+# expression capture / translation
+# ---------------------------------------------------------------------------
+
+
+def _capture_parens(cur: _Cursor) -> str:
+    """Consume a balanced '(' ... ')' token run, returning the inner text
+    (tokens joined by spaces — fine for Spark SQL)."""
+    cur.expect("(")
+    depth, parts = 1, []
+    while depth:
+        t = cur.next()
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if not depth:
+                break
+        parts.append(t)
+    return " ".join(parts)
+
+
+def _translate_expr(expr: str) -> str:
+    """SPARQL spellings -> Spark SQL over variable columns."""
+    expr = re.sub(r"\?(\w+)", r"\1", expr)
+    expr = expr.replace("&&", " AND ").replace("||", " OR ")
+    for sparql_fn, spark_fn in _FUNC_MAP.items():
+        expr = re.sub(
+            rf"\b{sparql_fn}\s*\(", spark_fn + "(", expr, flags=re.IGNORECASE
+        )
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# terms and patterns
+# ---------------------------------------------------------------------------
+
+
+def _term(tok: str, prefixes: dict[str, str]) -> str:
+    """One RDF term token -> the kgquery term string. Declared prefixes
+    expand to '<iri>'; quoted literals drop their quotes; everything else
+    passes through (vars, <iri>s, raw constants, path expressions)."""
+    if tok.startswith('"') and tok.endswith('"'):
+        return tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+    if ":" in tok and not is_var(tok) and not is_iri_ref(tok):
+        pfx, _, local = tok.partition(":")
+        if pfx in prefixes:
+            return f"<{prefixes[pfx]}{local}>"
+    return tok
+
+
+def _has_path(p: str) -> bool:
+    return (
+        not is_var(p)
+        and not is_iri_ref(p)
+        and any(c in _PATH_CHARS for c in p)
+    )
+
+
+class _Group:
+    """One parsed group graph pattern."""
+
+    def __init__(self):
+        self.patterns: list[tuple] = []
+        self.optional: list[list[tuple]] = []
+        self.filters: list[str] = []
+        self.not_exists: list[list[tuple]] = []
+        self.minus: list[list[tuple]] = []
+        self.values_vars: list[str] | None = None
+        self.values_rows: list[dict] | None = None
+        self.binds: list[tuple[str, str]] = []
+        self.union_branches: list[list[tuple]] | None = None
+
+    def any_path(self) -> bool:
+        groups = [self.patterns, *self.optional, *self.not_exists, *self.minus]
+        return any(_has_path(p[-2]) for g in groups for p in g)
+
+
+def _parse_triples_block(cur: _Cursor, prefixes, graph: str | None) -> list[tuple]:
+    """Plain triple (or quad, when inside GRAPH) patterns until '}'."""
+    pats: list[tuple] = []
+    while not cur.at_kw("}"):
+        s = _term(cur.next(), prefixes)
+        p = _term(cur.next(), prefixes)
+        o = _term(cur.next(), prefixes)
+        pats.append((graph, s, p, o) if graph is not None else (s, p, o))
+        if cur.at_kw("."):
+            cur.next()
+        elif cur.at_kw(";", ","):
+            raise SparqlSyntaxError(
+                "';'/',' triple abbreviations are not supported; "
+                "write full triples separated by '.'"
+            )
+    return pats
+
+
+def _parse_group(cur: _Cursor, prefixes: dict[str, str]) -> _Group:
+    cur.expect("{")
+    g = _Group()
+    # pure union form: { {A} UNION {B} ... }
+    if cur.at_kw("{"):
+        branches = []
+        sub = _parse_group(cur, prefixes)
+        if sub.union_branches or sub.optional or sub.filters or sub.binds:
+            raise SparqlSyntaxError("UNION branches must be plain triple groups")
+        branches.append(sub.patterns)
+        while cur.at_kw("UNION"):
+            cur.next()
+            sub = _parse_group(cur, prefixes)
+            if sub.union_branches or sub.optional or sub.filters or sub.binds:
+                raise SparqlSyntaxError("UNION branches must be plain triple groups")
+            branches.append(sub.patterns)
+        cur.expect("}")
+        if len(branches) == 1:
+            raise SparqlSyntaxError(
+                "a braced subgroup is only supported as a UNION branch "
+                "(subqueries compose via the algebra's values=)"
+            )
+        g.union_branches = branches
+        return g
+    while True:
+        t = cur.peek()
+        if t is None:
+            raise SparqlSyntaxError("unterminated group (missing '}')")
+        up = t.upper()
+        if up == "}":
+            cur.next()
+            return g
+        if up == "OPTIONAL":
+            cur.next()
+            sub = _parse_group(cur, prefixes)
+            if sub.union_branches:
+                raise SparqlSyntaxError("UNION inside OPTIONAL is not supported")
+            g.optional.append(sub.patterns)
+        elif up == "FILTER":
+            cur.next()
+            if cur.at_kw("NOT"):
+                cur.next()
+                cur.expect("EXISTS")
+                sub = _parse_group(cur, prefixes)
+                g.not_exists.append(sub.patterns)
+            else:
+                g.filters.append(_translate_expr(_capture_parens(cur)))
+        elif up == "MINUS":
+            cur.next()
+            sub = _parse_group(cur, prefixes)
+            g.minus.append(sub.patterns)
+        elif up == "BIND":
+            cur.next()
+            inner = _capture_parens(cur)
+            m = re.match(r"(?s)^(.*)\s+AS\s+\?(\w+)\s*$", inner, re.IGNORECASE)
+            if not m:
+                raise SparqlSyntaxError(f"BIND needs '(expr AS ?var)', got ({inner})")
+            g.binds.append(("?" + m.group(2), _translate_expr(m.group(1))))
+        elif up == "VALUES":
+            cur.next()
+            vars_: list[str] = []
+            if cur.at_kw("("):
+                cur.next()
+                while not cur.at_kw(")"):
+                    vars_.append(cur.next())
+                cur.next()
+            else:
+                vars_.append(cur.next())
+            vars_ = [v[1:] if v.startswith("?") else v for v in vars_]
+            cur.expect("{")
+            rows: list[dict] = []
+            while not cur.at_kw("}"):
+                if cur.at_kw("("):
+                    cur.next()
+                    vals = []
+                    while not cur.at_kw(")"):
+                        vals.append(cur.next())
+                    cur.next()
+                else:
+                    vals = [cur.next()]
+                if len(vals) != len(vars_):
+                    raise SparqlSyntaxError(
+                        f"VALUES row arity {len(vals)} != vars {len(vars_)}"
+                    )
+                rows.append(
+                    {
+                        v: (
+                            None
+                            if val.upper() == "UNDEF"
+                            else _strip_brackets(_term(val, prefixes))
+                        )
+                        for v, val in zip(vars_, vals)
+                    }
+                )
+            cur.next()
+            g.values_vars, g.values_rows = vars_, rows
+        elif up == "GRAPH":
+            cur.next()
+            gterm = _term(cur.next(), prefixes)
+            cur.expect("{")
+            # reuse the plain block parser with the graph term attached;
+            # the block stops AT '}' without consuming it
+            g.patterns.extend(_parse_triples_block(cur, prefixes, gterm))
+            cur.expect("}")
+        elif up == "{":
+            raise SparqlSyntaxError(
+                "nested groups are only supported as UNION branches or "
+                "OPTIONAL/MINUS/NOT EXISTS bodies"
+            )
+        else:
+            # plain triples up to the next keyword or '}'
+            s = _term(cur.next(), prefixes)
+            p = _term(cur.next(), prefixes)
+            o = _term(cur.next(), prefixes)
+            g.patterns.append((s, p, o))
+            if cur.at_kw(";", ","):
+                raise SparqlSyntaxError(
+                    "';'/',' triple abbreviations are not supported; "
+                    "write full triples separated by '.'"
+                )
+            if cur.at_kw("."):
+                cur.next()
+
+
+def _strip_brackets(t: str) -> str:
+    return t[1:-1] if is_iri_ref(t) else t
+
+
+# ---------------------------------------------------------------------------
+# query forms
+# ---------------------------------------------------------------------------
+
+
+def _parse_prefixes(cur: _Cursor) -> dict[str, str]:
+    prefixes: dict[str, str] = {}
+    while cur.at_kw("PREFIX"):
+        cur.next()
+        name = cur.next()
+        if not name.endswith(":"):
+            raise SparqlSyntaxError(f"PREFIX name must end with ':', got {name!r}")
+        iri = cur.next()
+        if not is_iri_ref(iri):
+            raise SparqlSyntaxError(f"PREFIX iri must be '<...>', got {iri!r}")
+        prefixes[name[:-1]] = iri[1:-1]
+    return prefixes
+
+
+def _parse_projection(cur: _Cursor):
+    """SELECT items until WHERE/{: plain ?vars, '*', aggregate items
+    '( FUNC(?v) AS ?alias )', or expression items '( expr AS ?alias )'."""
+    select: list[str] = []
+    aggregates: list[tuple[str, str, str]] = []
+    binds: list[tuple[str, str]] = []
+    star = False
+    while not cur.at_kw("WHERE", "{"):
+        t = cur.peek()
+        if t is None:
+            raise SparqlSyntaxError("SELECT without WHERE")
+        if t == "*":
+            cur.next()
+            star = True
+            continue
+        if t.startswith("?"):
+            select.append(cur.next())
+            continue
+        if t == "(":
+            inner = _capture_parens(cur)
+            m = re.match(r"(?s)^(.*)\s+AS\s+\?(\w+)\s*$", inner, re.IGNORECASE)
+            if not m:
+                raise SparqlSyntaxError(f"projection needs '(... AS ?v)': ({inner})")
+            body, alias = m.group(1).strip(), m.group(2)
+            am = re.match(r"^(\w+)\s*\((.*)\)\s*$", body, re.DOTALL)
+            fname = am.group(1).lower() if am else None
+            if am and fname in _AGG_NAMES:
+                arg = am.group(2).strip()
+                distinct = False
+                if re.match(r"(?i)^distinct\b", arg):
+                    distinct = True
+                    arg = arg[len("distinct"):].strip()
+                sep = None
+                sm = re.match(
+                    r'(?is)^(.*?);\s*separator\s*=\s*"((?:[^"\\]|\\.)*)"\s*$', arg
+                )
+                if sm:
+                    arg, sep = sm.group(1).strip(), sm.group(2)
+                func = _AGG_NAMES[fname]
+                if func == "count" and distinct:
+                    func = "count_distinct"
+                elif distinct:
+                    raise SparqlSyntaxError(f"DISTINCT inside {fname} not supported")
+                if func == "group_concat" and sep is not None:
+                    func = f"group_concat:{sep}"
+                aggregates.append((func, arg if arg == "*" else arg, "?" + alias))
+                select.append("?" + alias)
+            else:
+                binds.append(("?" + alias, _translate_expr(body)))
+                select.append("?" + alias)
+            continue
+        raise SparqlSyntaxError(f"unexpected token in SELECT list: {t!r}")
+    return (None if star else select), aggregates, binds
+
+
+def _parse_modifiers(cur: _Cursor):
+    group_by: list[str] = []
+    having: str | None = None
+    order_by: list[str] = []
+    limit = offset = None
+    while cur.peek() is not None:
+        t = cur.next().upper()
+        if t == "GROUP":
+            cur.expect("BY")
+            while cur.peek() is not None and cur.peek().startswith("?"):
+                group_by.append(cur.next())
+        elif t == "HAVING":
+            having = _translate_expr(_capture_parens(cur))
+        elif t == "ORDER":
+            cur.expect("BY")
+            while cur.peek() is not None and (
+                cur.peek().startswith("?") or cur.at_kw("ASC", "DESC")
+            ):
+                if cur.at_kw("ASC", "DESC"):
+                    d = cur.next().upper()
+                    order_by.append(f"?{_capture_parens(cur).lstrip('?')} {d}")
+                else:
+                    order_by.append(cur.next())
+        elif t == "LIMIT":
+            limit = int(cur.next())
+        elif t == "OFFSET":
+            offset = int(cur.next())
+        else:
+            raise SparqlSyntaxError(f"unexpected token after WHERE group: {t!r}")
+    return group_by, having, order_by, limit, offset
+
+
+def sparql(triples: DataFrame, query: str) -> DataFrame:
+    """Run a SPARQL query STRING against a triple (or quad) table; returns
+    the same lazy DataFrame the equivalent kgquery algebra call builds
+    (ASK returns the one-row boolean frame; CONSTRUCT returns new
+    triples). See the module docstring for the supported subset."""
+    cur = _Cursor(_tokenize(query))
+    prefixes = _parse_prefixes(cur)
+    form = cur.next().upper()
+
+    if form == "DESCRIBE":
+        return describe_node(triples, _term(cur.next(), prefixes))
+
+    if form == "ASK":
+        if cur.at_kw("WHERE"):
+            cur.next()
+        g = _parse_group(cur, prefixes)
+        if g.union_branches:
+            raise SparqlSyntaxError("ASK over UNION is not supported")
+        return bgp_ask(
+            triples,
+            g.patterns,
+            paths=g.any_path(),
+            optional=g.optional,
+            filter_expr=g.filters or None,
+            not_exists=g.not_exists,
+            minus=g.minus,
+            values=g.values_rows or None,
+        )
+
+    if form == "CONSTRUCT":
+        cur.expect("{")
+        template = _parse_triples_block(cur, prefixes, None)
+        cur.expect("}")
+        cur.expect("WHERE")
+        g = _parse_group(cur, prefixes)
+        if g.union_branches:
+            raise SparqlSyntaxError("CONSTRUCT over UNION is not supported")
+        return bgp_construct(
+            triples,
+            g.patterns,
+            template,
+            paths=g.any_path(),
+            optional=g.optional,
+            filter_expr=g.filters or None,
+            not_exists=g.not_exists,
+            minus=g.minus,
+            values=g.values_rows or None,
+        )
+
+    if form != "SELECT":
+        raise SparqlSyntaxError(f"unsupported query form {form!r}")
+
+    distinct = False
+    if cur.at_kw("DISTINCT"):
+        cur.next()
+        distinct = True
+    select, aggregates, proj_binds = _parse_projection(cur)
+    if select == []:
+        raise SparqlSyntaxError("SELECT needs a projection (?vars, items, or *)")
+    if cur.at_kw("WHERE"):
+        cur.next()
+    g = _parse_group(cur, prefixes)
+    group_by, having, order_by, limit, offset = _parse_modifiers(cur)
+
+    if g.union_branches is not None:
+        sols = bgp_union(triples, g.union_branches)
+        return solution_modifiers(
+            sols,
+            bind=(g.binds + proj_binds) or None,
+            group_by=group_by or None,
+            aggregates=aggregates or None,
+            having=having,
+            select=select,
+            distinct=distinct,
+            order_by=order_by or None,
+            limit=limit,
+            offset=offset,
+        )
+    return bgp_select(
+        triples,
+        g.patterns,
+        paths=g.any_path(),
+        optional=g.optional,
+        filter_expr=g.filters or None,
+        not_exists=g.not_exists,
+        minus=g.minus,
+        values=g.values_rows or None,
+        bind=(g.binds + proj_binds) or None,
+        group_by=group_by or None,
+        aggregates=aggregates or None,
+        having=having,
+        select=select,
+        distinct=distinct,
+        order_by=order_by or None,
+        limit=limit,
+        offset=offset,
+    )

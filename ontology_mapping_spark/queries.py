@@ -186,6 +186,9 @@ LOCAL_ONLY: frozenset = frozenset(
         # mentions_stream_parity curated; this foreachBatch-upsert twin of
         # kg_triple_merge stays in the local gate
         "kg_state_stream_parity",
+        # SPARQL text front-end: parses to the same algebra the curated
+        # kg_select_agg exercises; identical literal-SQL oracle
+        "kg_sparql_text",
         # temporal as-of window filter: pure-Catalyst projection of the
         # kg_triple_merge family's provenance columns; exact SQL oracle
         "kg_state_as_of",
@@ -3644,3 +3647,29 @@ def q_kg_state_as_of(spark, sf):
         F.min("ts").alias("first_seen"), F.max("ts").alias("last_seen")
     )
     return as_of(state, "2024-02-10")
+
+
+@query(
+    "kg_sparql_text",
+    f"""WITH {_KG_TREE_SQL}
+    SELECT object AS y,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           string_agg(subject, ';' ORDER BY subject) AS kids
+    FROM tr WHERE predicate = 'broader'
+    GROUP BY object HAVING COUNT(*) >= 2
+    ORDER BY n DESC, y LIMIT 100""",
+)
+def q_kg_sparql_text(spark, sf):
+    # the SPARQL TEXT front-end (operators/sparql_text.sparql): the same
+    # grouped/ordered analytics as kg_select_agg, but parsed from an
+    # actual SPARQL query string — proving a triple-store user can paste
+    # their query and get the identical Catalyst plan the algebra builds.
+    from ontology_mapping_spark.operators.sparql_text import sparql
+
+    tr = _part_tree_broader(spark, sf).unionByName(_part_tree_labels(spark, sf))
+    return sparql(
+        tr,
+        """SELECT ?y (COUNT(*) AS ?n) (GROUP_CONCAT(?x; SEPARATOR=";") AS ?kids)
+           WHERE { ?x broader ?y . }
+           GROUP BY ?y HAVING(?n >= 2) ORDER BY DESC(?n) ?y LIMIT 100""",
+    )

@@ -1,0 +1,192 @@
+"""SPARQL text front-end (operators/sparql_text): each supported construct
+parsed from real SPARQL text must produce the same result set as the
+hand-built kgquery algebra call — the algebra is the oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from ontology_mapping_spark.operators.sparql_text import (
+    SparqlSyntaxError,
+    sparql,
+)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    data = [
+        ("b", "broader", "a"),
+        ("c", "broader", "a"),
+        ("d", "broader", "b"),
+        ("a", "label", "root"),
+        ("b", "label", "left"),
+        ("c", "label", "right"),
+        ("d", "label", "leaf"),
+        ("c", "broader", "a"),  # duplicate: bag semantics
+        ("http://x.org/e", "broader", "b"),
+    ]
+    return spark.createDataFrame(
+        data, "subject string, predicate string, object string"
+    ).cache()
+
+
+def test_select_bgp_matches_algebra(kg):
+    from ontology_mapping_spark.operators.kgquery import bgp_match
+
+    got = sparql(kg, "SELECT ?x ?l WHERE { ?x broader a . ?x label ?l . }")
+    want = bgp_match(
+        kg, [("?x", "broader", "a"), ("?x", "label", "?l")], select=["?x", "?l"]
+    )
+    assert rows(got) == rows(want)
+
+
+def test_optional_filter_not_exists_minus(kg):
+    from ontology_mapping_spark.operators.kgquery import bgp_match
+
+    q = """SELECT ?x ?p WHERE {
+        ?x label ?l .
+        OPTIONAL { ?x broader ?p . }
+        FILTER(STRLEN(?l) >= 4)
+        FILTER NOT EXISTS { ?x broader b . }
+    }"""
+    got = sparql(kg, q)
+    want = bgp_match(
+        kg,
+        [("?x", "label", "?l")],
+        optional=[[("?x", "broader", "?p")]],
+        filter_expr=["length(l) >= 4"],
+        not_exists=[[("?x", "broader", "b")]],
+        select=["?x", "?p"],
+    )
+    assert rows(got) == rows(want)
+    got_minus = sparql(
+        kg, "SELECT ?x WHERE { ?x label ?l . MINUS { ?x broader a . } }"
+    )
+    want_minus = bgp_match(
+        kg, [("?x", "label", "?l")], minus=[[("?x", "broader", "a")]],
+        select=["?x"],
+    )
+    assert rows(got_minus) == rows(want_minus)
+
+
+def test_aggregates_group_by_having_order_limit(kg):
+    q = """SELECT ?y (COUNT(*) AS ?n) (GROUP_CONCAT(?x; SEPARATOR=";") AS ?kids)
+    WHERE { ?x broader ?y . }
+    GROUP BY ?y HAVING(?n >= 1) ORDER BY DESC(?n) ?y LIMIT 2"""
+    got = sparql(kg, q).collect()
+    assert [(r["y"], r["n"], r["kids"]) for r in got] == [
+        ("a", 3, "b;c;c"),
+        ("b", 2, "d;http://x.org/e"),
+    ]
+
+
+def test_count_distinct_and_bind_projection(kg):
+    got = sparql(
+        kg,
+        """SELECT (COUNT(DISTINCT ?x) AS ?nx) (AVG(?ll) AS ?mean) WHERE {
+            ?x label ?l . BIND(CAST(STRLEN(?l) AS DOUBLE) AS ?ll)
+        }""",
+    ).first()
+    assert got["nx"] == 4
+    assert got["mean"] == pytest.approx(17 / 4)
+
+
+def test_distinct_order_offset(kg):
+    got = sparql(
+        kg,
+        "SELECT DISTINCT ?x WHERE { ?x broader ?y . } ORDER BY ?x OFFSET 1 LIMIT 2",
+    ).collect()
+    assert [r["x"] for r in got] == ["c", "d"]
+
+
+def test_property_paths_and_iri_terms(kg):
+    from ontology_mapping_spark.operators.kgquery import bgp_match_paths
+
+    got = sparql(kg, "SELECT ?a WHERE { d broader+ ?a . }")
+    want = bgp_match_paths(kg, [("d", "broader+", "?a")], select=["?a"])
+    assert rows(got) == rows(want)
+    # <iri> subject passes through the bracket escape
+    got2 = sparql(kg, "SELECT ?a WHERE { <http://x.org/e> broader/broader ?a . }")
+    assert [r["a"] for r in got2.collect()] == ["a"]
+
+
+def test_union_with_modifiers(kg):
+    got = sparql(
+        kg,
+        """SELECT ?x WHERE {
+            { ?x broader a . } UNION { ?x label root . }
+        } ORDER BY ?x""",
+    ).collect()
+    assert [r["x"] for r in got] == ["a", "b", "c", "c"]  # bag union
+
+
+def test_values_with_undef(kg):
+    got = sparql(
+        kg,
+        """SELECT ?x ?l WHERE {
+            ?x label ?l . VALUES ?x { b d }
+        } ORDER BY ?x""",
+    ).collect()
+    assert [(r["x"], r["l"]) for r in got] == [("b", "left"), ("d", "leaf")]
+
+
+def test_ask_construct_describe(kg):
+    assert sparql(kg, "ASK { d broader b . }").first()["ask"] is True
+    assert sparql(kg, "ASK WHERE { a broader ?y . }").first()["ask"] is False
+    derived = sparql(
+        kg,
+        "CONSTRUCT { ?x grandparent ?z . } WHERE { ?x broader ?y . ?y broader ?z . }",
+    )
+    assert rows(derived) == [("d", "grandparent", "a"),
+                             ("http://x.org/e", "grandparent", "a")]
+    # b appears in 4 triples: broader->a, label, and two inbound broader
+    assert sparql(kg, "DESCRIBE b").count() == 4
+
+
+def test_prefix_expansion_and_raw_qnames(spark):
+    kg = spark.createDataFrame(
+        [
+            ("http://x.org/s", "http://x.org/p", "p:1"),
+            ("p:1", "label", "one"),
+        ],
+        "subject string, predicate string, object string",
+    )
+    # declared prefix expands; undeclared qname (p:1) stays a raw constant
+    got = sparql(
+        kg,
+        """PREFIX ex: <http://x.org/>
+        SELECT ?o ?l WHERE { ex:s ex:p ?o . ?o label ?l . }""",
+    ).first()
+    assert (got["o"], got["l"]) == ("p:1", "one")
+
+
+def test_graph_patterns(spark):
+    quads = spark.createDataFrame(
+        [
+            ("g1", "b", "broader", "a"),
+            ("g2", "d", "broader", "b"),
+            ("g1", "a", "label", "root"),
+        ],
+        "graph string, subject string, predicate string, object string",
+    )
+    got = sparql(
+        quads, "SELECT ?g ?x WHERE { GRAPH ?g { ?x broader ?y . } } ORDER BY ?g"
+    ).collect()
+    assert [(r["g"], r["x"]) for r in got] == [("g1", "b"), ("g2", "d")]
+    got2 = sparql(quads, "SELECT ?x WHERE { GRAPH g1 { ?x broader ?y . } }")
+    assert [r["x"] for r in got2.collect()] == ["b"]
+
+
+def test_loud_errors(kg):
+    for q, msg in [
+        ("SELECT ?x WHERE { ?x broader a ; label ?l . }", "abbreviations"),
+        ("SELECT WHERE { ?x broader a . }", "projection"),
+        ("DELETE WHERE { ?x broader a . }", "unsupported query form"),
+        ("SELECT ?x WHERE { { ?x broader a . } }", "UNION branch"),
+    ]:
+        with pytest.raises(SparqlSyntaxError, match=msg):
+            sparql(kg, q)
