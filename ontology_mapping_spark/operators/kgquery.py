@@ -1060,6 +1060,52 @@ def update_graph(
     return out
 
 
+def _ground_df(triples: DataFrame, rows: Sequence[tuple]) -> DataFrame:
+    """Driver-literal (subject, predicate, object) rows -> a 3-column
+    DataFrame in the triple table's session, '<iri>' wrapping stripped.
+    Update-data blocks are query-sized by construction (they are typed
+    text), so this is always broadcast-sized."""
+    if "graph" in triples.columns:
+        raise ValueError(
+            "ground updates are triple-scoped; for a quad table, filter "
+            "to one graph first and re-attach the graph column"
+        )
+    clean = []
+    for s, p, o in rows:
+        for t in (s, p, o):
+            if is_var(t):
+                raise ValueError(
+                    f"ground update data cannot contain variables: {t!r}"
+                )
+        clean.append((_strip_iri(s), _strip_iri(p), _strip_iri(o)))
+    return triples.sparkSession.createDataFrame(
+        clean, schema="subject string, predicate string, object string"
+    )
+
+
+def insert_data(triples: DataFrame, rows: Sequence[tuple]) -> DataFrame:
+    """SPARQL ``INSERT DATA``: add ground triples, set semantics — an
+    existing copy of an inserted triple collapses to exactly one row, so
+    the update is idempotent (same contract as ``update_graph``).
+
+    Plan: one broadcast anti-join over the graph scan drops any existing
+    copies, then the driver-literal rows union back in. The graph is
+    scanned once and never shuffled."""
+    fresh = _ground_df(triples, rows).distinct()
+    key = ["subject", "predicate", "object"]
+    return triples.join(F.broadcast(fresh), on=key, how="left_anti").unionByName(
+        fresh
+    )
+
+
+def delete_data(triples: DataFrame, rows: Sequence[tuple]) -> DataFrame:
+    """SPARQL ``DELETE DATA``: remove every copy of each ground triple —
+    one broadcast anti-join, single graph scan, no shuffle."""
+    doomed = _ground_df(triples, rows)
+    key = ["subject", "predicate", "object"]
+    return triples.join(F.broadcast(doomed), on=key, how="left_anti")
+
+
 def describe_node(triples: DataFrame, node: str) -> DataFrame:
     """SPARQL ``DESCRIBE <node>`` (concise-bounded-description, depth 1):
     every triple in which the node appears as subject or object.

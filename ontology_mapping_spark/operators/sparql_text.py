@@ -7,12 +7,17 @@ types, covering exactly the constructs the algebra implements:
 
 * query forms — ``SELECT`` (DISTINCT, aggregate projections, expression
   projections), ``ASK``, ``CONSTRUCT``, ``DESCRIBE <node>``;
+* update forms (``sparql_update``) — ``INSERT DATA`` / ``DELETE DATA``
+  (ground triples), ``DELETE WHERE``, ``DELETE { } INSERT { } WHERE
+  { }`` (either template optional), and ``;``-separated operation
+  sequences folding the graph left to right;
 * group graph patterns — triple patterns (property-path predicates pass
-  through verbatim to the path compiler), ``OPTIONAL { }``,
-  ``FILTER(expr)``, ``FILTER NOT EXISTS { }``, ``MINUS { }``,
-  ``VALUES`` (inline data, ``UNDEF`` supported), ``GRAPH term { }``
-  (4-term quad patterns), and ``{ A } UNION { B }`` (as the whole group
-  body);
+  through verbatim to the path compiler; ``;``/``,``
+  predicate-object/object-list abbreviations desugar to full patterns),
+  ``OPTIONAL { }``, ``FILTER(expr)``, ``FILTER NOT EXISTS { }``,
+  ``MINUS { }``, ``VALUES`` (inline data, ``UNDEF`` supported),
+  ``GRAPH term { }`` (4-term quad patterns), and ``{ A } UNION { B }``
+  (as the whole group body);
 * solution modifiers — ``GROUP BY`` / ``HAVING`` / ``ORDER BY`` (with
   ``ASC()``/``DESC()``) / ``LIMIT`` / ``OFFSET``;
 * ``PREFIX`` declarations — a DECLARED prefix expands ``foo:bar`` to
@@ -26,10 +31,11 @@ their Spark twins (REGEX→regexp_like, STRLEN→length, UCASE/LCASE→
 upper/lower, STRSTARTS/STRENDS→startswith/endswith, CONTAINS→contains).
 Everything else Spark SQL accepts is accepted — a deliberate superset.
 
-Out of scope (raise loudly, never mis-parse): ``;``/``,`` triple
-abbreviations, subqueries in braces (compose via the algebra's
-``values=``), federation (SERVICE), UPDATE text (use
-``kgquery.update_graph``). Parsing is driver-side string work on a
+Out of scope (raise loudly, never mis-parse): subqueries in braces
+(compose via the algebra's ``values=``), federation (SERVICE), named
+graphs in update templates (``update_graph`` is triple-scoped),
+``WITH``/``USING``/``LOAD``/``CLEAR``. Parsing is driver-side string
+work on a
 query-sized input — zero effect on the distributed plan, which is
 byte-identical to the equivalent hand-built algebra call (pinned by
 tests/test_sparql_text.py twins).
@@ -46,10 +52,13 @@ from ontology_mapping_spark.operators.kgquery import (
     bgp_construct,
     bgp_select,
     bgp_union,
+    delete_data,
     describe_node,
+    insert_data,
     is_iri_ref,
     is_var,
     solution_modifiers,
+    update_graph,
 )
 
 _AGG_NAMES = {
@@ -89,9 +98,9 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+|\#[^\n]*)            # whitespace / comment
   | (?P<string>"(?:[^"\\]|\\.)*")   # quoted literal
   | (?P<iri><[^<>\s]*>)             # <iri>
-  | (?P<punct>[{}()])               # braces / parens
+  | (?P<punct>[{}();,])             # braces / parens / list separators
   | (?P<dot>\.(?=\s|}|$))           # statement dot (never inside a qname)
-  | (?P<word>[^\s{}()"#]+)          # everything else: vars, terms, keywords
+  | (?P<word>[^\s{}()"#;,]+)        # everything else: vars, terms, keywords
     """,
     re.VERBOSE,
 )
@@ -219,6 +228,25 @@ class _Group:
         return any(_has_path(p[-2]) for g in groups for p in g)
 
 
+def _parse_po_tail(cur: _Cursor, prefixes, graph: str | None, s: str, p: str,
+                   pats: list[tuple]) -> None:
+    """Desugar SPARQL ';' (predicate-object list) and ',' (object list)
+    abbreviations into full patterns sharing the subject (and, for ',',
+    the predicate) — pure parse-time sugar; the algebra sees the same
+    pattern list a fully-written query produces."""
+    while cur.at_kw(";", ","):
+        sep = cur.next()
+        if sep == ";":
+            # the grammar allows empty ';' slots and a trailing ';'
+            if cur.at_kw(".", "}", ";"):
+                continue
+            p = _term(cur.next(), prefixes)
+        elif cur.at_kw(".", "}", ";", ",") or cur.peek() is None:
+            raise SparqlSyntaxError("',' object list needs an object term")
+        o = _term(cur.next(), prefixes)
+        pats.append((graph, s, p, o) if graph is not None else (s, p, o))
+
+
 def _parse_triples_block(cur: _Cursor, prefixes, graph: str | None) -> list[tuple]:
     """Plain triple (or quad, when inside GRAPH) patterns until '}'."""
     pats: list[tuple] = []
@@ -227,13 +255,9 @@ def _parse_triples_block(cur: _Cursor, prefixes, graph: str | None) -> list[tupl
         p = _term(cur.next(), prefixes)
         o = _term(cur.next(), prefixes)
         pats.append((graph, s, p, o) if graph is not None else (s, p, o))
+        _parse_po_tail(cur, prefixes, graph, s, p, pats)
         if cur.at_kw("."):
             cur.next()
-        elif cur.at_kw(";", ","):
-            raise SparqlSyntaxError(
-                "';'/',' triple abbreviations are not supported; "
-                "write full triples separated by '.'"
-            )
     return pats
 
 
@@ -352,11 +376,7 @@ def _parse_group(cur: _Cursor, prefixes: dict[str, str]) -> _Group:
             p = _term(cur.next(), prefixes)
             o = _term(cur.next(), prefixes)
             g.patterns.append((s, p, o))
-            if cur.at_kw(";", ","):
-                raise SparqlSyntaxError(
-                    "';'/',' triple abbreviations are not supported; "
-                    "write full triples separated by '.'"
-                )
+            _parse_po_tail(cur, prefixes, None, s, p, g.patterns)
             if cur.at_kw("."):
                 cur.next()
 
@@ -568,3 +588,125 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
         limit=limit,
         offset=offset,
     )
+
+
+# ---------------------------------------------------------------------------
+# update forms
+# ---------------------------------------------------------------------------
+
+
+def _parse_template(cur: _Cursor, prefixes, *, what: str) -> list[tuple]:
+    """A '{ ... }' triple template (DELETE/INSERT template or DATA
+    block): plain triples with ';'/',' abbreviations; GRAPH rejected
+    loudly (updates are triple-scoped, matching update_graph)."""
+    cur.expect("{")
+    pats: list[tuple] = []
+    while not cur.at_kw("}"):
+        if cur.at_kw("GRAPH"):
+            raise SparqlSyntaxError(
+                f"GRAPH in {what} is not supported: updates are "
+                "triple-scoped (filter a quad table to one graph first)"
+            )
+        s = _term(cur.next(), prefixes)
+        p = _term(cur.next(), prefixes)
+        o = _term(cur.next(), prefixes)
+        pats.append((s, p, o))
+        _parse_po_tail(cur, prefixes, None, s, p, pats)
+        if cur.at_kw("."):
+            cur.next()
+    cur.next()
+    return pats
+
+
+def _apply_where_update(
+    triples: DataFrame, cur: _Cursor, prefixes, delete, insert
+) -> DataFrame:
+    cur.expect("WHERE")
+    g = _parse_group(cur, prefixes)
+    if g.union_branches:
+        raise SparqlSyntaxError("UNION in an update WHERE is not supported")
+    if g.binds:
+        raise SparqlSyntaxError("BIND in an update WHERE is not supported")
+    for pats in (delete, insert):
+        for pat in pats:
+            if _has_path(pat[1]):
+                raise SparqlSyntaxError(
+                    f"property path in an update template: {pat[1]!r}"
+                )
+    return update_graph(
+        triples,
+        g.patterns,
+        delete=delete,
+        insert=insert,
+        paths=g.any_path(),
+        optional=g.optional,
+        filter_expr=g.filters or None,
+        not_exists=g.not_exists,
+        minus=g.minus,
+        values=g.values_rows or None,
+    )
+
+
+def _parse_one_update(triples: DataFrame, cur: _Cursor, prefixes) -> DataFrame:
+    kw = cur.next().upper()
+    if kw == "INSERT":
+        if cur.at_kw("DATA"):
+            cur.next()
+            return insert_data(
+                triples, _parse_template(cur, prefixes, what="INSERT DATA")
+            )
+        insert = _parse_template(cur, prefixes, what="an INSERT template")
+        return _apply_where_update(triples, cur, prefixes, (), insert)
+    if kw == "DELETE":
+        if cur.at_kw("DATA"):
+            cur.next()
+            return delete_data(
+                triples, _parse_template(cur, prefixes, what="DELETE DATA")
+            )
+        if cur.at_kw("WHERE"):
+            # DELETE WHERE shorthand: the patterns are the delete template
+            return _apply_where_update(triples, cur, prefixes, (), ())
+        delete = _parse_template(cur, prefixes, what="a DELETE template")
+        insert: list[tuple] = []
+        if cur.at_kw("INSERT"):
+            cur.next()
+            insert = _parse_template(cur, prefixes, what="an INSERT template")
+        return _apply_where_update(triples, cur, prefixes, delete, insert)
+    raise SparqlSyntaxError(
+        f"unsupported update form {kw!r} (supported: INSERT DATA, "
+        "DELETE DATA, DELETE WHERE, DELETE/INSERT WHERE)"
+    )
+
+
+def sparql_update(triples: DataFrame, update: str) -> DataFrame:
+    """Run a SPARQL UPDATE request STRING against the triple table and
+    return the post-update graph (lazy; the caller owns persistence —
+    write it back through kgmaint/StageRunner for the atomic-swap +
+    lineage story, exactly as with ``kgquery.update_graph``).
+
+    ``;``-separated operation sequences fold the graph left to right —
+    each operation's WHERE evaluates against the previous operation's
+    result, matching SPARQL 1.1's sequential-execution semantics. Every
+    operation is set-semantics and idempotent (see update_graph /
+    insert_data), so the composed plan is one scan of the base graph
+    with a chain of broadcast anti-joins and driver-literal unions —
+    still shuffle-free at 10^12 triples."""
+    cur = _Cursor(_tokenize(update))
+    prefixes = _parse_prefixes(cur)
+    out = triples
+    ran = False
+    while cur.peek() is not None:
+        prefixes.update(_parse_prefixes(cur))
+        if cur.peek() is None:
+            break
+        out = _parse_one_update(out, cur, prefixes)
+        ran = True
+        if cur.at_kw(";"):
+            cur.next()
+        elif cur.peek() is not None:
+            raise SparqlSyntaxError(
+                f"expected ';' between update operations, got {cur.peek()!r}"
+            )
+    if not ran:
+        raise SparqlSyntaxError("empty update request")
+    return out

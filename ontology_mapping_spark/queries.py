@@ -187,8 +187,11 @@ LOCAL_ONLY: frozenset = frozenset(
         # kg_triple_merge stays in the local gate
         "kg_state_stream_parity",
         # SPARQL text front-end: parses to the same algebra the curated
-        # kg_select_agg exercises; identical literal-SQL oracle
+        # kg_select_agg exercises; identical literal-SQL oracle — and its
+        # UPDATE-request twin, the text form of the curated
+        # kg_update_delete_insert (same oracle)
         "kg_sparql_text",
+        "kg_sparql_update_text",
         # temporal as-of window filter: pure-Catalyst projection of the
         # kg_triple_merge family's provenance columns; exact SQL oracle
         "kg_state_as_of",
@@ -3672,4 +3675,41 @@ def q_kg_sparql_text(spark, sf):
         """SELECT ?y (COUNT(*) AS ?n) (GROUP_CONCAT(?x; SEPARATOR=";") AS ?kids)
            WHERE { ?x broader ?y . }
            GROUP BY ?y HAVING(?n >= 2) ORDER BY DESC(?n) ?y LIMIT 100""",
+    )
+
+
+@query(
+    "kg_sparql_update_text",
+    f"""WITH {_KG_TREE_SQL},
+    sols AS (
+      SELECT subject AS x, object AS y FROM tr
+      WHERE predicate = 'broader'
+        AND CAST(substring(subject, 3) AS INT) % 2 = 0),
+    del AS (SELECT DISTINCT x AS subject, 'broader' AS predicate, y AS object
+            FROM sols),
+    ins AS (SELECT DISTINCT y AS subject, 'narrower' AS predicate, x AS object
+            FROM sols),
+    doomed AS (SELECT * FROM del UNION SELECT * FROM ins)
+    SELECT t.subject, t.predicate, t.object FROM tr t
+    WHERE NOT EXISTS (
+      SELECT 1 FROM doomed d
+      WHERE d.subject = t.subject AND d.predicate = t.predicate
+        AND d.object = t.object)
+    UNION ALL
+    SELECT subject, predicate, object FROM ins""",
+)
+def q_kg_sparql_update_text(spark, sf):
+    # the SPARQL UPDATE TEXT front-end (sparql_text.sparql_update): the
+    # identical retarget-to-inverse update as kg_update_delete_insert,
+    # but parsed from an actual SPARQL UPDATE request string — same
+    # broadcast-anti-join + plan-level-union physical plan, same oracle.
+    from ontology_mapping_spark.operators.sparql_text import sparql_update
+
+    tr = _part_tree_broader(spark, sf).unionByName(_part_tree_labels(spark, sf))
+    return sparql_update(
+        tr,
+        """DELETE { ?x broader ?y . }
+           INSERT { ?y narrower ?x . }
+           WHERE { ?x broader ?y .
+                   FILTER(CAST(SUBSTRING(?x, 3) AS INT) % 2 = 0) }""",
     )

@@ -9,6 +9,7 @@ import pytest
 from ontology_mapping_spark.operators.sparql_text import (
     SparqlSyntaxError,
     sparql,
+    sparql_update,
 )
 
 
@@ -181,12 +182,119 @@ def test_graph_patterns(spark):
     assert [r["x"] for r in got2.collect()] == ["b"]
 
 
+def test_po_list_abbreviations(kg):
+    # ';' shares the subject, ',' shares subject+predicate; trailing ';'
+    # and empty ';' slots are grammar-legal; all desugar to full triples
+    full = sparql(
+        kg,
+        "SELECT ?x ?l ?p WHERE { ?x broader ?p . ?x label ?l . }",
+    )
+    for q in [
+        "SELECT ?x ?l ?p WHERE { ?x broader ?p ; label ?l . }",
+        "SELECT ?x ?l ?p WHERE { ?x broader ?p ; ; label ?l ; }",
+        "SELECT ?x ?l ?p WHERE { ?x broader ?p; label ?l. }",
+    ]:
+        assert rows(sparql(kg, q)) == rows(full)
+    # ',' object list
+    got = sparql(kg, "SELECT ?x WHERE { ?x broader a , b . }")
+    want = sparql(kg, "SELECT ?x WHERE { ?x broader a . ?x broader b . }")
+    assert rows(got) == rows(want)
+    # abbreviations inside a CONSTRUCT template and a GRAPH block
+    derived = sparql(
+        kg,
+        "CONSTRUCT { ?x kid_of ?y ; seen yes . } WHERE { ?x broader ?y . }",
+    )
+    assert ("d", "seen", "yes") in rows(derived)
+    assert ("d", "kid_of", "b") in rows(derived)
+
+
+def test_po_list_in_graph_block(spark):
+    quads = spark.createDataFrame(
+        [
+            ("g1", "b", "broader", "a"),
+            ("g1", "b", "label", "left"),
+        ],
+        "graph string, subject string, predicate string, object string",
+    )
+    got = sparql(
+        quads, "SELECT ?x ?l WHERE { GRAPH g1 { ?x broader a ; label ?l . } }"
+    ).collect()
+    assert [(r["x"], r["l"]) for r in got] == [("b", "left")]
+
+
+def test_update_data_forms(kg):
+    base = rows(kg)
+    # INSERT DATA: idempotent set semantics (duplicate of an existing
+    # triple collapses to one copy; brand-new triples appear once)
+    up = sparql_update(
+        kg, 'INSERT DATA { d broader b . z label "new thing" . }'
+    )
+    got = rows(up)
+    assert got.count(("d", "broader", "b")) == 1
+    assert ("z", "label", "new thing") in got
+    assert len(got) == len(base) + 1
+    # DELETE DATA removes every copy (c broader a is duplicated in kg)
+    down = sparql_update(kg, "DELETE DATA { c broader a . }")
+    got2 = rows(down)
+    assert ("c", "broader", "a") not in got2
+    assert len(got2) == len(base) - 2
+
+
+def test_update_where_forms(kg):
+    from ontology_mapping_spark.operators.kgquery import update_graph
+
+    # DELETE WHERE shorthand
+    got = sparql_update(kg, "DELETE WHERE { ?x broader a . }")
+    want = update_graph(kg, [("?x", "broader", "a")])
+    assert rows(got) == rows(want)
+    # rename idiom: DELETE { } INSERT { } WHERE { } with a FILTER
+    q = """DELETE { ?x broader ?y . }
+    INSERT { ?x narrower_of ?y ; rewritten yes . }
+    WHERE { ?x broader ?y . FILTER(?y = "a") }"""
+    got2 = rows(sparql_update(kg, q))
+    assert ("b", "narrower_of", "a") in got2
+    assert ("b", "rewritten", "yes") in got2
+    assert ("b", "broader", "a") not in got2
+    assert ("d", "broader", "b") in got2  # untouched
+    # INSERT-only WHERE form
+    got3 = rows(
+        sparql_update(kg, "INSERT { ?y has_kid ?x . } WHERE { ?x broader ?y . }")
+    )
+    assert ("a", "has_kid", "b") in got3
+
+
+def test_update_sequences_and_prefixes(kg):
+    q = """PREFIX ex: <http://x.org/>
+    INSERT DATA { ex:f broader b . } ;
+    DELETE WHERE { ?x label ?l . } ;
+    """
+    got = rows(sparql_update(kg, q))
+    assert ("http://x.org/f", "broader", "b") in got
+    assert not [t for t in got if t[1] == "label"]
+    # second op sees the first op's result
+    q2 = 'INSERT DATA { q broader a . } ; DELETE DATA { q broader a . }'
+    assert rows(sparql_update(kg, q2)) == rows(kg)
+
+
 def test_loud_errors(kg):
     for q, msg in [
-        ("SELECT ?x WHERE { ?x broader a ; label ?l . }", "abbreviations"),
         ("SELECT WHERE { ?x broader a . }", "projection"),
         ("DELETE WHERE { ?x broader a . }", "unsupported query form"),
         ("SELECT ?x WHERE { { ?x broader a . } }", "UNION branch"),
+        ("SELECT ?x WHERE { ?x broader a , . }", "object list"),
     ]:
         with pytest.raises(SparqlSyntaxError, match=msg):
             sparql(kg, q)
+
+
+def test_update_loud_errors(kg):
+    for q, msg in [
+        ("INSERT DATA { ?x broader a . }", "variables"),
+        ("DELETE DATA { GRAPH g1 { a b c . } }", "GRAPH in DELETE DATA"),
+        ("CLEAR GRAPH g1", "unsupported update form"),
+        ("INSERT DATA { a b c . } DELETE DATA { a b c . }", "expected ';'"),
+        ("DELETE { ?x broader+ ?y . } WHERE { ?x broader ?y . }", "property path"),
+        ("", "empty update"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            sparql_update(kg, q)
