@@ -246,6 +246,7 @@ def bgp_match(
     not_exists: Sequence[Sequence[Pattern]] = (),
     minus: Sequence[Sequence[Pattern]] = (),
     values: DataFrame | Sequence[dict] | None = None,
+    subqueries: Sequence[DataFrame] = (),
 ) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple table.
 
@@ -295,6 +296,14 @@ def bgp_match(
     on its shared variables — broadcast, since VALUES blocks are
     inline-sized by definition. Columns not yet bound extend the solution;
     a values table sharing no variable is the spec's cartesian extension.
+
+    ``subqueries`` is SPARQL's sub-SELECT: each DataFrame is a
+    bottom-up-evaluated solution table (columns = its projected variable
+    names) joined into the group on the shared variables. Unlike
+    ``values`` the join carries NO broadcast hint — a sub-SELECT can be
+    arbitrarily large, so AQE picks the strategy from runtime stats (the
+    common aggregate-to-a-scalar idiom, e.g. ``(MAX(?d) AS ?m)`` with no
+    shared variable, becomes a 1-row broadcast nested-loop extension).
     """
     out, bound = _compile_bgp(
         triples, patterns, allow_product, broadcast_min_constants,
@@ -330,6 +339,14 @@ def bgp_match(
         else:
             out = out.crossJoin(F.broadcast(vdf))
         bound |= set(vdf.columns)
+    for sq in subqueries:
+        sshared = sorted(set(sq.columns) & bound)
+        if sshared:
+            out = out.join(sq, on=sshared, how="inner")
+        else:
+            # the spec's cartesian extension; no broadcast hint — see above
+            out = out.crossJoin(sq)
+        bound |= set(sq.columns)
     for kind, groups_ in (("NOT EXISTS", not_exists), ("MINUS", minus)):
         for grp in groups_:
             g, gvars = _compile_bgp(
@@ -570,6 +587,7 @@ def bgp_match_paths(
     not_exists: Sequence[Sequence[Pattern]] = (),
     minus: Sequence[Sequence[Pattern]] = (),
     values: DataFrame | Sequence[dict] | None = None,
+    subqueries: Sequence[DataFrame] = (),
 ) -> DataFrame:
     """``bgp_match`` with SPARQL 1.1 property-path predicates resolved:
 
@@ -605,6 +623,7 @@ def bgp_match_paths(
         not_exists=not_exists,
         minus=minus,
         values=values,
+        subqueries=subqueries,
     )
     # sequence rewrites bind reserved ?__pathN existentials; they are not
     # part of the query's projection
@@ -930,6 +949,7 @@ def bgp_select(
     not_exists: Sequence[Sequence[Pattern]] = (),
     minus: Sequence[Sequence[Pattern]] = (),
     values: DataFrame | Sequence[dict] | None = None,
+    subqueries: Sequence[DataFrame] = (),
     bind: Sequence[tuple[str, str]] | None = None,
     group_by: Sequence[str] | None = None,
     aggregates: Sequence[tuple[str, str, str]] | None = None,
@@ -960,6 +980,7 @@ def bgp_select(
         not_exists=not_exists,
         minus=minus,
         values=values,
+        subqueries=subqueries,
     )
     return solution_modifiers(
         sols,

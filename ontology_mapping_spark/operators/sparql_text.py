@@ -16,7 +16,9 @@ types, covering exactly the constructs the algebra implements:
   predicate-object/object-list abbreviations desugar to full patterns),
   ``OPTIONAL { }``, ``FILTER(expr)``, ``FILTER NOT EXISTS { }``,
   ``MINUS { }``, ``VALUES`` (inline data, ``UNDEF`` supported),
-  ``GRAPH term { }`` (4-term quad patterns), and ``{ A } UNION { B }``
+  ``GRAPH term { }`` (4-term quad patterns), ``{ SELECT ... }``
+  sub-SELECTs (evaluated bottom-up, joined on shared variables with no
+  broadcast hint — AQE picks the strategy), and ``{ A } UNION { B }``
   (as the whole group body);
 * solution modifiers — ``GROUP BY`` / ``HAVING`` / ``ORDER BY`` (with
   ``ASC()``/``DESC()``) / ``LIMIT`` / ``OFFSET``;
@@ -31,9 +33,8 @@ their Spark twins (REGEX→regexp_like, STRLEN→length, UCASE/LCASE→
 upper/lower, STRSTARTS/STRENDS→startswith/endswith, CONTAINS→contains).
 Everything else Spark SQL accepts is accepted — a deliberate superset.
 
-Out of scope (raise loudly, never mis-parse): subqueries in braces
-(compose via the algebra's ``values=``), federation (SERVICE), named
-graphs in update templates (``update_graph`` is triple-scoped),
+Out of scope (raise loudly, never mis-parse): federation (SERVICE),
+named graphs in update templates (``update_graph`` is triple-scoped),
 ``WITH``/``USING``/``LOAD``/``CLEAR``. Parsing is driver-side string
 work on a
 query-sized input — zero effect on the distributed plan, which is
@@ -222,6 +223,7 @@ class _Group:
         self.values_rows: list[dict] | None = None
         self.binds: list[tuple[str, str]] = []
         self.union_branches: list[list[tuple]] | None = None
+        self.subqueries: list[DataFrame] = []
 
     def any_path(self) -> bool:
         groups = [self.patterns, *self.optional, *self.not_exists, *self.minus]
@@ -261,27 +263,32 @@ def _parse_triples_block(cur: _Cursor, prefixes, graph: str | None) -> list[tupl
     return pats
 
 
-def _parse_group(cur: _Cursor, prefixes: dict[str, str]) -> _Group:
+def _parse_group(
+    triples: DataFrame, cur: _Cursor, prefixes: dict[str, str]
+) -> _Group:
     cur.expect("{")
     g = _Group()
-    # pure union form: { {A} UNION {B} ... }
-    if cur.at_kw("{"):
+    # pure union form: { {A} UNION {B} ... } — but '{ SELECT' opens a
+    # sub-SELECT, handled in the main loop
+    if cur.at_kw("{") and (cur.peek(1) or "").upper() != "SELECT":
         branches = []
-        sub = _parse_group(cur, prefixes)
-        if sub.union_branches or sub.optional or sub.filters or sub.binds:
+        sub = _parse_group(triples, cur, prefixes)
+        if (sub.union_branches or sub.optional or sub.filters or sub.binds
+                or sub.subqueries):
             raise SparqlSyntaxError("UNION branches must be plain triple groups")
         branches.append(sub.patterns)
         while cur.at_kw("UNION"):
             cur.next()
-            sub = _parse_group(cur, prefixes)
-            if sub.union_branches or sub.optional or sub.filters or sub.binds:
+            sub = _parse_group(triples, cur, prefixes)
+            if (sub.union_branches or sub.optional or sub.filters or sub.binds
+                    or sub.subqueries):
                 raise SparqlSyntaxError("UNION branches must be plain triple groups")
             branches.append(sub.patterns)
         cur.expect("}")
         if len(branches) == 1:
             raise SparqlSyntaxError(
                 "a braced subgroup is only supported as a UNION branch "
-                "(subqueries compose via the algebra's values=)"
+                "or a '{ SELECT ... }' subquery"
             )
         g.union_branches = branches
         return g
@@ -295,7 +302,7 @@ def _parse_group(cur: _Cursor, prefixes: dict[str, str]) -> _Group:
             return g
         if up == "OPTIONAL":
             cur.next()
-            sub = _parse_group(cur, prefixes)
+            sub = _parse_group(triples, cur, prefixes)
             if sub.union_branches:
                 raise SparqlSyntaxError("UNION inside OPTIONAL is not supported")
             g.optional.append(sub.patterns)
@@ -304,13 +311,13 @@ def _parse_group(cur: _Cursor, prefixes: dict[str, str]) -> _Group:
             if cur.at_kw("NOT"):
                 cur.next()
                 cur.expect("EXISTS")
-                sub = _parse_group(cur, prefixes)
+                sub = _parse_group(triples, cur, prefixes)
                 g.not_exists.append(sub.patterns)
             else:
                 g.filters.append(_translate_expr(_capture_parens(cur)))
         elif up == "MINUS":
             cur.next()
-            sub = _parse_group(cur, prefixes)
+            sub = _parse_group(triples, cur, prefixes)
             g.minus.append(sub.patterns)
         elif up == "BIND":
             cur.next()
@@ -366,10 +373,22 @@ def _parse_group(cur: _Cursor, prefixes: dict[str, str]) -> _Group:
             g.patterns.extend(_parse_triples_block(cur, prefixes, gterm))
             cur.expect("}")
         elif up == "{":
-            raise SparqlSyntaxError(
-                "nested groups are only supported as UNION branches or "
-                "OPTIONAL/MINUS/NOT EXISTS bodies"
-            )
+            if (cur.peek(1) or "").upper() == "SELECT":
+                # sub-SELECT: evaluate bottom-up, join on shared variables
+                cur.next()
+                cur.next()
+                g.subqueries.append(
+                    _parse_select_query(
+                        triples, cur, prefixes, stop_at_brace=True
+                    )
+                )
+                cur.expect("}")
+            else:
+                raise SparqlSyntaxError(
+                    "nested groups are only supported as UNION branches, "
+                    "OPTIONAL/MINUS/NOT EXISTS bodies, or '{ SELECT ... }' "
+                    "subqueries"
+                )
         else:
             # plain triples up to the next keyword or '}'
             s = _term(cur.next(), prefixes)
@@ -459,12 +478,14 @@ def _parse_projection(cur: _Cursor):
     return (None if star else select), aggregates, binds
 
 
-def _parse_modifiers(cur: _Cursor):
+def _parse_modifiers(cur: _Cursor, *, stop_at_brace: bool = False):
     group_by: list[str] = []
     having: str | None = None
     order_by: list[str] = []
     limit = offset = None
     while cur.peek() is not None:
+        if stop_at_brace and cur.peek() == "}":
+            break
         t = cur.next().upper()
         if t == "GROUP":
             cur.expect("BY")
@@ -506,9 +527,11 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
     if form == "ASK":
         if cur.at_kw("WHERE"):
             cur.next()
-        g = _parse_group(cur, prefixes)
+        g = _parse_group(triples, cur, prefixes)
         if g.union_branches:
             raise SparqlSyntaxError("ASK over UNION is not supported")
+        if g.subqueries:
+            raise SparqlSyntaxError("sub-SELECT is only supported in SELECT groups")
         return bgp_ask(
             triples,
             g.patterns,
@@ -525,9 +548,11 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
         template = _parse_triples_block(cur, prefixes, None)
         cur.expect("}")
         cur.expect("WHERE")
-        g = _parse_group(cur, prefixes)
+        g = _parse_group(triples, cur, prefixes)
         if g.union_branches:
             raise SparqlSyntaxError("CONSTRUCT over UNION is not supported")
+        if g.subqueries:
+            raise SparqlSyntaxError("sub-SELECT is only supported in SELECT groups")
         return bgp_construct(
             triples,
             g.patterns,
@@ -542,7 +567,18 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
 
     if form != "SELECT":
         raise SparqlSyntaxError(f"unsupported query form {form!r}")
+    return _parse_select_query(triples, cur, prefixes)
 
+
+def _parse_select_query(
+    triples: DataFrame,
+    cur: _Cursor,
+    prefixes: dict[str, str],
+    *,
+    stop_at_brace: bool = False,
+) -> DataFrame:
+    """The body of a SELECT (cursor positioned after the SELECT keyword) —
+    also the sub-SELECT entry, where parsing stops at the closing '}'."""
     distinct = False
     if cur.at_kw("DISTINCT"):
         cur.next()
@@ -552,10 +588,16 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
         raise SparqlSyntaxError("SELECT needs a projection (?vars, items, or *)")
     if cur.at_kw("WHERE"):
         cur.next()
-    g = _parse_group(cur, prefixes)
-    group_by, having, order_by, limit, offset = _parse_modifiers(cur)
+    g = _parse_group(triples, cur, prefixes)
+    group_by, having, order_by, limit, offset = _parse_modifiers(
+        cur, stop_at_brace=stop_at_brace
+    )
 
     if g.union_branches is not None:
+        if g.subqueries:
+            raise SparqlSyntaxError(
+                "sub-SELECT alongside UNION is not supported"
+            )
         sols = bgp_union(triples, g.union_branches)
         return solution_modifiers(
             sols,
@@ -578,6 +620,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
         not_exists=g.not_exists,
         minus=g.minus,
         values=g.values_rows or None,
+        subqueries=g.subqueries,
         bind=(g.binds + proj_binds) or None,
         group_by=group_by or None,
         aggregates=aggregates or None,
@@ -622,11 +665,13 @@ def _apply_where_update(
     triples: DataFrame, cur: _Cursor, prefixes, delete, insert
 ) -> DataFrame:
     cur.expect("WHERE")
-    g = _parse_group(cur, prefixes)
+    g = _parse_group(triples, cur, prefixes)
     if g.union_branches:
         raise SparqlSyntaxError("UNION in an update WHERE is not supported")
     if g.binds:
         raise SparqlSyntaxError("BIND in an update WHERE is not supported")
+    if g.subqueries:
+        raise SparqlSyntaxError("sub-SELECT in an update WHERE is not supported")
     for pats in (delete, insert):
         for pat in pats:
             if _has_path(pat[1]):

@@ -192,6 +192,9 @@ LOCAL_ONLY: frozenset = frozenset(
         # kg_update_delete_insert (same oracle)
         "kg_sparql_text",
         "kg_sparql_update_text",
+        # sub-SELECT through the text front-end: the inner aggregate is
+        # kg_select_agg's shape, the outer join the kg_bgp_match shape
+        "kg_sparql_subselect",
         # temporal as-of window filter: pure-Catalyst projection of the
         # kg_triple_merge family's provenance columns; exact SQL oracle
         "kg_state_as_of",
@@ -3712,4 +3715,32 @@ def q_kg_sparql_update_text(spark, sf):
            INSERT { ?y narrower ?x . }
            WHERE { ?x broader ?y .
                    FILTER(CAST(SUBSTRING(?x, 3) AS INT) % 2 = 0) }""",
+    )
+
+
+@query(
+    "kg_sparql_subselect",
+    f"""WITH {_KG_TREE_SQL},
+    e AS (SELECT subject AS x, object AS y FROM tr WHERE predicate = 'broader'),
+    c AS (SELECT object AS y, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tr WHERE predicate = 'broader' GROUP BY object)
+    SELECT e.x, e.y, c.n FROM e JOIN c USING (y)""",
+)
+def q_kg_sparql_subselect(spark, sf):
+    # SPARQL 1.1 sub-SELECT through the text front-end: every broader
+    # edge annotated with its parent's child-count — the inner SELECT
+    # evaluates bottom-up (map-side-combined aggregate) and joins back on
+    # the exported ?y with no broadcast hint (AQE picks the strategy from
+    # the aggregate's runtime size). The oracle states the same two-level
+    # query as a CTE join.
+    from ontology_mapping_spark.operators.sparql_text import sparql
+
+    tr = _part_tree_broader(spark, sf).unionByName(_part_tree_labels(spark, sf))
+    return sparql(
+        tr,
+        """SELECT ?x ?y ?n WHERE {
+             ?x broader ?y .
+             { SELECT ?y (COUNT(*) AS ?n) WHERE { ?z broader ?y . }
+               GROUP BY ?y }
+           }""",
     )

@@ -276,6 +276,51 @@ def test_update_sequences_and_prefixes(kg):
     assert rows(sparql_update(kg, q2)) == rows(kg)
 
 
+def test_subselect_join_on_shared_var(kg):
+    # each broader edge annotated with its parent's child-count; the
+    # sub-SELECT exports only its projection (?y, ?n), so its internal
+    # ?z never captures the outer scope
+    got = sparql(
+        kg,
+        """SELECT ?x ?y ?n WHERE {
+            ?x broader ?y .
+            { SELECT ?y (COUNT(*) AS ?n) WHERE { ?z broader ?y . } GROUP BY ?y }
+        } ORDER BY ?x""",
+    ).collect()
+    assert [(r["x"], r["y"], r["n"]) for r in got] == [
+        ("b", "a", 3),
+        ("c", "a", 3),
+        ("c", "a", 3),
+        ("d", "b", 2),
+        ("http://x.org/e", "b", 2),
+    ]
+
+
+def test_subselect_scalar_extension(kg):
+    # a sub-SELECT sharing no variable is the cartesian extension — the
+    # scalar-aggregate idiom; also pins a group that STARTS with '{ SELECT'
+    got = sparql(
+        kg,
+        """SELECT ?x ?m WHERE {
+            { SELECT (COUNT(*) AS ?m) WHERE { ?z broader ?p . } }
+            ?x label ?l .
+            FILTER(LENGTH(?l) = 4)
+        } ORDER BY ?x""",
+    ).collect()
+    assert [(r["x"], r["m"]) for r in got] == [("a", 5), ("b", 5), ("d", 5)]
+
+
+def test_subselect_loud_errors(kg):
+    with pytest.raises(SparqlSyntaxError, match="only supported in SELECT"):
+        sparql(kg, "ASK { { SELECT ?x WHERE { ?x broader a . } } }")
+    with pytest.raises(SparqlSyntaxError, match="update WHERE"):
+        sparql_update(
+            kg,
+            "DELETE WHERE { ?x broader a . "
+            "{ SELECT ?x WHERE { ?x label ?l . } } }",
+        )
+
+
 def test_loud_errors(kg):
     for q, msg in [
         ("SELECT WHERE { ?x broader a . }", "projection"),
