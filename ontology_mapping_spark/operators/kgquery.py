@@ -513,6 +513,11 @@ def with_path_closures(
                 f"closure over an alternation ({pp!r}) is not supported; "
                 "rewrite as a UNION of path groups"
             )
+        if base.startswith("!"):
+            raise ValueError(
+                f"closure over a negated property set ({pp!r}) is not "
+                "supported"
+            )
         edges = triples.filter(F.col("predicate") == _strip_iri(base)).select(
             F.col("subject").alias("child"), F.col("object").alias("parent")
         )
@@ -552,6 +557,7 @@ def with_path_closures(
         and not is_iri_ref(p)
         and "|" in p
         and p not in path_preds
+        and not p.startswith("!")  # '!(a|b)' is a negated set, below
     }
     for ap in sorted(alt_preds):
         rows = None
@@ -573,6 +579,92 @@ def with_path_closures(
             )
             rows = part if rows is None else rows.unionByName(part)
         aug = aug.unionByName(rows)
+    # zero-or-one 'p?': the base scan plus the identity pair for every
+    # node, DISTINCT (SPARQL path solutions are node pairs, and a
+    # self-loop must not double with its identity row). Same shape as
+    # the '*' zero-length handling, minus the closure.
+    opt_preds = {
+        p
+        for (_s, p, _o) in patterns
+        if not is_var(p)
+        and not is_iri_ref(p)
+        and len(p) > 1
+        and p.endswith("?")
+    }
+    for op_ in sorted(opt_preds):
+        base = op_[:-1]
+        if base[-1] in "+*?|)" or base.startswith(("!", "^")):
+            raise ValueError(
+                f"'?' must follow a plain or '<iri>' predicate, got {op_!r}"
+            )
+        scan = triples.filter(F.col("predicate") == _strip_iri(base)).select(
+            "subject", F.lit(op_).alias("predicate"), "object"
+        )
+        nodes = (
+            triples.select(F.col("subject").alias("n"))
+            .unionByName(triples.select(F.col("object").alias("n")))
+            .distinct()
+        )
+        rows = scan.unionByName(
+            nodes.select(
+                F.col("n").alias("subject"),
+                F.lit(op_).alias("predicate"),
+                F.col("n").alias("object"),
+            )
+        ).distinct()
+        aug = aug.unionByName(rows.select("subject", "predicate", "object"))
+    # negated property set '!p' / '!(p1|p2|^q)': the complement scan —
+    # forward edges whose predicate is NOT in the forward member set,
+    # plus reversed edges whose predicate is NOT in the inverse member
+    # set (SPARQL 1.1 NPS: a pure-forward set has no inverse part and
+    # vice versa). One filtered pass per direction, no joins.
+    neg_preds = set()
+    for _s, p, _o in patterns:
+        if is_var(p) or is_iri_ref(p):
+            continue
+        if "!" in p and not p.startswith("!"):
+            raise ValueError(
+                f"'!' inside a composite path ({p!r}) is not supported; a "
+                "negated property set stands alone (optionally inverse "
+                "members inside: '!(a|^b)')"
+            )
+        if p.startswith("!"):
+            neg_preds.add(p)
+    for np_ in sorted(neg_preds):
+        inner = np_[1:]
+        if inner.startswith("(") and inner.endswith(")"):
+            inner = inner[1:-1]
+        members = inner.split("|")
+        if not inner or any(not m or m == "^" for m in members):
+            raise ValueError(f"empty member in negated property set {np_!r}")
+        for m in members:
+            core = _strip_iri(m[1:] if m.startswith("^") else m)
+            if any(c in "+*/?!^" for c in core):
+                raise ValueError(
+                    f"negated property set members must be plain or inverse "
+                    f"predicates, got {m!r} in {np_!r}"
+                )
+        fwd = [_strip_iri(m) for m in members if not m.startswith("^")]
+        inv = [_strip_iri(m[1:]) for m in members if m.startswith("^")]
+        parts = []
+        if fwd:
+            parts.append(
+                triples.filter(~F.col("predicate").isin(fwd)).select(
+                    "subject", F.lit(np_).alias("predicate"), "object"
+                )
+            )
+        if inv:
+            parts.append(
+                triples.filter(~F.col("predicate").isin(inv)).select(
+                    F.col("object").alias("subject"),
+                    F.lit(np_).alias("predicate"),
+                    F.col("subject").alias("object"),
+                )
+            )
+        rows = parts[0]
+        for pt in parts[1:]:
+            rows = rows.unionByName(pt)
+        aug = aug.unionByName(rows.select("subject", "predicate", "object"))
     return aug
 
 
@@ -593,12 +685,16 @@ def bgp_match_paths(
 
     * ``pred+`` / ``pred*``  — one-or-more / zero-or-more hops, through
       the distributed transitive closure;
+    * ``pred?``              — zero-or-one hop (base scan plus the
+      identity pair per node, distinct);
     * ``^pred``              — inverse (pure pattern rewrite; composes
       with a trailing closure, e.g. ``^broader+``);
     * ``p1/p2/...``          — sequence, chained through fresh
       existential variables (never projected);
     * ``a|b``                — alternation of plain/inverse predicates
-      (bag union of the branch scans).
+      (bag union of the branch scans);
+    * ``!p`` / ``!(p1|^q)``  — negated property set (complement scans,
+      forward and/or inverse per the member directions).
 
     Paths work the same inside OPTIONAL and negation groups. Variable-
     predicate patterns in the same BGP scan the ORIGINAL table

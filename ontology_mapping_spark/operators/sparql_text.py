@@ -83,7 +83,7 @@ _FUNC_MAP = {
     "str": "string",
 }
 
-_PATH_CHARS = set("+*/|^")
+_PATH_CHARS = set("+*/|^?!")
 
 
 class SparqlSyntaxError(ValueError):
@@ -202,6 +202,31 @@ def _term(tok: str, prefixes: dict[str, str]) -> str:
     return tok
 
 
+def _pred_term(cur: _Cursor, prefixes: dict[str, str]) -> str:
+    """A predicate-position term: like ``_term``, plus the negated
+    property set forms — ``!p`` (one token) and ``!( a | ^b )`` (the
+    parenthesized members reassemble into one ``!(...)`` path term,
+    each member prefix-expanded)."""
+    tok = cur.peek()
+    if tok == "!" and cur.peek(1) == "(":
+        cur.next()
+        inner = _capture_parens(cur).replace(" ", "")
+        members = [
+            ("^" + _term(m[1:], prefixes)) if m.startswith("^")
+            else _term(m, prefixes)
+            for m in inner.split("|")
+            if m
+        ]
+        return "!(" + "|".join(members) + ")"
+    tok = cur.next()
+    if tok.startswith("!") and len(tok) > 1:
+        body = tok[1:]
+        if body.startswith("^"):
+            return "!^" + _term(body[1:], prefixes)
+        return "!" + _term(body, prefixes)
+    return _term(tok, prefixes)
+
+
 def _has_path(p: str) -> bool:
     return (
         not is_var(p)
@@ -242,7 +267,7 @@ def _parse_po_tail(cur: _Cursor, prefixes, graph: str | None, s: str, p: str,
             # the grammar allows empty ';' slots and a trailing ';'
             if cur.at_kw(".", "}", ";"):
                 continue
-            p = _term(cur.next(), prefixes)
+            p = _pred_term(cur, prefixes)
         elif cur.at_kw(".", "}", ";", ",") or cur.peek() is None:
             raise SparqlSyntaxError("',' object list needs an object term")
         o = _term(cur.next(), prefixes)
@@ -254,7 +279,7 @@ def _parse_triples_block(cur: _Cursor, prefixes, graph: str | None) -> list[tupl
     pats: list[tuple] = []
     while not cur.at_kw("}"):
         s = _term(cur.next(), prefixes)
-        p = _term(cur.next(), prefixes)
+        p = _pred_term(cur, prefixes)
         o = _term(cur.next(), prefixes)
         pats.append((graph, s, p, o) if graph is not None else (s, p, o))
         _parse_po_tail(cur, prefixes, graph, s, p, pats)
@@ -392,7 +417,7 @@ def _parse_group(
         else:
             # plain triples up to the next keyword or '}'
             s = _term(cur.next(), prefixes)
-            p = _term(cur.next(), prefixes)
+            p = _pred_term(cur, prefixes)
             o = _term(cur.next(), prefixes)
             g.patterns.append((s, p, o))
             _parse_po_tail(cur, prefixes, None, s, p, g.patterns)

@@ -167,6 +167,7 @@ LOCAL_ONLY: frozenset = frozenset(
         "kg_bgp_negation",
         "kg_bgp_values_minus",
         "kg_bgp_path_forms",
+        "kg_bgp_path_optnps",
         # parked round 4 for the KG-maintenance primaries
         # (latest_capture_wins, kg_triple_merge): union_sides is a 2-row
         # union+tag the union shape of which every kg_bgp_* and kgmaint
@@ -3715,6 +3716,33 @@ def q_kg_sparql_update_text(spark, sf):
            INSERT { ?y narrower ?x . }
            WHERE { ?x broader ?y .
                    FILTER(CAST(SUBSTRING(?x, 3) AS INT) % 2 = 0) }""",
+    )
+
+
+@query(
+    "kg_bgp_path_optnps",
+    f"""WITH {_KG_TREE_SQL},
+    nodes AS (SELECT subject AS n FROM tr UNION SELECT object FROM tr),
+    hop AS (SELECT subject AS x, object AS y FROM tr
+            WHERE predicate = 'broader'
+            UNION SELECT n, n FROM nodes),
+    lab AS (SELECT subject AS x, object AS l FROM tr
+            WHERE predicate = 'label')
+    SELECT hop.x, hop.y, lab.l FROM hop JOIN lab USING (x)""",
+)
+def q_kg_bgp_path_optnps(spark, sf):
+    # the two remaining SPARQL 1.1 path forms, through the text
+    # front-end: 'broader?' (zero-or-one hop: the edge scan plus the
+    # per-node identity, distinct — SPARQL path solutions are node
+    # pairs) joined with '!broader' (negated property set: the
+    # complement scan, here the label edges). Both derived relations are
+    # single filtered passes unioned under the composite predicate — no
+    # joins beyond the BGP's own. The oracle restates them as CTEs.
+    from ontology_mapping_spark.operators.sparql_text import sparql
+
+    tr = _part_tree_broader(spark, sf).unionByName(_part_tree_labels(spark, sf))
+    return sparql(
+        tr, "SELECT ?x ?y ?l WHERE { ?x broader? ?y ; !broader ?l . }"
     )
 
 

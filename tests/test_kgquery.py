@@ -1003,3 +1003,51 @@ def test_update_graph_rejects_quad_tables(quads):
 
     with pytest.raises(ValueError, match="triple-scoped"):
         update_graph(quads, [("?x", "broader", "?y")])
+
+
+# --------------------------------------------------------------------------
+# zero-or-one paths ('p?') and negated property sets ('!p', '!(a|^b)')
+# --------------------------------------------------------------------------
+
+def test_zero_or_one_path(kg):
+    # c broader? ?o: the base edge (duplicate collapses — path semantics
+    # are distinct node pairs) plus the zero-length identity
+    got = bgp_match_paths(kg, [("c", "broader?", "?o")]).collect()
+    assert sorted(r["o"] for r in got) == ["a", "c"]
+    # the e->e self-loop must not double with its identity row
+    got2 = bgp_match_paths(kg, [("e", "broader?", "?o")]).collect()
+    assert [r["o"] for r in got2] == ["e"]
+
+
+def test_zero_or_one_requires_plain_base(kg):
+    with pytest.raises(ValueError, match="must follow"):
+        bgp_match_paths(kg, [("?x", "broader+?", "?o")]).collect()
+
+
+def test_negated_property_set_forward(kg):
+    # !broader = every edge whose predicate is not 'broader' = the labels
+    got = bgp_match_paths(kg, [("?x", "!broader", "?o")])
+    want = bgp_match(kg, [("?x", "label", "?o")])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_negated_property_set_parenthesized_and_inverse(kg):
+    # every predicate is excluded: nothing matches
+    assert bgp_match_paths(kg, [("?x", "!(broader|label)", "?o")]).count() == 0
+    # pure-inverse set: reversed edges not labeled 'label' = reversed
+    # broader scans, bag semantics (the duplicate c->a edge stays doubled)
+    got = bgp_match_paths(kg, [("?x", "!(^label)", "?o")]).collect()
+    pairs = sorted((r["x"], r["o"]) for r in got)
+    assert pairs == [("a", "b"), ("a", "c"), ("a", "c"), ("b", "d"), ("e", "e")]
+    # mixed: forward non-label plus reversed non-label
+    both = bgp_match_paths(kg, [("?x", "!(label|^label)", "?o")])
+    assert both.count() == 10
+
+
+def test_nps_loud_errors(kg):
+    with pytest.raises(ValueError, match="negated property set members"):
+        bgp_match_paths(kg, [("?x", "!(broader+)", "?o")]).collect()
+    with pytest.raises(ValueError, match="composite path"):
+        bgp_match_paths(kg, [("?x", "a!b", "?o")]).collect()
+    with pytest.raises(ValueError, match="closure over a negated"):
+        bgp_match_paths(kg, [("?x", "!broader+", "?o")]).collect()

@@ -276,6 +276,20 @@ def test_update_sequences_and_prefixes(kg):
     assert rows(sparql_update(kg, q2)) == rows(kg)
 
 
+def test_zero_or_one_and_nps_text(kg):
+    # zero-or-one hop
+    got = sparql(kg, "SELECT ?o WHERE { c broader? ?o . }")
+    assert sorted(r["o"] for r in got.collect()) == ["a", "c"]
+    # one-token negated property set == the complement scan
+    got2 = sparql(kg, "SELECT ?x ?o WHERE { ?x !broader ?o . }")
+    want2 = sparql(kg, "SELECT ?x ?o WHERE { ?x label ?o . }")
+    assert rows(got2) == rows(want2)
+    # parenthesized members (spaces allowed), inverse member:
+    # forward labels plus reversed labels
+    got3 = sparql(kg, "SELECT ?x ?o WHERE { ?x !( broader | ^broader ) ?o . }")
+    assert got3.count() == 8
+
+
 def test_subselect_join_on_shared_var(kg):
     # each broader edge annotated with its parent's child-count; the
     # sub-SELECT exports only its projection (?y, ?n), so its internal
