@@ -374,6 +374,74 @@ def rdfs_rules(
     return rules
 
 
+def owl_rules(
+    rdf_type: str = "type",
+    inverse_of: str | None = "inverseOf",
+    symmetric_class: str | None = "SymmetricProperty",
+    transitive_class: str | None = "TransitiveProperty",
+) -> list[Rule]:
+    """OWL-lite property-characteristic entailment, SCHEMA-DRIVEN: unlike
+    :func:`rdfs_rules` (where the caller names the predicates), these
+    rules read the property declarations from the GRAPH ITSELF — add
+    ``(near inverseOf far)`` or ``(adj type SymmetricProperty)`` as
+    ordinary triples and the corresponding instance facts follow at the
+    next saturation, with no engine reconfiguration:
+
+    * inverseOf (owl:inverseOf, both directions):
+      ``(?x ?p ?y) ∧ (?p inv ?q) → (?y ?q ?x)`` and
+      ``(?x ?q ?y) ∧ (?p inv ?q) → (?y ?p ?x)``;
+    * symmetric (owl:SymmetricProperty):
+      ``(?x ?p ?y) ∧ (?p type Sym) → (?y ?p ?x)``;
+    * transitive (owl:TransitiveProperty):
+      ``(?x ?p ?y) ∧ (?y ?p ?z) ∧ (?p type Trans) → (?x ?p ?z)`` —
+      semi-naive delta∘delta composition doubles reach per round, so a
+      depth-D relation converges in O(log D) rounds exactly like the
+      dedicated closure.
+
+    Every rule carries a variable-predicate body pattern, so each costs
+    one extra delta-anchored evaluation per round (and the loop runs with
+    constraint propagation toggled off, see ``_semi_naive_rounds``). The
+    declaration pattern is dimension-sized — AQE broadcasts it — and the
+    instance scan stays the one big pass per round. Pass ``None`` to drop
+    a family. Compose with :func:`rdfs_rules` by list concatenation.
+    """
+    rules: list[Rule] = []
+    if inverse_of is not None:
+        rules.append(
+            (
+                [("?x", "?p", "?y"), ("?p", inverse_of, "?q")],
+                [("?y", "?q", "?x")],
+            )
+        )
+        rules.append(
+            (
+                [("?x", "?q", "?y"), ("?p", inverse_of, "?q")],
+                [("?y", "?p", "?x")],
+            )
+        )
+    if symmetric_class is not None:
+        rules.append(
+            (
+                [("?x", "?p", "?y"), ("?p", rdf_type, symmetric_class)],
+                [("?y", "?p", "?x")],
+            )
+        )
+    if transitive_class is not None:
+        rules.append(
+            (
+                [
+                    ("?x", "?p", "?y"),
+                    ("?y", "?p", "?z"),
+                    ("?p", rdf_type, transitive_class),
+                ],
+                [("?x", "?p", "?z")],
+            )
+        )
+    if not rules:
+        raise ValueError("owl_rules: every rule family is disabled")
+    return rules
+
+
 def kg_entailment_rules(predicates: dict[str, str]) -> list[Rule]:
     """The entailment layer the PIPELINE's emitted KG warrants, over the
     configured predicate vocabulary (config.PipelineConfig.predicates):

@@ -226,6 +226,10 @@ LOCAL_ONLY: frozenset = frozenset(
         # derived_label's CASE projection recurs inside several curated
         # rows (stopword_language_score, token_quality_stats)
         "derived_label",
+        # schema-driven OWL variant of the rule-inference family (same
+        # semi-naive engine as the curated kg_saturate_rdfs; declarations
+        # read from the graph itself); exact recursive-CTE oracle
+        "kg_saturate_owl",
     }
 )
 
@@ -3501,6 +3505,72 @@ def q_kg_saturate_rdfs(spark, sf):
         sub.unionByName(inst), rdfs_rules(sub_class="subClassOf")
     )
     return sat.filter(F.col("predicate") == "type")
+
+
+@query(
+    "kg_saturate_owl",
+    """WITH RECURSIVE sub AS (
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS c,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS d
+      FROM part WHERE p_partkey >= 2
+    ), clo AS (
+      SELECT c, d FROM sub
+      UNION
+      SELECT clo.c, sub.d FROM clo JOIN sub ON sub.c = clo.d
+    ), inv AS (
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS c,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS d
+      FROM part WHERE p_partkey >= 2 AND p_partkey % 3 = 0
+    ), adj AS (
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS a,
+             'p:' || CAST(p_partkey + 1 AS VARCHAR) AS b
+      FROM part WHERE p_partkey % 5 = 0
+    )
+    SELECT 'anc' AS subject, 'type' AS predicate,
+           'TransitiveProperty' AS object
+    UNION ALL SELECT 'adj', 'type', 'SymmetricProperty'
+    UNION ALL SELECT 'childOf', 'inverseOf', 'parentOf'
+    UNION ALL SELECT c, 'anc', d FROM clo
+    UNION ALL SELECT c, 'childOf', d FROM inv
+    UNION ALL SELECT d, 'parentOf', c FROM inv
+    UNION ALL SELECT a, 'adj', b FROM adj
+    UNION ALL SELECT b, 'adj', a FROM adj""",
+)
+def q_kg_saturate_owl(spark, sf):
+    # schema-driven OWL-lite entailment (kginfer.owl_rules): the graph
+    # DECLARES 'anc' transitive, 'adj' symmetric, and 'childOf' the
+    # inverse of 'parentOf' as ordinary triples; saturation derives the
+    # anc closure (semi-naive delta∘delta = path doubling), the reversed
+    # adj edges, and the parentOf inverses in one fixpoint. The oracle
+    # restates each family relationally (recursive CTE for the closure).
+    from ontology_mapping_spark.operators.kginfer import owl_rules, saturate
+
+    part = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    pid = F.concat(F.lit("p:"), pk.cast("string"))
+    parent = F.concat(F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string"))
+    anc = part.filter(pk >= 2).select(
+        pid.alias("subject"), F.lit("anc").alias("predicate"),
+        parent.alias("object"),
+    )
+    child_of = part.filter((pk >= 2) & (pk % 3 == 0)).select(
+        pid.alias("subject"), F.lit("childOf").alias("predicate"),
+        parent.alias("object"),
+    )
+    adj = part.filter(pk % 5 == 0).select(
+        pid.alias("subject"), F.lit("adj").alias("predicate"),
+        F.concat(F.lit("p:"), (pk + 1).cast("string")).alias("object"),
+    )
+    decls = spark.createDataFrame(
+        [
+            ("anc", "type", "TransitiveProperty"),
+            ("adj", "type", "SymmetricProperty"),
+            ("childOf", "inverseOf", "parentOf"),
+        ],
+        "subject string, predicate string, object string",
+    )
+    kg = anc.unionByName(child_of).unionByName(adj).unionByName(decls)
+    return saturate(kg, owl_rules())
 
 
 @query(

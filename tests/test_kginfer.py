@@ -142,3 +142,68 @@ def test_incremental_assume_distinct_equivalent(spark, kg):
     fast = saturate_incremental(base, delta, rdfs_rules(), assume_distinct=True)
     slow = saturate_incremental(base, delta, rdfs_rules())
     assert tset(fast) == tset(slow)
+
+
+# --------------------------------------------------------------------------
+# schema-driven OWL property characteristics (owl_rules)
+# --------------------------------------------------------------------------
+
+def test_owl_rules_schema_driven(spark):
+    from ontology_mapping_spark.operators.kginfer import owl_rules
+
+    rows = [
+        # declarations are ordinary triples in the graph
+        ("childOf", "inverseOf", "parentOf"),
+        ("adj", "type", "SymmetricProperty"),
+        ("anc", "type", "TransitiveProperty"),
+        # instance facts
+        ("d", "childOf", "b"),
+        ("a", "parentOf", "c"),
+        ("m", "adj", "n"),
+        ("p1", "anc", "p2"),
+        ("p2", "anc", "p3"),
+        ("p3", "anc", "p4"),
+    ]
+    kg = spark.createDataFrame(rows, T)
+    ent = tset(entailed_triples(kg, owl_rules()))
+    assert ent == {
+        ("b", "parentOf", "d"),   # inverse, declared direction
+        ("c", "childOf", "a"),    # inverse, reverse direction
+        ("n", "adj", "m"),        # symmetric
+        ("p1", "anc", "p3"),      # transitive ...
+        ("p2", "anc", "p4"),
+        ("p1", "anc", "p4"),      # ... through a derived fact
+    }
+
+
+def test_owl_transitive_matches_dedicated_closure(spark):
+    from pyspark.sql import functions as F
+
+    from ontology_mapping_spark.operators import graph as G
+    from ontology_mapping_spark.operators.kginfer import owl_rules
+
+    edges = [(f"n{i}", "anc", f"n{i + 1}") for i in range(9)]
+    kg = spark.createDataFrame(
+        edges + [("anc", "type", "TransitiveProperty")], T
+    )
+    sat = saturate(kg, owl_rules(inverse_of=None, symmetric_class=None))
+    got = {
+        (r["subject"], r["object"])
+        for r in sat.filter(
+            (F.col("predicate") == "anc") & (F.col("subject") != "anc")
+        ).collect()
+    }
+    clo = G.transitive_closure(
+        spark.createDataFrame(
+            [(s, o) for s, _p, o in edges], "child string, parent string"
+        )
+    )
+    want = {(r["node"], r["ancestor"]) for r in clo.collect()}
+    assert got == want
+
+
+def test_owl_rules_all_disabled_raises():
+    from ontology_mapping_spark.operators.kginfer import owl_rules
+
+    with pytest.raises(ValueError, match="disabled"):
+        owl_rules(inverse_of=None, symmetric_class=None, transitive_class=None)
