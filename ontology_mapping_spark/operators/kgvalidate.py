@@ -49,7 +49,14 @@ class ShapeRule:
     * ``max_count`` — no subject may exceed this many;
     * ``object_in_subjects_of`` — every object must appear as a subject
       of the named predicate (range/closed-world membership);
-    * ``object_pattern`` — every object must match this regex.
+    * ``object_pattern`` — every object must match this regex;
+    * ``object_in`` — every object must be one of these literal values
+      (SHACL ``sh:in``; a codegen ``isin``, no join);
+    * ``object_class`` — every object must be typed as this class, i.e.
+      carry an ``(object, type_predicate, object_class)`` triple (SHACL
+      ``sh:class`` without subclass widening — saturate the KG with
+      ``kginfer.rdfs_rules`` first to validate against the inferred
+      types, which is exactly SHACL-on-entailed-graph).
     """
 
     name: str
@@ -58,6 +65,9 @@ class ShapeRule:
     max_count: int | None = None
     object_in_subjects_of: str | None = None
     object_pattern: str | None = None
+    object_in: tuple[str, ...] | None = None
+    object_class: str | None = None
+    type_predicate: str = "type"
 
     def __post_init__(self) -> None:
         if (
@@ -65,8 +75,14 @@ class ShapeRule:
             and self.max_count is None
             and self.object_in_subjects_of is None
             and self.object_pattern is None
+            and self.object_in is None
+            and self.object_class is None
         ):
             raise ValueError(f"rule {self.name!r} declares no constraint")
+        if self.object_in is not None and not self.object_in:
+            raise ValueError(
+                f"rule {self.name!r}: object_in needs at least one value"
+            )
 
 
 def validate_kg(triples: DataFrame, rules: Sequence[ShapeRule]) -> DataFrame:
@@ -148,6 +164,42 @@ def validate_kg(triples: DataFrame, rules: Sequence[ShapeRule]) -> DataFrame:
                     F.col("object").alias("node"),
                     F.lit(
                         f"object of {r.predicate} !~ /{r.object_pattern}/"
+                    ).alias("detail"),
+                )
+            )
+        if r.object_in is not None:
+            parts.append(
+                scoped.filter(~F.col("object").isin(list(r.object_in)))
+                .select("object")
+                .distinct()
+                .select(
+                    F.lit(r.name).alias("rule"),
+                    F.col("object").alias("node"),
+                    F.lit(
+                        f"object of {r.predicate} not in "
+                        f"{sorted(r.object_in)}"
+                    ).alias("detail"),
+                )
+            )
+        if r.object_class is not None:
+            typed = (
+                triples.filter(
+                    (F.col("predicate") == r.type_predicate)
+                    & (F.col("object") == r.object_class)
+                )
+                .select(F.col("subject").alias("object"))
+                .distinct()
+            )
+            parts.append(
+                scoped.select("object")
+                .distinct()
+                .join(typed, "object", "left_anti")
+                .select(
+                    F.lit(r.name).alias("rule"),
+                    F.col("object").alias("node"),
+                    F.lit(
+                        f"object of {r.predicate} lacks ({r.type_predicate} "
+                        f"{r.object_class})"
                     ).alias("detail"),
                 )
             )

@@ -84,3 +84,49 @@ def test_constraintless_rule_raises():
 def test_empty_rules_raises(kg):
     with pytest.raises(ValueError, match="at least one rule"):
         validate_kg(kg, [])
+
+
+def test_object_in_enumeration(spark):
+    kg = spark.createDataFrame(
+        [
+            ("a", "status", "active"),
+            ("b", "status", "retired"),
+            ("c", "status", "zombie"),
+        ],
+        "subject string, predicate string, object string",
+    )
+    got = validate_kg(
+        kg, [ShapeRule("status-enum", "status",
+                       object_in=("active", "retired"))]
+    ).collect()
+    assert [(r["rule"], r["node"]) for r in got] == [("status-enum", "zombie")]
+    with pytest.raises(ValueError, match="at least one value"):
+        ShapeRule("empty-enum", "status", object_in=())
+
+
+def test_object_class_typing(spark):
+    kg = spark.createDataFrame(
+        [
+            ("x", "worksFor", "acme"),
+            ("x", "worksFor", "ghost"),
+            ("acme", "type", "Org"),
+            ("ghost", "type", "Person"),   # wrong class
+        ],
+        "subject string, predicate string, object string",
+    )
+    got = validate_kg(
+        kg, [ShapeRule("employer-is-org", "worksFor", object_class="Org")]
+    ).collect()
+    assert [(r["rule"], r["node"]) for r in got] == [
+        ("employer-is-org", "ghost")
+    ]
+    # custom type predicate
+    kg2 = spark.createDataFrame(
+        [("x", "worksFor", "acme"), ("acme", "a", "Org")],
+        "subject string, predicate string, object string",
+    )
+    assert validate_kg(
+        kg2,
+        [ShapeRule("employer-is-org", "worksFor", object_class="Org",
+                   type_predicate="a")],
+    ).count() == 0
