@@ -875,11 +875,14 @@ _AGG_FUNCS = (
     "count",
     "count_distinct",
     "sum",
+    "sum_distinct",
     "avg",
+    "avg_distinct",
     "min",
     "max",
     "sample",
     "group_concat",
+    "group_concat_distinct",
 )
 
 
@@ -902,12 +905,15 @@ def _agg_column(func: str, var: str, alias: str):
     runs it map-side-combined (partial_... + merge_...)."""
     name = _var_name(alias)
     sep = " "
-    if func.startswith("group_concat:"):
+    if ":" in func and func.split(":", 1)[0] in (
+        "group_concat",
+        "group_concat_distinct",
+    ):
         func, _, sep = func.partition(":")
     if func not in _AGG_FUNCS:
         raise ValueError(
             f"unknown aggregate {func!r}; expected one of {_AGG_FUNCS} "
-            "(group_concat may carry ':<sep>')"
+            "(group_concat[_distinct] may carry ':<sep>')"
         )
     if var == "*":
         if func != "count":
@@ -918,10 +924,18 @@ def _agg_column(func: str, var: str, alias: str):
         return F.count(col).alias(name)
     if func == "count_distinct":
         return F.count_distinct(col).alias(name)
+    if func == "sum_distinct":
+        return F.sum_distinct(col).alias(name)
+    if func == "avg_distinct":
+        return F.expr(f"avg(DISTINCT {_var_name(var)})").alias(name)
     if func == "sample":
         return F.min(col).alias(name)
     if func == "group_concat":
         return F.array_join(F.sort_array(F.collect_list(col)), sep).alias(
+            name
+        )
+    if func == "group_concat_distinct":
+        return F.array_join(F.sort_array(F.collect_set(col)), sep).alias(
             name
         )
     return getattr(F, func)(col).alias(name)

@@ -487,12 +487,14 @@ def _parse_projection(cur: _Cursor):
                 if sm:
                     arg, sep = sm.group(1).strip(), sm.group(2)
                 func = _AGG_NAMES[fname]
-                if func == "count" and distinct:
-                    func = "count_distinct"
-                elif distinct:
-                    raise SparqlSyntaxError(f"DISTINCT inside {fname} not supported")
-                if func == "group_concat" and sep is not None:
-                    func = f"group_concat:{sep}"
+                if distinct:
+                    if func == "count":
+                        func = "count_distinct"
+                    elif func in ("sum", "avg", "group_concat"):
+                        func += "_distinct"
+                    # min/max/sample: DISTINCT cannot change the result
+                if func.startswith("group_concat") and sep is not None:
+                    func = f"{func}:{sep}"
                 aggregates.append((func, arg if arg == "*" else arg, "?" + alias))
                 select.append("?" + alias)
             else:

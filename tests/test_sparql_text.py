@@ -96,6 +96,28 @@ def test_count_distinct_and_bind_projection(kg):
     assert got["mean"] == pytest.approx(17 / 4)
 
 
+def test_distinct_inside_aggregates(kg):
+    got = sparql(
+        kg,
+        """SELECT ?y (COUNT(?x) AS ?n)
+                  (GROUP_CONCAT(DISTINCT ?x; SEPARATOR=";") AS ?kids)
+           WHERE { ?x broader ?y . } GROUP BY ?y ORDER BY ?y""",
+    ).collect()
+    # the duplicate c edge collapses in the DISTINCT concat, not the count
+    assert [(r["y"], r["n"], r["kids"]) for r in got] == [
+        ("a", 3, "b;c"),
+        ("b", 2, "d;http://x.org/e"),
+    ]
+    got2 = sparql(
+        kg,
+        """SELECT (SUM(DISTINCT ?ll) AS ?s) (AVG(DISTINCT ?ll) AS ?m)
+                  (MIN(DISTINCT ?ll) AS ?lo)
+           WHERE { ?x label ?l . BIND(CAST(STRLEN(?l) AS INT) AS ?ll) }""",
+    ).first()
+    # label lengths 4,4,5,4 -> distinct {4,5}
+    assert (got2["s"], got2["m"], got2["lo"]) == (9, 4.5, 4)
+
+
 def test_distinct_order_offset(kg):
     got = sparql(
         kg,
