@@ -571,6 +571,27 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
         )
 
     if form == "CONSTRUCT":
+        if cur.at_kw("WHERE"):
+            # SPARQL 1.1 'CONSTRUCT WHERE { }' shorthand: the pattern set
+            # IS the template; the spec restricts the group to plain
+            # triples, enforced below
+            cur.next()
+            g = _parse_group(triples, cur, prefixes)
+            if (
+                g.union_branches or g.optional or g.filters or g.not_exists
+                or g.minus or g.binds or g.subqueries
+                or g.values_rows is not None
+            ):
+                raise SparqlSyntaxError(
+                    "CONSTRUCT WHERE shorthand allows only plain triple "
+                    "patterns; use the full CONSTRUCT { } WHERE { } form"
+                )
+            if g.any_path():
+                raise SparqlSyntaxError(
+                    "property paths cannot appear in a CONSTRUCT WHERE "
+                    "template; use the full CONSTRUCT { } WHERE { } form"
+                )
+            return bgp_construct(triples, g.patterns, g.patterns)
         cur.expect("{")
         template = _parse_triples_block(cur, prefixes, None)
         cur.expect("}")

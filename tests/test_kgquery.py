@@ -1051,3 +1051,20 @@ def test_nps_loud_errors(kg):
         bgp_match_paths(kg, [("?x", "a!b", "?o")]).collect()
     with pytest.raises(ValueError, match="closure over a negated"):
         bgp_match_paths(kg, [("?x", "!broader+", "?o")]).collect()
+
+
+def test_nps_complement_filter_pushes_to_parquet_scan(kg, spark, tmp_path):
+    # the negated-property-set scan must push Not(In(predicate, ...)) to
+    # the data source — at 10^12 triples the complement scan prunes at
+    # the reader, not post-scan
+    path = str(tmp_path / "triples_nps_parquet")
+    kg.write.mode("overwrite").parquet(path)
+    scanned = spark.read.parquet(path)
+    plan = (
+        bgp_match_paths(scanned, [("?x", "!(broader|label)", "?o")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan, plan
+    assert "Not(In(predicate" in plan, plan

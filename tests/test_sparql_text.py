@@ -170,6 +170,22 @@ def test_ask_construct_describe(kg):
     assert sparql(kg, "DESCRIBE b").count() == 4
 
 
+def test_construct_where_shorthand(kg):
+    got = sparql(kg, "CONSTRUCT WHERE { ?x broader ?y . ?x label ?l . }")
+    want = sparql(
+        kg,
+        """CONSTRUCT { ?x broader ?y . ?x label ?l . }
+           WHERE { ?x broader ?y . ?x label ?l . }""",
+    )
+    assert rows(got) == rows(want)
+    for q, msg in [
+        ("CONSTRUCT WHERE { ?x broader ?y . FILTER(?y = \"a\") }", "plain"),
+        ("CONSTRUCT WHERE { ?x broader+ ?y . }", "paths"),
+    ]:
+        with pytest.raises(SparqlSyntaxError, match=msg):
+            sparql(kg, q)
+
+
 def test_prefix_expansion_and_raw_qnames(spark):
     kg = spark.createDataFrame(
         [
