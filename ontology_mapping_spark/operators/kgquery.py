@@ -1250,3 +1250,37 @@ def describe_node(triples: DataFrame, node: str) -> DataFrame:
     return triples.filter(
         (F.col("subject") == F.lit(n)) | (F.col("object") == F.lit(n))
     )
+
+
+def describe_nodes(
+    triples: DataFrame, nodes: DataFrame | Sequence[str]
+) -> DataFrame:
+    """``DESCRIBE`` for a node SET — either driver-literal names (the
+    multi-node ``DESCRIBE <a> <b>`` form: one OR-of-isin filtered scan,
+    both member filters pushed down) or a one-column DataFrame of node
+    ids (the ``DESCRIBE ?x WHERE { ... }`` form: the solutions' node set
+    is dimension-sized relative to the graph, so the description is two
+    semi-joins — by subject, and by object for rows not already matched
+    by subject — preserving triple multiplicity without a whole-table
+    distinct; AQE broadcasts the node set when it is small).
+    """
+    if not isinstance(nodes, DataFrame):
+        names = [_strip_iri(n) for n in nodes]
+        if not names:
+            raise ValueError("describe_nodes needs at least one node")
+        return triples.filter(
+            F.col("subject").isin(names) | F.col("object").isin(names)
+        )
+    if len(nodes.columns) != 1:
+        raise ValueError(
+            f"describe_nodes expects a one-column node DataFrame, got "
+            f"{nodes.columns}"
+        )
+    col = nodes.columns[0]
+    ns = nodes.select(F.col(col).alias("subject")).distinct()
+    no = nodes.select(F.col(col).alias("object")).distinct()
+    by_s = triples.join(ns, "subject", "left_semi")
+    by_o_only = triples.join(no, "object", "left_semi").join(
+        ns, "subject", "left_anti"
+    )
+    return by_s.unionByName(by_o_only)

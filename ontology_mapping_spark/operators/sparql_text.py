@@ -6,7 +6,9 @@ contract; this module adds the surface a triple-store user actually
 types, covering exactly the constructs the algebra implements:
 
 * query forms — ``SELECT`` (DISTINCT, aggregate projections, expression
-  projections), ``ASK``, ``CONSTRUCT``, ``DESCRIBE <node>``;
+  projections), ``ASK``, ``CONSTRUCT`` (incl. the ``CONSTRUCT WHERE``
+  shorthand), ``DESCRIBE`` (one or more nodes, and/or ``?var``s bound by
+  a ``WHERE`` group);
 * update forms (``sparql_update``) — ``INSERT DATA`` / ``DELETE DATA``
   (ground triples), ``DELETE WHERE``, ``DELETE { } INSERT { } WHERE
   { }`` (either template optional), and ``;``-separated operation
@@ -47,6 +49,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ontology_mapping_spark.operators.kgquery import (
     bgp_ask,
@@ -55,6 +58,7 @@ from ontology_mapping_spark.operators.kgquery import (
     bgp_union,
     delete_data,
     describe_node,
+    describe_nodes,
     insert_data,
     is_iri_ref,
     is_var,
@@ -549,7 +553,54 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
     form = cur.next().upper()
 
     if form == "DESCRIBE":
-        return describe_node(triples, _term(cur.next(), prefixes))
+        terms: list[str] = []
+        while cur.peek() is not None and not cur.at_kw("WHERE", "{"):
+            terms.append(_term(cur.next(), prefixes))
+        if not terms:
+            raise SparqlSyntaxError("DESCRIBE needs at least one node or ?var")
+        vars_ = [t for t in terms if is_var(t)]
+        consts = [t for t in terms if not is_var(t)]
+        if cur.peek() is None:
+            if vars_:
+                raise SparqlSyntaxError(
+                    "DESCRIBE ?var needs a WHERE group binding it"
+                )
+            if len(consts) == 1:
+                return describe_node(triples, consts[0])
+            return describe_nodes(triples, consts)
+        if cur.at_kw("WHERE"):
+            cur.next()
+        if not vars_:
+            raise SparqlSyntaxError(
+                "DESCRIBE ... WHERE needs at least one ?var to bind"
+            )
+        g = _parse_group(triples, cur, prefixes)
+        if g.union_branches or g.subqueries:
+            raise SparqlSyntaxError(
+                "UNION / sub-SELECT in a DESCRIBE WHERE is not supported"
+            )
+        sols = bgp_select(
+            triples,
+            g.patterns,
+            paths=g.any_path(),
+            optional=g.optional,
+            filter_expr=g.filters or None,
+            not_exists=g.not_exists,
+            minus=g.minus,
+            values=g.values_rows or None,
+            bind=g.binds or None,
+            select=vars_,
+        )
+        node_df = None
+        for v in vars_:
+            part = sols.select(F.col(v.lstrip("?")).alias("n"))
+            node_df = part if node_df is None else node_df.unionByName(part)
+        if consts:
+            cdf = triples.sparkSession.createDataFrame(
+                [(_strip_brackets(c),) for c in consts], "n string"
+            )
+            node_df = node_df.unionByName(cdf)
+        return describe_nodes(triples, node_df)
 
     if form == "ASK":
         if cur.at_kw("WHERE"):

@@ -196,6 +196,8 @@ LOCAL_ONLY: frozenset = frozenset(
         # sub-SELECT through the text front-end: the inner aggregate is
         # kg_select_agg's shape, the outer join the kg_bgp_match shape
         "kg_sparql_subselect",
+        # solution-driven DESCRIBE (semi-join node-set description)
+        "kg_describe_set",
         # temporal as-of window filter: pure-Catalyst projection of the
         # kg_triple_merge family's provenance columns; exact SQL oracle
         "kg_state_as_of",
@@ -3814,6 +3816,31 @@ def q_kg_bgp_path_optnps(spark, sf):
     return sparql(
         tr, "SELECT ?x ?y ?l WHERE { ?x broader? ?y ; !broader ?l . }"
     )
+
+
+@query(
+    "kg_describe_set",
+    f"""WITH {_KG_TREE_SQL},
+    n AS (SELECT subject FROM tr WHERE predicate = 'broader'
+          AND object = 'p:1')
+    SELECT t.subject, t.predicate, t.object FROM tr t
+    WHERE t.subject IN (SELECT subject FROM n)
+    UNION ALL
+    SELECT t.subject, t.predicate, t.object FROM tr t
+    WHERE t.object IN (SELECT subject FROM n)
+      AND t.subject NOT IN (SELECT subject FROM n)""",
+)
+def q_kg_describe_set(spark, sf):
+    # DESCRIBE ?x WHERE { ?x broader p:1 }: concise-bounded description
+    # of a solution-driven node SET (kgquery.describe_nodes) — two
+    # semi-joins (by subject; by object for rows not already matched by
+    # subject) preserve triple multiplicity with no whole-table distinct;
+    # the node set is dimension-sized, so AQE broadcasts it. The oracle
+    # restates the same subject-first union.
+    from ontology_mapping_spark.operators.sparql_text import sparql
+
+    tr = _part_tree_broader(spark, sf).unionByName(_part_tree_labels(spark, sf))
+    return sparql(tr, "DESCRIBE ?x WHERE { ?x broader p:1 . }")
 
 
 @query(

@@ -186,6 +186,24 @@ def test_construct_where_shorthand(kg):
             sparql(kg, q)
 
 
+def test_describe_node_set_and_var_form(kg):
+    # multi-node: each touched triple once, even when both nodes touch it
+    assert sparql(kg, "DESCRIBE b d").count() == 5
+    # var form: x in {b, c}; bag multiplicity preserved (dup c edge)
+    got = sparql(kg, "DESCRIBE ?x WHERE { ?x broader a . }")
+    assert got.count() == 7
+    # mixed constants and vars
+    both = sparql(kg, "DESCRIBE d ?x WHERE { ?x broader a . }")
+    assert both.count() == 8  # adds d's label; d broader b already counted
+    for q, msg in [
+        ("DESCRIBE ?x", "WHERE group"),
+        ("DESCRIBE", "at least one"),
+        ("DESCRIBE a b WHERE { ?x broader a . }", "at least one .var"),
+    ]:
+        with pytest.raises(SparqlSyntaxError, match=msg):
+            sparql(kg, q)
+
+
 def test_prefix_expansion_and_raw_qnames(spark):
     kg = spark.createDataFrame(
         [
