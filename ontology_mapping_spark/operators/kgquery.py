@@ -792,8 +792,19 @@ def _instantiate_templates(
     triple (bag — callers dedup where graph-set semantics apply).
     Solutions with an unbound (NULL) variable in a template position drop
     that template triple, per the SPARQL spec. Shared by ``bgp_construct``
-    and the UPDATE forms (``update_graph``)."""
+    and the UPDATE forms (``update_graph``).
+
+    A ``_:label`` template term is a BLANK NODE: one fresh node per
+    solution (the SPARQL CONSTRUCT reification idiom — ``_:m type
+    Mention . _:m of ?x``), minted DETERMINISTICALLY as the label plus
+    the xxhash64 of the full solution binding, so template triples
+    sharing a label within one solution share the node, re-runs are
+    reproducible, and duplicate solutions collapse to one node (the only
+    choice consistent with CONSTRUCT's graph-set output; a rule engine
+    re-deriving the same solution converges instead of minting forever).
+    """
     bound = set(sols.columns)
+    bnode_cols = [F.col(c) for c in sorted(bound)]
 
     def term(t: str):
         if is_var(t):
@@ -804,6 +815,10 @@ def _instantiate_templates(
                     f"(bound: {sorted(bound)})"
                 )
             return F.col(name)
+        if t.startswith("_:") and len(t) > 2:
+            return F.concat(
+                F.lit(t + "_"), F.xxhash64(*bnode_cols).cast("string")
+            )
         return F.lit(_strip_iri(t))
 
     parts = []
@@ -1161,6 +1176,14 @@ def update_graph(
                 "explicit delete template"
             )
         delete = tuple(patterns)
+    for pat in delete:
+        for t in pat:
+            if isinstance(t, str) and t.startswith("_:"):
+                raise ValueError(
+                    "blank nodes cannot appear in a DELETE template "
+                    "(SPARQL UPDATE forbids them; a fresh node can never "
+                    "name an existing triple)"
+                )
     matcher = bgp_match_paths if paths else bgp_match
     sols = matcher(
         triples,

@@ -1068,3 +1068,42 @@ def test_nps_complement_filter_pushes_to_parquet_scan(kg, spark, tmp_path):
     )
     assert "PushedFilters" in plan, plan
     assert "Not(In(predicate" in plan, plan
+
+
+def test_construct_blank_node_templates(kg):
+    from ontology_mapping_spark.operators.kgquery import (
+        bgp_construct,
+        update_graph,
+    )
+
+    out = bgp_construct(
+        kg,
+        [("?x", "broader", "a")],
+        [("_:m", "mention_of", "?x"), ("_:m", "kind", "link")],
+    ).collect()
+    by_pred = {}
+    for r in out:
+        by_pred.setdefault(r["predicate"], []).append(r)
+    # one fresh node per solution (b and c), shared across the template
+    # triples of that solution
+    of_nodes = {r["subject"] for r in by_pred["mention_of"]}
+    kind_nodes = {r["subject"] for r in by_pred["kind"]}
+    assert len(of_nodes) == 2 and of_nodes == kind_nodes
+    assert all(n.startswith("_:m_") for n in of_nodes)
+    # deterministic: a re-run mints the same ids
+    again = bgp_construct(
+        kg,
+        [("?x", "broader", "a")],
+        [("_:m", "mention_of", "?x"), ("_:m", "kind", "link")],
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # distinct labels in one solution mint distinct nodes
+    two = bgp_construct(
+        kg, [("d", "broader", "?y")], [("_:a", "p", "_:b")]
+    ).first()
+    assert two["subject"] != two["object"]
+    # blank nodes are illegal in DELETE templates
+    with pytest.raises(ValueError, match="DELETE template"):
+        update_graph(
+            kg, [("?x", "broader", "a")], delete=[("_:m", "broader", "a")]
+        )
