@@ -304,6 +304,11 @@ def bgp_match(
     arbitrarily large, so AQE picks the strategy from runtime stats (the
     common aggregate-to-a-scalar idiom, e.g. ``(MAX(?d) AS ?m)`` with no
     shared variable, becomes a 1-row broadcast nested-loop extension).
+    As with the negation forms, Spark join-NULL semantics apply: an outer
+    solution whose shared variable is unbound (NULL via OPTIONAL) matches
+    nothing, where SPARQL's unbound-compatibility would match everything
+    — FILTER(bound(?v)) first when negating or joining OPTIONAL-bound
+    variables.
     """
     out, bound = _compile_bgp(
         triples, patterns, allow_product, broadcast_min_constants,
@@ -564,10 +569,17 @@ def with_path_closures(
         for branch in ap.split("|"):
             if not branch:
                 raise ValueError(f"empty branch in alternation {ap!r}")
-            if branch[-1] in "+*":
+            if branch[-1] in "+*?":
                 raise ValueError(
-                    f"closure inside alternation ({branch!r} in {ap!r}) is "
-                    "not supported; rewrite as a UNION of path groups"
+                    f"closure/zero-or-one inside alternation ({branch!r} in "
+                    f"{ap!r}) is not supported; rewrite as a UNION of path "
+                    "groups"
+                )
+            if "!" in branch:
+                raise ValueError(
+                    f"negated property set inside alternation ({branch!r} "
+                    f"in {ap!r}) is not supported; fold the members into "
+                    "one '!(...)' set or rewrite as a UNION of path groups"
                 )
             inv = branch.startswith("^")
             name = _strip_iri(branch[1:] if inv else branch)
@@ -634,6 +646,14 @@ def with_path_closures(
         inner = np_[1:]
         if inner.startswith("(") and inner.endswith(")"):
             inner = inner[1:-1]
+        elif "|" in inner:
+            # SPARQL binds '!' tighter than '|': '!a|b' is (!a)|b, which
+            # this flat handler cannot express — demand parens or a UNION
+            raise ValueError(
+                f"ambiguous '!' beside alternation ({np_!r}): parenthesize "
+                "the negated set ('!(a|b)') or rewrite as a UNION of path "
+                "groups"
+            )
         members = inner.split("|")
         if not inner or any(not m or m == "^" for m in members):
             raise ValueError(f"empty member in negated property set {np_!r}")
@@ -804,7 +824,15 @@ def _instantiate_templates(
     re-deriving the same solution converges instead of minting forever).
     """
     bound = set(sols.columns)
-    bnode_cols = [F.col(c) for c in sorted(bound)]
+    # hash the JSON of the full binding, not the raw columns: xxhash64
+    # folds NULL arguments into nothing, so (x='a', y=NULL) and (x=NULL,
+    # y='a') would collide and fuse two solutions' blank nodes; to_json
+    # keeps field names and drops only null fields — injective over the
+    # fixed column set
+    if bound:
+        bnode_seed = F.to_json(F.struct(*[F.col(c) for c in sorted(bound)]))
+    else:
+        bnode_seed = F.lit("")
 
     def term(t: str):
         if is_var(t):
@@ -817,7 +845,7 @@ def _instantiate_templates(
             return F.col(name)
         if t.startswith("_:") and len(t) > 2:
             return F.concat(
-                F.lit(t + "_"), F.xxhash64(*bnode_cols).cast("string")
+                F.lit(t + "_"), F.xxhash64(bnode_seed).cast("string")
             )
         return F.lit(_strip_iri(t))
 
@@ -1231,6 +1259,17 @@ def _ground_df(triples: DataFrame, rows: Sequence[tuple]) -> DataFrame:
                 raise ValueError(
                     f"ground update data cannot contain variables: {t!r}"
                 )
+            if t.startswith("_:"):
+                # DELETE DATA forbids bnodes outright (SPARQL 1.1: a
+                # fresh node can never name an existing triple); INSERT
+                # DATA's fresh-bnode semantics would need per-request
+                # minting — inserting the literal label would silently
+                # alias every request's '_:b'. Loud in both cases.
+                raise ValueError(
+                    f"blank node {t!r} in ground update data is not "
+                    "supported; use an INSERT-WHERE '_:label' template "
+                    "for fresh-node minting"
+                )
         clean.append((_strip_iri(s), _strip_iri(p), _strip_iri(o)))
     return triples.sparkSession.createDataFrame(
         clean, schema="subject string, predicate string, object string"
@@ -1301,7 +1340,7 @@ def describe_nodes(
         )
     col = nodes.columns[0]
     ns = nodes.select(F.col(col).alias("subject")).distinct()
-    no = nodes.select(F.col(col).alias("object")).distinct()
+    no = ns.withColumnRenamed("subject", "object")  # reuse one distinct
     by_s = triples.join(ns, "subject", "left_semi")
     by_o_only = triples.join(no, "object", "left_semi").join(
         ns, "subject", "left_anti"

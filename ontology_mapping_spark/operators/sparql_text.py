@@ -292,6 +292,23 @@ def _parse_triples_block(cur: _Cursor, prefixes, graph: str | None) -> list[tupl
     return pats
 
 
+def _is_plain_group(g: "_Group") -> bool:
+    """True when the group is ONLY triple patterns — every other group
+    feature (nested union, OPTIONAL, FILTER, negation, VALUES, BIND,
+    sub-SELECT) would be silently discarded by a caller that consumes
+    just ``g.patterns``, so such callers must reject non-plain groups."""
+    return not (
+        g.union_branches
+        or g.optional
+        or g.filters
+        or g.not_exists
+        or g.minus
+        or g.binds
+        or g.subqueries
+        or g.values_rows is not None
+    )
+
+
 def _parse_group(
     triples: DataFrame, cur: _Cursor, prefixes: dict[str, str]
 ) -> _Group:
@@ -302,15 +319,13 @@ def _parse_group(
     if cur.at_kw("{") and (cur.peek(1) or "").upper() != "SELECT":
         branches = []
         sub = _parse_group(triples, cur, prefixes)
-        if (sub.union_branches or sub.optional or sub.filters or sub.binds
-                or sub.subqueries):
+        if not _is_plain_group(sub):
             raise SparqlSyntaxError("UNION branches must be plain triple groups")
         branches.append(sub.patterns)
         while cur.at_kw("UNION"):
             cur.next()
             sub = _parse_group(triples, cur, prefixes)
-            if (sub.union_branches or sub.optional or sub.filters or sub.binds
-                    or sub.subqueries):
+            if not _is_plain_group(sub):
                 raise SparqlSyntaxError("UNION branches must be plain triple groups")
             branches.append(sub.patterns)
         cur.expect("}")
@@ -332,8 +347,10 @@ def _parse_group(
         if up == "OPTIONAL":
             cur.next()
             sub = _parse_group(triples, cur, prefixes)
-            if sub.union_branches:
-                raise SparqlSyntaxError("UNION inside OPTIONAL is not supported")
+            if not _is_plain_group(sub):
+                raise SparqlSyntaxError(
+                    "OPTIONAL bodies must be plain triple groups"
+                )
             g.optional.append(sub.patterns)
         elif up == "FILTER":
             cur.next()
@@ -341,12 +358,20 @@ def _parse_group(
                 cur.next()
                 cur.expect("EXISTS")
                 sub = _parse_group(triples, cur, prefixes)
+                if not _is_plain_group(sub):
+                    raise SparqlSyntaxError(
+                        "NOT EXISTS bodies must be plain triple groups"
+                    )
                 g.not_exists.append(sub.patterns)
             else:
                 g.filters.append(_translate_expr(_capture_parens(cur)))
         elif up == "MINUS":
             cur.next()
             sub = _parse_group(triples, cur, prefixes)
+            if not _is_plain_group(sub):
+                raise SparqlSyntaxError(
+                    "MINUS bodies must be plain triple groups"
+                )
             g.minus.append(sub.patterns)
         elif up == "BIND":
             cur.next()
@@ -628,11 +653,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             # triples, enforced below
             cur.next()
             g = _parse_group(triples, cur, prefixes)
-            if (
-                g.union_branches or g.optional or g.filters or g.not_exists
-                or g.minus or g.binds or g.subqueries
-                or g.values_rows is not None
-            ):
+            if not _is_plain_group(g):
                 raise SparqlSyntaxError(
                     "CONSTRUCT WHERE shorthand allows only plain triple "
                     "patterns; use the full CONSTRUCT { } WHERE { } form"
@@ -646,6 +667,12 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
         cur.expect("{")
         template = _parse_triples_block(cur, prefixes, None)
         cur.expect("}")
+        for pat in template:
+            if _has_path(pat[1]):
+                raise SparqlSyntaxError(
+                    f"property path in a CONSTRUCT template: {pat[1]!r} "
+                    "(templates emit concrete triples)"
+                )
         cur.expect("WHERE")
         g = _parse_group(triples, cur, prefixes)
         if g.union_branches:
@@ -761,7 +788,8 @@ def _parse_template(cur: _Cursor, prefixes, *, what: str) -> list[tuple]:
 
 
 def _apply_where_update(
-    triples: DataFrame, cur: _Cursor, prefixes, delete, insert
+    triples: DataFrame, cur: _Cursor, prefixes, delete, insert,
+    *, shorthand: bool = False,
 ) -> DataFrame:
     cur.expect("WHERE")
     g = _parse_group(triples, cur, prefixes)
@@ -777,6 +805,12 @@ def _apply_where_update(
                 raise SparqlSyntaxError(
                     f"property path in an update template: {pat[1]!r}"
                 )
+    if not shorthand and not delete and not insert:
+        # explicitly EMPTY templates ('DELETE { } WHERE { ... }'): SPARQL
+        # evaluates the WHERE and applies nothing — a legal no-op, which
+        # must NOT fall into update_graph's DELETE WHERE shorthand (that
+        # would delete every matched triple)
+        return triples
     return update_graph(
         triples,
         g.patterns,
@@ -809,7 +843,9 @@ def _parse_one_update(triples: DataFrame, cur: _Cursor, prefixes) -> DataFrame:
             )
         if cur.at_kw("WHERE"):
             # DELETE WHERE shorthand: the patterns are the delete template
-            return _apply_where_update(triples, cur, prefixes, (), ())
+            return _apply_where_update(
+                triples, cur, prefixes, (), (), shorthand=True
+            )
         delete = _parse_template(cur, prefixes, what="a DELETE template")
         insert: list[tuple] = []
         if cur.at_kw("INSERT"):

@@ -1107,3 +1107,31 @@ def test_construct_blank_node_templates(kg):
         update_graph(
             kg, [("?x", "broader", "a")], delete=[("_:m", "broader", "a")]
         )
+
+
+def test_alternation_rejects_optional_and_nps_branches(kg):
+    with pytest.raises(ValueError, match="zero-or-one inside alternation"):
+        bgp_match_paths(kg, [("?x", "broader?|label", "?o")]).collect()
+    with pytest.raises(ValueError, match="ambiguous '!'"):
+        bgp_match_paths(kg, [("?x", "!broader|label", "?o")]).collect()
+    with pytest.raises(ValueError, match="negated property set inside"):
+        bgp_match_paths(kg, [("?x", "label|!broader", "?o")]).collect()
+
+
+def test_bnode_minting_distinguishes_null_positions(kg, spark):
+    from ontology_mapping_spark.operators.kgquery import _instantiate_templates
+
+    # xxhash64 folds NULL args into nothing; the JSON-seeded mint must
+    # give (x='a', y=NULL) and (x=NULL, y='a') DIFFERENT blank nodes
+    sols = spark.createDataFrame([("a", None), (None, "a")], "x string, y string")
+    out = _instantiate_templates(sols, [("_:m", "p", "c")]).collect()
+    assert len({r["subject"] for r in out}) == 2
+
+
+def test_ground_data_rejects_blank_nodes(kg):
+    from ontology_mapping_spark.operators.kgquery import delete_data, insert_data
+
+    with pytest.raises(ValueError, match="blank node"):
+        delete_data(kg, [("_:b", "broader", "a")])
+    with pytest.raises(ValueError, match="blank node"):
+        insert_data(kg, [("x", "broader", "_:b")])

@@ -413,3 +413,51 @@ def test_update_loud_errors(kg):
     ]:
         with pytest.raises(ValueError, match=msg):
             sparql_update(kg, q)
+
+
+def test_group_bodies_must_be_plain(kg):
+    # features that only .patterns-consuming callers would silently drop
+    for q, msg in [
+        ("""SELECT ?x WHERE {
+            { ?x broader a . FILTER NOT EXISTS { ?x label ?l . } }
+            UNION { ?x label ?z . } }""", "plain triple groups"),
+        ("""SELECT ?x WHERE {
+            { ?x broader a . VALUES ?x { b } } UNION { ?x label ?z . } }""",
+         "plain triple groups"),
+        ("SELECT ?x WHERE { ?x label ?l . OPTIONAL { ?x broader ?p . "
+         "FILTER(?p = \"a\") } }", "OPTIONAL bodies"),
+        ("SELECT ?x WHERE { ?x label ?l . MINUS { ?x broader ?p . "
+         "BIND(1 AS ?one) } }", "MINUS bodies"),
+        ("SELECT ?x WHERE { ?x label ?l . FILTER NOT EXISTS { "
+         "?x broader ?p . OPTIONAL { ?p label ?q . } } }",
+         "NOT EXISTS bodies"),
+    ]:
+        with pytest.raises(SparqlSyntaxError, match=msg):
+            sparql(kg, q)
+
+
+def test_empty_update_templates_are_noops(kg):
+    # explicit 'DELETE { } WHERE' is a legal no-op, NOT the DELETE WHERE
+    # shorthand — nothing may be deleted
+    got = sparql_update(kg, "DELETE { } WHERE { ?x broader ?y . }")
+    assert rows(got) == rows(kg)
+    got2 = sparql_update(kg, "DELETE { } INSERT { } WHERE { ?x broader ?y . }")
+    assert rows(got2) == rows(kg)
+    # empty delete beside a non-empty insert still inserts
+    got3 = sparql_update(
+        kg, "DELETE { } INSERT { ?y kid ?x . } WHERE { ?x broader ?y . }"
+    )
+    assert ("a", "kid", "b") in rows(got3)
+    assert ("b", "broader", "a") in rows(got3)
+
+
+def test_construct_template_rejects_paths(kg):
+    with pytest.raises(SparqlSyntaxError, match="CONSTRUCT template"):
+        sparql(kg, "CONSTRUCT { ?x broader+ ?y . } WHERE { ?x broader ?y . }")
+
+
+def test_update_data_rejects_blank_nodes(kg):
+    with pytest.raises(ValueError, match="blank node"):
+        sparql_update(kg, "DELETE DATA { _:b broader a . }")
+    with pytest.raises(ValueError, match="blank node"):
+        sparql_update(kg, "INSERT DATA { x broader _:b . }")
