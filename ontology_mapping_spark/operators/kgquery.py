@@ -54,6 +54,7 @@ Scale notes (10^12-triple KG):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -962,7 +963,11 @@ def _agg_column(func: str, var: str, alias: str):
         if func != "count":
             raise ValueError(f"'*' is only valid with count, got {func!r}")
         return F.count(F.lit(1)).alias(name)
-    col = F.col(_var_name(var))
+    # SPARQL allows aggregates over expressions, not just variables:
+    # anything beyond a plain name is Spark SQL over the variable columns
+    arg = _var_name(var)
+    plain = bool(re.fullmatch(r"\w+", arg))
+    col = F.col(arg) if plain else F.expr(arg)
     if func == "count":
         return F.count(col).alias(name)
     if func == "count_distinct":
@@ -970,7 +975,7 @@ def _agg_column(func: str, var: str, alias: str):
     if func == "sum_distinct":
         return F.sum_distinct(col).alias(name)
     if func == "avg_distinct":
-        return F.expr(f"avg(DISTINCT {_var_name(var)})").alias(name)
+        return F.expr(f"avg(DISTINCT {arg})").alias(name)
     if func == "sample":
         return F.min(col).alias(name)
     if func == "group_concat":

@@ -524,7 +524,10 @@ def _parse_projection(cur: _Cursor):
                     # min/max/sample: DISTINCT cannot change the result
                 if func.startswith("group_concat") and sep is not None:
                     func = f"{func}:{sep}"
-                aggregates.append((func, arg if arg == "*" else arg, "?" + alias))
+                if arg != "*" and not re.fullmatch(r"\?\w+", arg):
+                    # aggregate over an expression, not a bare variable
+                    arg = _translate_expr(arg)
+                aggregates.append((func, arg, "?" + alias))
                 select.append("?" + alias)
             else:
                 binds.append(("?" + alias, _translate_expr(body)))

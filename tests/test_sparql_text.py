@@ -461,3 +461,20 @@ def test_update_data_rejects_blank_nodes(kg):
         sparql_update(kg, "DELETE DATA { _:b broader a . }")
     with pytest.raises(ValueError, match="blank node"):
         sparql_update(kg, "INSERT DATA { x broader _:b . }")
+
+
+def test_aggregates_over_expressions(kg):
+    got = sparql(
+        kg,
+        """SELECT (SUM(STRLEN(?l)) AS ?chars)
+                  (COUNT(DISTINCT STRLEN(?l)) AS ?nlens)
+           WHERE { ?x label ?l . }""",
+    ).first()
+    # label lengths 4,4,5,4
+    assert (got["chars"], got["nlens"]) == (17, 2)
+    got2 = sparql(
+        kg,
+        """SELECT ?y (MAX(STRLEN(?x)) AS ?longest)
+           WHERE { ?x broader ?y . } GROUP BY ?y ORDER BY ?y""",
+    ).collect()
+    assert [(r["y"], r["longest"]) for r in got2] == [("a", 1), ("b", 14)]
