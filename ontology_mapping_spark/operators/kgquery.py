@@ -886,6 +886,7 @@ def bgp_ask(
     not_exists: Sequence[Sequence[Pattern]] = (),
     minus: Sequence[Sequence[Pattern]] = (),
     values: DataFrame | Sequence[dict] | None = None,
+    subqueries: Sequence[DataFrame] = (),
 ) -> DataFrame:
     """SPARQL ``ASK``: does at least one solution exist?
 
@@ -907,6 +908,7 @@ def bgp_ask(
         not_exists=not_exists,
         minus=minus,
         values=values,
+        subqueries=subqueries,
     )
     return (
         sols.limit(1)

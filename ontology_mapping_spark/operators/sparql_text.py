@@ -382,42 +382,7 @@ def _parse_group(
             g.binds.append(("?" + m.group(2), _translate_expr(m.group(1))))
         elif up == "VALUES":
             cur.next()
-            vars_: list[str] = []
-            if cur.at_kw("("):
-                cur.next()
-                while not cur.at_kw(")"):
-                    vars_.append(cur.next())
-                cur.next()
-            else:
-                vars_.append(cur.next())
-            vars_ = [v[1:] if v.startswith("?") else v for v in vars_]
-            cur.expect("{")
-            rows: list[dict] = []
-            while not cur.at_kw("}"):
-                if cur.at_kw("("):
-                    cur.next()
-                    vals = []
-                    while not cur.at_kw(")"):
-                        vals.append(cur.next())
-                    cur.next()
-                else:
-                    vals = [cur.next()]
-                if len(vals) != len(vars_):
-                    raise SparqlSyntaxError(
-                        f"VALUES row arity {len(vals)} != vars {len(vars_)}"
-                    )
-                rows.append(
-                    {
-                        v: (
-                            None
-                            if val.upper() == "UNDEF"
-                            else _strip_brackets(_term(val, prefixes))
-                        )
-                        for v, val in zip(vars_, vals)
-                    }
-                )
-            cur.next()
-            g.values_vars, g.values_rows = vars_, rows
+            g.values_vars, g.values_rows = _parse_values(cur, prefixes)
         elif up == "GRAPH":
             cur.next()
             gterm = _term(cur.next(), prefixes)
@@ -456,6 +421,47 @@ def _parse_group(
 
 def _strip_brackets(t: str) -> str:
     return t[1:-1] if is_iri_ref(t) else t
+
+
+def _parse_values(cur: _Cursor, prefixes) -> tuple[list[str], list[dict]]:
+    """The body of a VALUES block (cursor positioned after the VALUES
+    keyword): '?v { a b }' or '( ?v ?w ) { (a b) (UNDEF c) }'."""
+    vars_: list[str] = []
+    if cur.at_kw("("):
+        cur.next()
+        while not cur.at_kw(")"):
+            vars_.append(cur.next())
+        cur.next()
+    else:
+        vars_.append(cur.next())
+    vars_ = [v[1:] if v.startswith("?") else v for v in vars_]
+    cur.expect("{")
+    rows: list[dict] = []
+    while not cur.at_kw("}"):
+        if cur.at_kw("("):
+            cur.next()
+            vals = []
+            while not cur.at_kw(")"):
+                vals.append(cur.next())
+            cur.next()
+        else:
+            vals = [cur.next()]
+        if len(vals) != len(vars_):
+            raise SparqlSyntaxError(
+                f"VALUES row arity {len(vals)} != vars {len(vars_)}"
+            )
+        rows.append(
+            {
+                v: (
+                    None
+                    if val.upper() == "UNDEF"
+                    else _strip_brackets(_term(val, prefixes))
+                )
+                for v, val in zip(vars_, vals)
+            }
+        )
+    cur.next()
+    return vars_, rows
 
 
 # ---------------------------------------------------------------------------
@@ -537,15 +543,24 @@ def _parse_projection(cur: _Cursor):
     return (None if star else select), aggregates, binds
 
 
-def _parse_modifiers(cur: _Cursor, *, stop_at_brace: bool = False):
+def _parse_modifiers(
+    cur: _Cursor, prefixes=None, *, stop_at_brace: bool = False
+):
     group_by: list[str] = []
     having: str | None = None
     order_by: list[str] = []
     limit = offset = None
+    postfix_values: tuple[list[str], list[dict]] | None = None
     while cur.peek() is not None:
         if stop_at_brace and cur.peek() == "}":
             break
         t = cur.next().upper()
+        if t == "VALUES":
+            # the trailing ValuesClause: per spec it joins the WHERE
+            # solutions (before projection), exactly like an in-group
+            # VALUES — the parameterized-query idiom
+            postfix_values = _parse_values(cur, prefixes or {})
+            continue
         if t == "GROUP":
             cur.expect("BY")
             while cur.peek() is not None and cur.peek().startswith("?"):
@@ -568,7 +583,7 @@ def _parse_modifiers(cur: _Cursor, *, stop_at_brace: bool = False):
             offset = int(cur.next())
         else:
             raise SparqlSyntaxError(f"unexpected token after WHERE group: {t!r}")
-    return group_by, having, order_by, limit, offset
+    return group_by, having, order_by, limit, offset, postfix_values
 
 
 def sparql(triples: DataFrame, query: str) -> DataFrame:
@@ -636,8 +651,6 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
         g = _parse_group(triples, cur, prefixes)
         if g.union_branches:
             raise SparqlSyntaxError("ASK over UNION is not supported")
-        if g.subqueries:
-            raise SparqlSyntaxError("sub-SELECT is only supported in SELECT groups")
         return bgp_ask(
             triples,
             g.patterns,
@@ -647,6 +660,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             not_exists=g.not_exists,
             minus=g.minus,
             values=g.values_rows or None,
+            subqueries=g.subqueries,
         )
 
     if form == "CONSTRUCT":
@@ -718,14 +732,26 @@ def _parse_select_query(
     if cur.at_kw("WHERE"):
         cur.next()
     g = _parse_group(triples, cur, prefixes)
-    group_by, having, order_by, limit, offset = _parse_modifiers(
-        cur, stop_at_brace=stop_at_brace
+    group_by, having, order_by, limit, offset, postfix_values = (
+        _parse_modifiers(cur, prefixes, stop_at_brace=stop_at_brace)
     )
+    if postfix_values is not None:
+        if g.values_rows is not None:
+            raise SparqlSyntaxError(
+                "both an in-group VALUES and a trailing VALUES clause; "
+                "use one (the algebra joins a single inline table)"
+            )
+        g.values_vars, g.values_rows = postfix_values
 
     if g.union_branches is not None:
         if g.subqueries:
             raise SparqlSyntaxError(
                 "sub-SELECT alongside UNION is not supported"
+            )
+        if g.values_rows is not None:
+            raise SparqlSyntaxError(
+                "VALUES alongside a whole-group UNION is not supported; "
+                "put the VALUES inside a non-union group"
             )
         sols = bgp_union(triples, g.union_branches)
         return solution_modifiers(

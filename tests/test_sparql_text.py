@@ -380,9 +380,31 @@ def test_subselect_scalar_extension(kg):
     assert [(r["x"], r["m"]) for r in got] == [("a", 5), ("b", 5), ("d", 5)]
 
 
+def test_subselect_in_ask(kg):
+    # the scalar-threshold idiom: does any parent have >= 3 children?
+    q = """ASK { ?k broader ?y .
+        { SELECT ?y (COUNT(*) AS ?n) WHERE { ?z broader ?y . } GROUP BY ?y }
+        FILTER(?n >= %d) }"""
+    assert sparql(kg, q % 3).first()["ask"] is True
+    assert sparql(kg, q % 4).first()["ask"] is False
+
+
+def test_postfix_values_clause(kg):
+    got = sparql(
+        kg,
+        """SELECT ?x ?l WHERE { ?x label ?l . }
+           ORDER BY ?x VALUES ?x { b d }""",
+    ).collect()
+    assert [(r["x"], r["l"]) for r in got] == [("b", "left"), ("d", "leaf")]
+    with pytest.raises(SparqlSyntaxError, match="trailing VALUES"):
+        sparql(
+            kg,
+            """SELECT ?x WHERE { ?x label ?l . VALUES ?x { b } }
+               VALUES ?x { d }""",
+        )
+
+
 def test_subselect_loud_errors(kg):
-    with pytest.raises(SparqlSyntaxError, match="only supported in SELECT"):
-        sparql(kg, "ASK { { SELECT ?x WHERE { ?x broader a . } } }")
     with pytest.raises(SparqlSyntaxError, match="update WHERE"):
         sparql_update(
             kg,
