@@ -23,7 +23,10 @@ types, covering exactly the constructs the algebra implements:
   broadcast hint — AQE picks the strategy), and ``{ A } UNION { B }``
   (as the whole group body);
 * solution modifiers — ``GROUP BY`` / ``HAVING`` / ``ORDER BY`` (with
-  ``ASC()``/``DESC()``) / ``LIMIT`` / ``OFFSET``;
+  ``ASC()``/``DESC()``) / ``LIMIT`` / ``OFFSET``, plus a trailing
+  ``VALUES`` clause (joins the WHERE solutions, the parameterized-query
+  idiom); aggregate arguments may be full expressions and accept
+  ``DISTINCT``;
 * ``PREFIX`` declarations — a DECLARED prefix expands ``foo:bar`` to
   ``<iri+bar>``; an undeclared qname stays a literal constant (this
   engine's KGs legitimately use raw ids like ``p:1``).
@@ -78,7 +81,9 @@ _AGG_NAMES = {
 
 _FUNC_MAP = {
     "regex": "regexp_like",
+    "replace": "regexp_replace",
     "strlen": "length",
+    "substr": "substring",  # both 1-based
     "ucase": "upper",
     "lcase": "lower",
     "strstarts": "startswith",
@@ -181,6 +186,14 @@ def _translate_expr(expr: str) -> str:
     """SPARQL spellings -> Spark SQL over variable columns."""
     expr = re.sub(r"\?(\w+)", r"\1", expr)
     expr = expr.replace("&&", " AND ").replace("||", " OR ")
+    # BOUND(?v) has no Spark twin function — it is the null test (the
+    # FILTER(BOUND(?v)) idiom the OPTIONAL-negation caveats prescribe)
+    expr = re.sub(
+        r"\bbound\s*\(\s*(\w+)\s*\)",
+        r"(\1 IS NOT NULL)",
+        expr,
+        flags=re.IGNORECASE,
+    )
     for sparql_fn, spark_fn in _FUNC_MAP.items():
         expr = re.sub(
             rf"\b{sparql_fn}\s*\(", spark_fn + "(", expr, flags=re.IGNORECASE

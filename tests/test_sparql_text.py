@@ -404,6 +404,32 @@ def test_postfix_values_clause(kg):
         )
 
 
+def test_bound_replace_substr_builtins(kg):
+    # BOUND(?p): keep only solutions where the OPTIONAL matched
+    got = sparql(
+        kg,
+        """SELECT ?x ?p WHERE {
+            ?x label ?l . OPTIONAL { ?x broader ?p . }
+            FILTER(BOUND(?p)) } ORDER BY ?x""",
+    ).collect()
+    assert [r["x"] for r in got] == ["b", "c", "c", "d"]
+    # !BOUND(?p): the unmatched side
+    got2 = sparql(
+        kg,
+        """SELECT ?x WHERE {
+            ?x label ?l . OPTIONAL { ?x broader ?p . }
+            FILTER(!BOUND(?p)) }""",
+    ).collect()
+    assert [r["x"] for r in got2] == ["a"]
+    # REPLACE / SUBSTR map to their Spark twins
+    got3 = sparql(
+        kg,
+        """SELECT (REPLACE(?l, "oo", "0") AS ?r) (SUBSTR(?l, 1, 2) AS ?h)
+           WHERE { a label ?l . }""",
+    ).first()
+    assert (got3["r"], got3["h"]) == ("r0t", "ro")
+
+
 def test_subselect_loud_errors(kg):
     with pytest.raises(SparqlSyntaxError, match="update WHERE"):
         sparql_update(
