@@ -2580,9 +2580,12 @@ def q_cooccurrence_npmi(spark, sf):
 # --------------------------------------------------------------------------
 
 def _nt_sanitize_sql(x: str) -> str:
+    # mirrors rdf._sanitize_iri exactly: '%' first, control chars encoded
     return (
-        "replace(replace(replace(replace(" + x + ", ' ', '%20'),"
-        " '<', '%3C'), '>', '%3E'), '\"', '%22')"
+        "replace(replace(replace(replace(replace(replace(replace(replace("
+        + x + ", '%', '%25'), ' ', '%20'),"
+        " '<', '%3C'), '>', '%3E'), '\"', '%22'),"
+        " chr(10), '%0A'), chr(13), '%0D'), chr(9), '%09')"
     )
 
 

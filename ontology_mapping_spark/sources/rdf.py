@@ -41,7 +41,20 @@ _ABS_IRI = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
 
 
 def _sanitize_iri(c: Column) -> Column:
-    for ch, enc in ((" ", "%20"), ("<", "%3C"), (">", "%3E"), ('"', "%22")):
+    # '%' first so the encodings below stay unambiguous and decodable;
+    # newline/CR/tab must be encoded or a smuggled control character
+    # breaks the sink's line-orientation (caught by the distributed
+    # reader round-trip test)
+    for ch, enc in (
+        ("%", "%25"),
+        (" ", "%20"),
+        ("<", "%3C"),
+        (">", "%3E"),
+        ('"', "%22"),
+        ("\n", "%0A"),
+        ("\r", "%0D"),
+        ("\t", "%09"),
+    ):
         c = F.replace(c, F.lit(ch), F.lit(enc))
     return c
 
@@ -97,3 +110,95 @@ def write_ntriples(
 ) -> None:
     """Distributed N-Triples text write (one ``.nt`` shard per task)."""
     ntriples_lines(triples, prefixes).write.mode("overwrite").text(path)
+
+
+_TERM_RE = r'(<[^>]*>|"(?:[^"\\]|\\.)*")'
+_LINE_RE = rf"^\s*{_TERM_RE}\s+{_TERM_RE}\s+{_TERM_RE}\s+\.\s*$"
+# an out-of-band sentinel for the two-phase backslash unescape; literals
+# containing this exact byte pair are outside the serialization contract
+# (the sink's own docstring already demands exotic content be cleaned
+# upstream)
+_UNESC_SENTINEL = "\x00\x01"
+
+
+def _parse_term(c: Column, prefixes: dict[str, str]) -> Column:
+    """Inverse of ``term_expr``: '<iri>' strips brackets, percent-decodes
+    the sink's sanitization set, and re-compacts against the prefix map
+    (longest namespace first); a quoted literal unescapes."""
+    iri = F.substring(c, 2, 2_000_000)
+    iri = F.substring(iri, 1, F.length(iri) - 1)
+    for enc, ch in (
+        ("%20", " "),
+        ("%3C", "<"),
+        ("%3E", ">"),
+        ("%22", '"'),
+        ("%0A", "\n"),
+        ("%0D", "\r"),
+        ("%09", "\t"),
+        ("%25", "%"),  # last: inverse of the sink's first replace
+    ):
+        iri = F.replace(iri, F.lit(enc), F.lit(ch))
+    compact = iri
+    for p, ns in sorted(
+        prefixes.items(), key=lambda kv: len(kv[1]), reverse=True
+    ):
+        compact = F.when(
+            iri.startswith(ns),
+            F.concat(
+                F.lit(p + ":"), F.substring(iri, len(ns) + 1, 2_000_000)
+            ),
+        ).otherwise(compact)
+    lit = F.substring(c, 2, 2_000_000)
+    lit = F.substring(lit, 1, F.length(lit) - 1)
+    # two-phase unescape: park '\\\\' behind a sentinel so '\\n' (escaped
+    # backslash + n) is not mistaken for a newline escape, then restore
+    lit = F.replace(lit, F.lit("\\\\"), F.lit(_UNESC_SENTINEL))
+    for esc, ch in (("\\n", "\n"), ("\\r", "\r"), ("\\t", "\t"), ('\\"', '"')):
+        lit = F.replace(lit, F.lit(esc), F.lit(ch))
+    lit = F.replace(lit, F.lit(_UNESC_SENTINEL), F.lit("\\"))
+    return F.when(c.startswith("<"), compact).otherwise(lit)
+
+
+def read_ntriples(
+    spark,
+    path: str,
+    prefixes: dict[str, str] | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """Distributed N-Triples read -> (subject, predicate, object), the
+    inverse of :func:`write_ntriples`: IRIs in a declared namespace
+    compact back to the engine's ``prefix:rest`` terms, other IRIs stay
+    absolute, literals unescape — so sink→reader round-trips the triple
+    table exactly (pytest-pinned on adversarial terms).
+
+    Pure codegen string work on the line scan (regexp_extract + chained
+    replaces) — zero shuffles, zero Python; comment (``#``) and blank
+    lines are skipped per the format. ``strict=True`` (default) raises
+    if any remaining line does not parse — a silent drop would
+    under-count the KG; pass ``strict=False`` to skip malformed lines
+    when ingesting third-party dumps."""
+    prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
+    lines = spark.read.text(path).select(F.col("value").alias("line"))
+    content = lines.filter(
+        (F.trim("line") != "") & ~F.trim(F.col("line")).startswith("#")
+    )
+    parsed = content.select(
+        "line",
+        *[
+            F.regexp_extract("line", _LINE_RE, i).alias(c)
+            for i, c in ((1, "s"), (2, "p"), (3, "o"))
+        ],
+    )
+    if strict:
+        bad = parsed.filter(F.col("s") == "").select("line").limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"unparseable N-Triples line in {path!r}: {bad[0]['line']!r} "
+                "(pass strict=False to skip malformed lines)"
+            )
+    good = parsed.filter(F.col("s") != "")
+    return good.select(
+        _parse_term(F.col("s"), prefixes).alias("subject"),
+        _parse_term(F.col("p"), prefixes).alias("predicate"),
+        _parse_term(F.col("o"), prefixes).alias("object"),
+    )
