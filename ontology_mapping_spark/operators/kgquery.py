@@ -1249,6 +1249,44 @@ def update_graph(
     return out
 
 
+def update_quads(
+    quads: DataFrame,
+    graph: str,
+    patterns: Sequence[Pattern],
+    delete: Sequence[Pattern] = (),
+    insert: Sequence[Pattern] = (),
+    **kwargs,
+) -> DataFrame:
+    """``update_graph`` scoped to ONE named graph of a quad table (the
+    SPARQL ``WITH <g>`` form): the WHERE patterns match inside the graph,
+    the delete/insert templates apply inside it, and every other graph's
+    rows pass through untouched (null-graph rows included). Returns the
+    post-update QUAD table.
+
+    Plan: the scan splits into the scoped graph (one partition under the
+    standard partition-by-graph layout — the filter prunes to it) and
+    the passthrough rest; the scoped side runs the usual solution-sized
+    broadcast anti-join + plan-level union, then re-attaches the graph
+    constant. Nothing outside the named graph is read twice or shuffled.
+    """
+    if "graph" not in quads.columns:
+        raise ValueError(
+            "update_quads needs a quad table with a 'graph' column; for a "
+            "plain triple table use update_graph"
+        )
+    g = _strip_iri(graph)
+    scoped = quads.filter(F.col("graph") == g).select(
+        "subject", "predicate", "object"
+    )
+    rest = quads.filter(~F.col("graph").eqNullSafe(g))
+    out = update_graph(scoped, patterns, delete=delete, insert=insert, **kwargs)
+    return rest.select("graph", "subject", "predicate", "object").unionByName(
+        out.select(
+            F.lit(g).alias("graph"), "subject", "predicate", "object"
+        )
+    )
+
+
 def _ground_df(triples: DataFrame, rows: Sequence[tuple]) -> DataFrame:
     """Driver-literal (subject, predicate, object) rows -> a 3-column
     DataFrame in the triple table's session, '<iri>' wrapping stripped.

@@ -11,8 +11,9 @@ types, covering exactly the constructs the algebra implements:
   a ``WHERE`` group);
 * update forms (``sparql_update``) — ``INSERT DATA`` / ``DELETE DATA``
   (ground triples), ``DELETE WHERE``, ``DELETE { } INSERT { } WHERE
-  { }`` (either template optional), and ``;``-separated operation
-  sequences folding the graph left to right;
+  { }`` (either template optional), ``WITH <g>`` scoping a WHERE-form
+  update to one named graph of a quad table, and ``;``-separated
+  operation sequences folding the graph left to right;
 * group graph patterns — triple patterns (property-path predicates pass
   through verbatim to the path compiler; ``;``/``,``
   predicate-object/object-list abbreviations desugar to full patterns),
@@ -39,8 +40,8 @@ upper/lower, STRSTARTS/STRENDS→startswith/endswith, CONTAINS→contains).
 Everything else Spark SQL accepts is accepted — a deliberate superset.
 
 Out of scope (raise loudly, never mis-parse): federation (SERVICE),
-named graphs in update templates (``update_graph`` is triple-scoped),
-``WITH``/``USING``/``LOAD``/``CLEAR``. Parsing is driver-side string
+``GRAPH`` blocks inside update templates (scope with ``WITH`` instead),
+``USING``/``LOAD``/``CLEAR``. Parsing is driver-side string
 work on a
 query-sized input — zero effect on the distributed plan, which is
 byte-identical to the equivalent hand-built algebra call (pinned by
@@ -67,6 +68,7 @@ from ontology_mapping_spark.operators.kgquery import (
     is_var,
     solution_modifiers,
     update_graph,
+    update_quads,
 )
 
 _AGG_NAMES = {
@@ -831,7 +833,7 @@ def _parse_template(cur: _Cursor, prefixes, *, what: str) -> list[tuple]:
 
 def _apply_where_update(
     triples: DataFrame, cur: _Cursor, prefixes, delete, insert,
-    *, shorthand: bool = False,
+    *, shorthand: bool = False, graph: str | None = None,
 ) -> DataFrame:
     cur.expect("WHERE")
     g = _parse_group(triples, cur, prefixes)
@@ -853,9 +855,7 @@ def _apply_where_update(
         # must NOT fall into update_graph's DELETE WHERE shorthand (that
         # would delete every matched triple)
         return triples
-    return update_graph(
-        triples,
-        g.patterns,
+    kwargs = dict(
         delete=delete,
         insert=insert,
         paths=g.any_path(),
@@ -865,20 +865,47 @@ def _apply_where_update(
         minus=g.minus,
         values=g.values_rows or None,
     )
+    if graph is not None:
+        return update_quads(triples, graph, g.patterns, **kwargs)
+    return update_graph(triples, g.patterns, **kwargs)
 
 
 def _parse_one_update(triples: DataFrame, cur: _Cursor, prefixes) -> DataFrame:
     kw = cur.next().upper()
+    graph: str | None = None
+    if kw == "WITH":
+        # 'WITH <g>' scopes the WHERE and both templates to one named
+        # graph of a quad table (update_quads)
+        graph = _term(cur.next(), prefixes)
+        if "graph" not in triples.columns:
+            raise SparqlSyntaxError(
+                "WITH <graph> needs a quad table (a 'graph' column)"
+            )
+        kw = cur.next().upper()
     if kw == "INSERT":
         if cur.at_kw("DATA"):
+            if graph is not None:
+                raise SparqlSyntaxError(
+                    "WITH does not apply to INSERT DATA (spec: data forms "
+                    "name graphs via GRAPH blocks, which this engine's "
+                    "ground updates do not support)"
+                )
             cur.next()
             return insert_data(
                 triples, _parse_template(cur, prefixes, what="INSERT DATA")
             )
         insert = _parse_template(cur, prefixes, what="an INSERT template")
-        return _apply_where_update(triples, cur, prefixes, (), insert)
+        return _apply_where_update(
+            triples, cur, prefixes, (), insert, graph=graph
+        )
     if kw == "DELETE":
         if cur.at_kw("DATA"):
+            if graph is not None:
+                raise SparqlSyntaxError(
+                    "WITH does not apply to DELETE DATA (spec: data forms "
+                    "name graphs via GRAPH blocks, which this engine's "
+                    "ground updates do not support)"
+                )
             cur.next()
             return delete_data(
                 triples, _parse_template(cur, prefixes, what="DELETE DATA")
@@ -886,17 +913,19 @@ def _parse_one_update(triples: DataFrame, cur: _Cursor, prefixes) -> DataFrame:
         if cur.at_kw("WHERE"):
             # DELETE WHERE shorthand: the patterns are the delete template
             return _apply_where_update(
-                triples, cur, prefixes, (), (), shorthand=True
+                triples, cur, prefixes, (), (), shorthand=True, graph=graph
             )
         delete = _parse_template(cur, prefixes, what="a DELETE template")
         insert: list[tuple] = []
         if cur.at_kw("INSERT"):
             cur.next()
             insert = _parse_template(cur, prefixes, what="an INSERT template")
-        return _apply_where_update(triples, cur, prefixes, delete, insert)
+        return _apply_where_update(
+            triples, cur, prefixes, delete, insert, graph=graph
+        )
     raise SparqlSyntaxError(
-        f"unsupported update form {kw!r} (supported: INSERT DATA, "
-        "DELETE DATA, DELETE WHERE, DELETE/INSERT WHERE)"
+        f"unsupported update form {kw!r} (supported: [WITH <g>] INSERT/"
+        "DELETE WHERE forms, INSERT DATA, DELETE DATA)"
     )
 
 

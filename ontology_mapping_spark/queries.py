@@ -222,8 +222,10 @@ LOCAL_ONLY: frozenset = frozenset(
         "kg_select_slice",
         # named-graph quad matching: same join machinery as the curated
         # kg_bgp_match, graph column as an extra join key; exact SQL
-        # oracle in the local gate
+        # oracle in the local gate — and the WITH <g>-scoped update twin
+        # of kg_update_delete_insert (update_quads)
         "kg_graph_quads",
+        "kg_update_with_graph",
         # parked for the rule-inference primary (kg_saturate_rdfs):
         # derived_label's CASE projection recurs inside several curated
         # rows (stopword_language_score, token_quality_stats)
@@ -3510,6 +3512,65 @@ def q_kg_saturate_rdfs(spark, sf):
         sub.unionByName(inst), rdfs_rules(sub_class="subClassOf")
     )
     return sat.filter(F.col("predicate") == "type")
+
+
+@query(
+    "kg_update_with_graph",
+    """WITH q AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN 'g:even' ELSE 'g:odd' END AS graph,
+             'p:' || CAST(p_partkey AS VARCHAR) AS subject,
+             'broader' AS predicate,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS object
+      FROM part WHERE p_partkey >= 2
+      UNION ALL
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN 'g:even' ELSE 'g:odd' END,
+             'p:' || CAST(p_partkey AS VARCHAR), 'label', p_name FROM part),
+    sols AS (SELECT subject AS x, object AS y FROM q
+             WHERE graph = 'g:even' AND predicate = 'broader'),
+    ins AS (SELECT DISTINCT y AS subject, 'narrower' AS predicate,
+                   x AS object FROM sols)
+    SELECT graph, subject, predicate, object FROM q WHERE graph <> 'g:even'
+    UNION ALL
+    SELECT 'g:even', subject, predicate, object FROM q
+    WHERE graph = 'g:even' AND predicate <> 'broader'
+    UNION ALL
+    SELECT 'g:even', subject, predicate, object FROM ins""",
+)
+def q_kg_update_with_graph(spark, sf):
+    # WITH <g>-scoped SPARQL UPDATE (kgquery.update_quads via the text
+    # front-end): only the g:even graph's broader edges retarget to
+    # their inverse; g:odd and the scoped graph's labels pass through
+    # untouched. The plan splits the scan into the scoped partition and
+    # the passthrough rest — nothing outside the named graph shuffles.
+    from ontology_mapping_spark.operators.sparql_text import sparql_update
+
+    part = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    g = F.when(pk % 2 == 0, F.lit("g:even")).otherwise(F.lit("g:odd"))
+    quads = (
+        part.filter(pk >= 2)
+        .select(
+            g.alias("graph"),
+            F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
+            F.lit("broader").alias("predicate"),
+            F.concat(
+                F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
+            ).alias("object"),
+        )
+        .unionByName(
+            part.select(
+                g.alias("graph"),
+                F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
+                F.lit("label").alias("predicate"),
+                F.col("p_name").alias("object"),
+            )
+        )
+    )
+    return sparql_update(
+        quads,
+        """WITH g:even DELETE { ?x broader ?y . }
+           INSERT { ?y narrower ?x . } WHERE { ?x broader ?y . }""",
+    )
 
 
 @query(

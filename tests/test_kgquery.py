@@ -1135,3 +1135,35 @@ def test_ground_data_rejects_blank_nodes(kg):
         delete_data(kg, [("_:b", "broader", "a")])
     with pytest.raises(ValueError, match="blank node"):
         insert_data(kg, [("x", "broader", "_:b")])
+
+
+def test_update_quads_scopes_one_graph(spark):
+    from ontology_mapping_spark.operators.kgquery import update_quads
+
+    quads = spark.createDataFrame(
+        [
+            ("g1", "b", "broader", "a"),
+            ("g1", "c", "broader", "a"),
+            ("g2", "b", "broader", "a"),
+            (None, "x", "label", "loose"),
+        ],
+        "graph string, subject string, predicate string, object string",
+    )
+    out = update_quads(
+        quads,
+        "g1",
+        [("?x", "broader", "a")],
+        delete=[("?x", "broader", "a")],
+        insert=[("a", "narrower", "?x")],
+    )
+    got = sorted((tuple(r) for r in out.collect()), key=str)
+    assert got == [
+        ("g1", "a", "narrower", "b"),
+        ("g1", "a", "narrower", "c"),
+        ("g2", "b", "broader", "a"),         # other graph untouched
+        (None, "x", "label", "loose"),       # null-graph rows preserved
+    ]
+    with pytest.raises(ValueError, match="quad table"):
+        update_quads(
+            quads.drop("graph"), "g1", [("?x", "broader", "a")]
+        )

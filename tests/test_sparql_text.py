@@ -526,3 +526,38 @@ def test_aggregates_over_expressions(kg):
            WHERE { ?x broader ?y . } GROUP BY ?y ORDER BY ?y""",
     ).collect()
     assert [(r["y"], r["longest"]) for r in got2] == [("a", 1), ("b", 14)]
+
+
+def test_with_graph_scoped_update(spark):
+    quads = spark.createDataFrame(
+        [
+            ("g1", "b", "broader", "a"),
+            ("g2", "b", "broader", "a"),
+            ("g1", "a", "label", "root"),
+        ],
+        "graph string, subject string, predicate string, object string",
+    )
+    out = sparql_update(
+        quads,
+        """WITH g1 DELETE { ?x broader ?y . }
+           INSERT { ?y narrower ?x . } WHERE { ?x broader ?y . }""",
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [
+        ("g1", "a", "label", "root"),
+        ("g1", "a", "narrower", "b"),
+        ("g2", "b", "broader", "a"),
+    ]
+    # DELETE WHERE shorthand under WITH
+    out2 = sparql_update(quads, "WITH g1 DELETE WHERE { ?x broader ?y . }")
+    assert sorted(tuple(r) for r in out2.collect()) == [
+        ("g1", "a", "label", "root"),
+        ("g2", "b", "broader", "a"),
+    ]
+    for q, msg, table in [
+        ("WITH g1 INSERT DATA { a b c . }", "INSERT DATA", quads),
+        ("WITH g1 DELETE WHERE { ?x broader ?y . }", "quad table",
+         quads.drop("graph")),
+    ]:
+        with pytest.raises(SparqlSyntaxError, match=msg):
+            sparql_update(table, q)
