@@ -1287,6 +1287,95 @@ def update_quads(
     )
 
 
+def _require_quads(quads: DataFrame, what: str) -> None:
+    if "graph" not in quads.columns:
+        raise ValueError(
+            f"{what} needs a quad table with a 'graph' column"
+        )
+
+
+def _graph_pred(graph: str | None):
+    """Membership predicate for one graph; None is the default graph
+    (null-graph rows), matching SPARQL's DEFAULT keyword."""
+    col = F.col("graph")
+    return col.isNull() if graph is None else col.eqNullSafe(_strip_iri(graph))
+
+
+def clear_graph(quads: DataFrame, graph: str | None) -> DataFrame:
+    """SPARQL ``CLEAR GRAPH <g>`` / ``CLEAR DEFAULT`` (``graph=None``):
+    drop every triple of one graph — a single pushed-down filter scan.
+    This engine has no graph registry (graphs exist exactly while they
+    hold triples), so ``DROP`` is the same operation."""
+    _require_quads(quads, "clear_graph")
+    return quads.filter(~_graph_pred(graph))
+
+
+def clear_named(quads: DataFrame) -> DataFrame:
+    """``CLEAR NAMED``: keep only the default (null-graph) rows."""
+    _require_quads(quads, "clear_named")
+    return quads.filter(F.col("graph").isNull())
+
+
+def clear_all(quads: DataFrame) -> DataFrame:
+    """``CLEAR ALL``: the empty quad table (schema preserved)."""
+    _require_quads(quads, "clear_all")
+    return quads.filter(F.lit(False))
+
+
+def copy_graph(
+    quads: DataFrame,
+    src: str | None,
+    dst: str | None,
+    mode: str = "copy",
+) -> DataFrame:
+    """SPARQL graph management between two graphs of one quad table
+    (``None`` = the default graph on either side):
+
+    * ``mode='copy'`` — ``COPY src TO dst``: dst is replaced by src's
+      triples;
+    * ``mode='move'`` — ``MOVE src TO dst``: copy, then src drops;
+    * ``mode='add'``  — ``ADD src TO dst``: src's triples union into
+      dst, set semantics (an added triple lands once).
+
+    Plan: one scan split by graph membership (partition-pruned under a
+    graph-partitioned layout), a retag projection for the copied rows,
+    and for ``add`` one distinct over dst only. Copying a graph onto
+    itself is the identity, per spec."""
+    _require_quads(quads, "copy_graph")
+    if mode not in ("copy", "move", "add"):
+        raise ValueError(f"mode must be copy/move/add, got {mode!r}")
+    s = None if src is None else _strip_iri(src)
+    d = None if dst is None else _strip_iri(dst)
+    if s == d:
+        return quads
+    src_rows = quads.filter(_graph_pred(s))
+    retagged = src_rows.select(
+        F.lit(d).cast("string").alias("graph"),
+        "subject",
+        "predicate",
+        "object",
+    )
+    rest = quads.filter(~_graph_pred(s) & ~_graph_pred(d))
+    if mode == "add":
+        dst_new = (
+            quads.filter(_graph_pred(d)).select(
+                "graph", "subject", "predicate", "object"
+            )
+            .unionByName(retagged)
+            .distinct()
+        )
+    else:
+        dst_new = retagged
+    out = rest.select("graph", "subject", "predicate", "object").unionByName(
+        dst_new
+    )
+    if mode != "move":
+        out = out.unionByName(
+            src_rows.select("graph", "subject", "predicate", "object")
+        )
+    return out
+
+
 def _ground_df(triples: DataFrame, rows: Sequence[tuple]) -> DataFrame:
     """Driver-literal (subject, predicate, object) rows -> a 3-column
     DataFrame in the triple table's session, '<iri>' wrapping stripped.

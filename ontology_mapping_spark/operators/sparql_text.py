@@ -12,8 +12,10 @@ types, covering exactly the constructs the algebra implements:
 * update forms (``sparql_update``) — ``INSERT DATA`` / ``DELETE DATA``
   (ground triples), ``DELETE WHERE``, ``DELETE { } INSERT { } WHERE
   { }`` (either template optional), ``WITH <g>`` scoping a WHERE-form
-  update to one named graph of a quad table, and ``;``-separated
-  operation sequences folding the graph left to right;
+  update to one named graph of a quad table, the graph-management forms
+  ``CLEAR``/``DROP``/``CREATE``/``ADD``/``COPY``/``MOVE`` (each one
+  filter/union scan), and ``;``-separated operation sequences folding
+  the graph left to right;
 * group graph patterns — triple patterns (property-path predicates pass
   through verbatim to the path compiler; ``;``/``,``
   predicate-object/object-list abbreviations desugar to full patterns),
@@ -41,7 +43,7 @@ Everything else Spark SQL accepts is accepted — a deliberate superset.
 
 Out of scope (raise loudly, never mis-parse): federation (SERVICE),
 ``GRAPH`` blocks inside update templates (scope with ``WITH`` instead),
-``USING``/``LOAD``/``CLEAR``. Parsing is driver-side string
+``USING``/``LOAD``. Parsing is driver-side string
 work on a
 query-sized input — zero effect on the distributed plan, which is
 byte-identical to the equivalent hand-built algebra call (pinned by
@@ -66,6 +68,10 @@ from ontology_mapping_spark.operators.kgquery import (
     insert_data,
     is_iri_ref,
     is_var,
+    clear_all,
+    clear_graph,
+    clear_named,
+    copy_graph,
     solution_modifiers,
     update_graph,
     update_quads,
@@ -870,8 +876,41 @@ def _apply_where_update(
     return update_graph(triples, g.patterns, **kwargs)
 
 
+def _graph_ref(cur: _Cursor, prefixes) -> str | None:
+    """'GRAPH <g>' / '<g>' / 'DEFAULT' in a graph-management form;
+    DEFAULT is the null graph (None)."""
+    if cur.at_kw("DEFAULT"):
+        cur.next()
+        return None
+    if cur.at_kw("GRAPH"):
+        cur.next()
+    return _strip_brackets(_term(cur.next(), prefixes))
+
+
 def _parse_one_update(triples: DataFrame, cur: _Cursor, prefixes) -> DataFrame:
     kw = cur.next().upper()
+    if kw in ("CLEAR", "DROP", "CREATE", "ADD", "COPY", "MOVE"):
+        # graph-management forms (one filter/union scan each; this
+        # engine has no graph registry, so DROP==CLEAR and CREATE is
+        # the no-op of a graph that exists exactly while it has triples)
+        if cur.at_kw("SILENT"):
+            cur.next()
+        if kw == "CREATE":
+            cur.expect("GRAPH")
+            _term(cur.next(), prefixes)
+            return triples
+        if kw in ("CLEAR", "DROP"):
+            if cur.at_kw("ALL"):
+                cur.next()
+                return clear_all(triples)
+            if cur.at_kw("NAMED"):
+                cur.next()
+                return clear_named(triples)
+            return clear_graph(triples, _graph_ref(cur, prefixes))
+        src = _graph_ref(cur, prefixes)
+        cur.expect("TO")
+        dst = _graph_ref(cur, prefixes)
+        return copy_graph(triples, src, dst, mode=kw.lower())
     graph: str | None = None
     if kw == "WITH":
         # 'WITH <g>' scopes the WHERE and both templates to one named

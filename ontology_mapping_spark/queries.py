@@ -226,6 +226,9 @@ LOCAL_ONLY: frozenset = frozenset(
         # of kg_update_delete_insert (update_quads)
         "kg_graph_quads",
         "kg_update_with_graph",
+        # graph-management forms (CLEAR/DROP/ADD/COPY/MOVE): the ADD
+        # retag-union-distinct is the representative; exact SQL oracle
+        "kg_graph_management",
         # parked for the rule-inference primary (kg_saturate_rdfs):
         # derived_label's CASE projection recurs inside several curated
         # rows (stopword_language_score, token_quality_stats)
@@ -3571,6 +3574,60 @@ def q_kg_update_with_graph(spark, sf):
         """WITH g:even DELETE { ?x broader ?y . }
            INSERT { ?y narrower ?x . } WHERE { ?x broader ?y . }""",
     )
+
+
+@query(
+    "kg_graph_management",
+    """WITH q AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN 'g:even' ELSE 'g:odd' END AS graph,
+             'p:' || CAST(p_partkey AS VARCHAR) AS subject,
+             'broader' AS predicate,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS object
+      FROM part WHERE p_partkey >= 2
+      UNION ALL
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN 'g:even' ELSE 'g:odd' END,
+             'p:' || CAST(p_partkey AS VARCHAR), 'label', p_name FROM part),
+    dst AS (
+      SELECT 'g:even' AS graph, subject, predicate, object FROM q
+      WHERE graph = 'g:even'
+      UNION
+      SELECT 'g:even', subject, predicate, object FROM q
+      WHERE graph = 'g:odd')
+    SELECT graph, subject, predicate, object FROM q WHERE graph = 'g:odd'
+    UNION ALL
+    SELECT graph, subject, predicate, object FROM dst""",
+)
+def q_kg_graph_management(spark, sf):
+    # SPARQL graph management (kgquery.copy_graph via the text
+    # front-end): ADD g:odd TO g:even — the odd graph's triples union
+    # into the even graph with set semantics while the source stays; one
+    # scan split by graph membership plus one distinct over the target
+    # graph only. The oracle restates the retag-union-distinct.
+    from ontology_mapping_spark.operators.sparql_text import sparql_update
+
+    part = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    g = F.when(pk % 2 == 0, F.lit("g:even")).otherwise(F.lit("g:odd"))
+    quads = (
+        part.filter(pk >= 2)
+        .select(
+            g.alias("graph"),
+            F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
+            F.lit("broader").alias("predicate"),
+            F.concat(
+                F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
+            ).alias("object"),
+        )
+        .unionByName(
+            part.select(
+                g.alias("graph"),
+                F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
+                F.lit("label").alias("predicate"),
+                F.col("p_name").alias("object"),
+            )
+        )
+    )
+    return sparql_update(quads, "ADD GRAPH g:odd TO GRAPH g:even")
 
 
 @query(

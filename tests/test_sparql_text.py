@@ -454,7 +454,8 @@ def test_update_loud_errors(kg):
     for q, msg in [
         ("INSERT DATA { ?x broader a . }", "variables"),
         ("DELETE DATA { GRAPH g1 { a b c . } }", "GRAPH in DELETE DATA"),
-        ("CLEAR GRAPH g1", "unsupported update form"),
+        ("CLEAR GRAPH g1", "quad table"),
+        ("LOAD <http://x.org/d.nt>", "unsupported update form"),
         ("INSERT DATA { a b c . } DELETE DATA { a b c . }", "expected ';'"),
         ("DELETE { ?x broader+ ?y . } WHERE { ?x broader ?y . }", "property path"),
         ("", "empty update"),
@@ -561,3 +562,47 @@ def test_with_graph_scoped_update(spark):
     ]:
         with pytest.raises(SparqlSyntaxError, match=msg):
             sparql_update(table, q)
+
+
+def test_graph_management_forms(spark):
+    quads = spark.createDataFrame(
+        [
+            ("g1", "b", "broader", "a"),
+            ("g2", "c", "broader", "a"),
+            ("g2", "b", "broader", "a"),
+            (None, "x", "label", "loose"),
+        ],
+        "graph string, subject string, predicate string, object string",
+    )
+
+    def graphs(df):
+        return sorted(
+            ((r["graph"], r["subject"]) for r in df.collect()), key=str
+        )
+
+    got = sparql_update(quads, "CLEAR GRAPH g1")
+    assert graphs(got) == [("g2", "b"), ("g2", "c"), (None, "x")]
+    assert graphs(sparql_update(quads, "DROP SILENT DEFAULT")) == [
+        ("g1", "b"), ("g2", "b"), ("g2", "c"),
+    ]
+    assert graphs(sparql_update(quads, "CLEAR NAMED")) == [(None, "x")]
+    assert sparql_update(quads, "CLEAR ALL").count() == 0
+    # CREATE is the no-op of implicit graphs
+    assert graphs(sparql_update(quads, "CREATE GRAPH g9")) == graphs(quads)
+    # ADD: set semantics — (b broader a) already in g2 lands once
+    added = sparql_update(quads, "ADD GRAPH g1 TO GRAPH g2")
+    assert graphs(added) == [
+        ("g1", "b"), ("g2", "b"), ("g2", "c"), (None, "x"),
+    ]
+    # COPY replaces the target; MOVE also drops the source
+    copied = sparql_update(quads, "COPY g1 TO g2")
+    assert graphs(copied) == [("g1", "b"), ("g2", "b"), (None, "x")]
+    moved = sparql_update(quads, "MOVE g1 TO DEFAULT")
+    assert graphs(moved) == [("g2", "b"), ("g2", "c"), (None, "b")]
+    # copy onto itself is the identity
+    assert graphs(sparql_update(quads, "COPY g1 TO g1")) == graphs(quads)
+    # op sequence mixing management and WHERE forms
+    seq = sparql_update(
+        quads, "ADD g1 TO g2 ; WITH g2 DELETE WHERE { ?x broader a . }"
+    )
+    assert graphs(seq) == [("g1", "b"), (None, "x")]
