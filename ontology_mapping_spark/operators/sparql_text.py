@@ -89,7 +89,10 @@ _AGG_NAMES = {
 
 _FUNC_MAP = {
     "regex": "regexp_like",
-    "replace": "regexp_replace",
+    # NO 'replace' mapping: Spark SQL has its own literal replace() and
+    # the superset contract ('everything Spark SQL accepts is accepted')
+    # must not silently change its semantics — write regexp_replace for
+    # SPARQL's regex-based REPLACE
     "strlen": "length",
     "substr": "substring",  # both 1-based
     "ucase": "upper",
@@ -577,9 +580,13 @@ def _parse_modifiers(
             break
         t = cur.next().upper()
         if t == "VALUES":
-            # the trailing ValuesClause: per spec it joins the WHERE
-            # solutions (before projection), exactly like an in-group
-            # VALUES — the parameterized-query idiom
+            # the trailing ValuesClause (parameterized-query idiom);
+            # spec joins it AFTER grouping/HAVING, before projection —
+            # the caller picks the join point accordingly
+            if postfix_values is not None:
+                raise SparqlSyntaxError(
+                    "multiple trailing VALUES clauses are not valid SPARQL"
+                )
             postfix_values = _parse_values(cur, prefixes or {})
             continue
         if t == "GROUP":
@@ -605,6 +612,26 @@ def _parse_modifiers(
         else:
             raise SparqlSyntaxError(f"unexpected token after WHERE group: {t!r}")
     return group_by, having, order_by, limit, offset, postfix_values
+
+
+def _finish_form(cur: _Cursor, prefixes, g: "_Group | None") -> None:
+    """End of an ASK/CONSTRUCT/DESCRIBE: accept the grammar's optional
+    trailing VALUES clause (merged into the group — these forms have no
+    grouping stage, so the join point is spec-equivalent) when ``g`` is
+    given, then require the query text to be exhausted — leftover tokens
+    silently ignored would be a mis-parse."""
+    if g is not None and cur.at_kw("VALUES"):
+        cur.next()
+        if g.values_rows is not None:
+            raise SparqlSyntaxError(
+                "both an in-group VALUES and a trailing VALUES clause; "
+                "use one (the algebra joins a single inline table)"
+            )
+        g.values_vars, g.values_rows = _parse_values(cur, prefixes)
+    if cur.peek() is not None:
+        raise SparqlSyntaxError(
+            f"unexpected token after the query: {cur.peek()!r}"
+        )
 
 
 def sparql(triples: DataFrame, query: str) -> DataFrame:
@@ -643,6 +670,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             raise SparqlSyntaxError(
                 "UNION / sub-SELECT in a DESCRIBE WHERE is not supported"
             )
+        _finish_form(cur, prefixes, None)
         sols = bgp_select(
             triples,
             g.patterns,
@@ -672,6 +700,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
         g = _parse_group(triples, cur, prefixes)
         if g.union_branches:
             raise SparqlSyntaxError("ASK over UNION is not supported")
+        _finish_form(cur, prefixes, g)
         return bgp_ask(
             triples,
             g.patterns,
@@ -701,7 +730,11 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
                     "property paths cannot appear in a CONSTRUCT WHERE "
                     "template; use the full CONSTRUCT { } WHERE { } form"
                 )
-            return bgp_construct(triples, g.patterns, g.patterns)
+            _finish_form(cur, prefixes, g)
+            return bgp_construct(
+                triples, g.patterns, g.patterns,
+                values=g.values_rows or None,
+            )
         cur.expect("{")
         template = _parse_triples_block(cur, prefixes, None)
         cur.expect("}")
@@ -717,6 +750,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             raise SparqlSyntaxError("CONSTRUCT over UNION is not supported")
         if g.subqueries:
             raise SparqlSyntaxError("sub-SELECT is only supported in SELECT groups")
+        _finish_form(cur, prefixes, g)
         return bgp_construct(
             triples,
             g.patterns,
@@ -762,6 +796,47 @@ def _parse_select_query(
                 "both an in-group VALUES and a trailing VALUES clause; "
                 "use one (the algebra joins a single inline table)"
             )
+        if g.union_branches is not None:
+            raise SparqlSyntaxError(
+                "VALUES alongside a whole-group UNION is not supported; "
+                "put the VALUES inside a non-union group"
+            )
+        if group_by or aggregates:
+            # SPARQL 18.2.4.3: the final ValuesClause joins AFTER
+            # grouping and HAVING, BEFORE projection — evaluate the
+            # grouped solutions first, then join the inline table
+            sols = bgp_select(
+                triples,
+                g.patterns,
+                paths=g.any_path(),
+                optional=g.optional,
+                filter_expr=g.filters or None,
+                not_exists=g.not_exists,
+                minus=g.minus,
+                subqueries=g.subqueries,
+                bind=(g.binds + proj_binds) or None,
+                group_by=group_by or None,
+                aggregates=aggregates or None,
+                having=having,
+            )
+            vdf = triples.sparkSession.createDataFrame(
+                list(postfix_values[1])
+            )
+            shared = sorted(set(vdf.columns) & set(sols.columns))
+            if shared:
+                sols = sols.join(F.broadcast(vdf), on=shared, how="inner")
+            else:
+                sols = sols.crossJoin(F.broadcast(vdf))
+            return solution_modifiers(
+                sols,
+                select=select,
+                distinct=distinct,
+                order_by=order_by or None,
+                limit=limit,
+                offset=offset,
+            )
+        # no grouping: joining inside the WHERE is equivalent (an inner
+        # join commutes with the conjunctive filters)
         g.values_vars, g.values_rows = postfix_values
 
     if g.union_branches is not None:

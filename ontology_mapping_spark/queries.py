@@ -2585,13 +2585,19 @@ def q_cooccurrence_npmi(spark, sf):
 # --------------------------------------------------------------------------
 
 def _nt_sanitize_sql(x: str) -> str:
-    # mirrors rdf._sanitize_iri exactly: '%' first, control chars encoded
-    return (
-        "replace(replace(replace(replace(replace(replace(replace(replace("
-        + x + ", '%', '%25'), ' ', '%20'),"
-        " '<', '%3C'), '>', '%3E'), '\"', '%22'),"
-        " chr(10), '%0A'), chr(13), '%0D'), chr(9), '%09')"
-    )
+    # GENERATED from the sink's own table (sources/rdf.IRI_SANITIZE) —
+    # no hand-copied mirror that can drift
+    from ontology_mapping_spark.sources.rdf import IRI_SANITIZE
+
+    def sql_str(ch: str) -> str:
+        if len(ch) == 1 and ord(ch) < 32:
+            return f"chr({ord(ch)})"
+        return "'" + ch.replace("'", "''") + "'"
+
+    out = x
+    for ch, enc in IRI_SANITIZE:
+        out = f"replace({out}, {sql_str(ch)}, {sql_str(enc)})"
+    return out
 
 
 def _nt_term_sql(col: str) -> str:
@@ -3517,9 +3523,9 @@ def q_kg_saturate_rdfs(spark, sf):
     return sat.filter(F.col("predicate") == "type")
 
 
-@query(
-    "kg_update_with_graph",
-    """WITH q AS (
+# the parity-split quad table (part tree in two named graphs) the three
+# named-graph gate rows share — ONE definition, Spark and SQL sides
+_PARITY_QUADS_SQL = """q AS (
       SELECT CASE WHEN p_partkey % 2 = 0 THEN 'g:even' ELSE 'g:odd' END AS graph,
              'p:' || CAST(p_partkey AS VARCHAR) AS subject,
              'broader' AS predicate,
@@ -3527,7 +3533,37 @@ def q_kg_saturate_rdfs(spark, sf):
       FROM part WHERE p_partkey >= 2
       UNION ALL
       SELECT CASE WHEN p_partkey % 2 = 0 THEN 'g:even' ELSE 'g:odd' END,
-             'p:' || CAST(p_partkey AS VARCHAR), 'label', p_name FROM part),
+             'p:' || CAST(p_partkey AS VARCHAR), 'label', p_name FROM part)"""
+
+
+def _parity_quads(spark, sf):
+    part = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    g = F.when(pk % 2 == 0, F.lit("g:even")).otherwise(F.lit("g:odd"))
+    return (
+        part.filter(pk >= 2)
+        .select(
+            g.alias("graph"),
+            F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
+            F.lit("broader").alias("predicate"),
+            F.concat(
+                F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
+            ).alias("object"),
+        )
+        .unionByName(
+            part.select(
+                g.alias("graph"),
+                F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
+                F.lit("label").alias("predicate"),
+                F.col("p_name").alias("object"),
+            )
+        )
+    )
+
+
+@query(
+    "kg_update_with_graph",
+    f"""WITH {_PARITY_QUADS_SQL},
     sols AS (SELECT subject AS x, object AS y FROM q
              WHERE graph = 'g:even' AND predicate = 'broader'),
     ins AS (SELECT DISTINCT y AS subject, 'narrower' AS predicate,
@@ -3547,30 +3583,8 @@ def q_kg_update_with_graph(spark, sf):
     # the passthrough rest — nothing outside the named graph shuffles.
     from ontology_mapping_spark.operators.sparql_text import sparql_update
 
-    part = _t(spark, sf, "part")
-    pk = F.col("p_partkey")
-    g = F.when(pk % 2 == 0, F.lit("g:even")).otherwise(F.lit("g:odd"))
-    quads = (
-        part.filter(pk >= 2)
-        .select(
-            g.alias("graph"),
-            F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
-            F.lit("broader").alias("predicate"),
-            F.concat(
-                F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
-            ).alias("object"),
-        )
-        .unionByName(
-            part.select(
-                g.alias("graph"),
-                F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
-                F.lit("label").alias("predicate"),
-                F.col("p_name").alias("object"),
-            )
-        )
-    )
     return sparql_update(
-        quads,
+        _parity_quads(spark, sf),
         """WITH g:even DELETE { ?x broader ?y . }
            INSERT { ?y narrower ?x . } WHERE { ?x broader ?y . }""",
     )
@@ -3578,15 +3592,7 @@ def q_kg_update_with_graph(spark, sf):
 
 @query(
     "kg_graph_management",
-    """WITH q AS (
-      SELECT CASE WHEN p_partkey % 2 = 0 THEN 'g:even' ELSE 'g:odd' END AS graph,
-             'p:' || CAST(p_partkey AS VARCHAR) AS subject,
-             'broader' AS predicate,
-             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS object
-      FROM part WHERE p_partkey >= 2
-      UNION ALL
-      SELECT CASE WHEN p_partkey % 2 = 0 THEN 'g:even' ELSE 'g:odd' END,
-             'p:' || CAST(p_partkey AS VARCHAR), 'label', p_name FROM part),
+    f"""WITH {_PARITY_QUADS_SQL},
     dst AS (
       SELECT 'g:even' AS graph, subject, predicate, object FROM q
       WHERE graph = 'g:even'
@@ -3605,29 +3611,9 @@ def q_kg_graph_management(spark, sf):
     # graph only. The oracle restates the retag-union-distinct.
     from ontology_mapping_spark.operators.sparql_text import sparql_update
 
-    part = _t(spark, sf, "part")
-    pk = F.col("p_partkey")
-    g = F.when(pk % 2 == 0, F.lit("g:even")).otherwise(F.lit("g:odd"))
-    quads = (
-        part.filter(pk >= 2)
-        .select(
-            g.alias("graph"),
-            F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
-            F.lit("broader").alias("predicate"),
-            F.concat(
-                F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
-            ).alias("object"),
-        )
-        .unionByName(
-            part.select(
-                g.alias("graph"),
-                F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
-                F.lit("label").alias("predicate"),
-                F.col("p_name").alias("object"),
-            )
-        )
+    return sparql_update(
+        _parity_quads(spark, sf), "ADD GRAPH g:odd TO GRAPH g:even"
     )
-    return sparql_update(quads, "ADD GRAPH g:odd TO GRAPH g:even")
 
 
 @query(
@@ -3698,15 +3684,7 @@ def q_kg_saturate_owl(spark, sf):
 
 @query(
     "kg_graph_quads",
-    """WITH q AS (
-      SELECT CASE WHEN p_partkey % 2 = 0 THEN 'g:even' ELSE 'g:odd' END AS graph,
-             'p:' || CAST(p_partkey AS VARCHAR) AS subject,
-             'broader' AS predicate,
-             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS object
-      FROM part WHERE p_partkey >= 2
-      UNION ALL
-      SELECT CASE WHEN p_partkey % 2 = 0 THEN 'g:even' ELSE 'g:odd' END,
-             'p:' || CAST(p_partkey AS VARCHAR), 'label', p_name FROM part)
+    f"""WITH {_PARITY_QUADS_SQL}
     SELECT a.graph AS g, a.subject AS x, l.object AS xl
     FROM q a JOIN q l
       ON l.graph = a.graph AND l.predicate = 'label' AND l.subject = a.subject
@@ -3721,30 +3699,8 @@ def q_kg_graph_quads(spark, sf):
     # quad table (asserted-vs-entailed layers, one graph per crawl).
     from ontology_mapping_spark.operators.kgquery import bgp_match
 
-    part = _t(spark, sf, "part")
-    pk = F.col("p_partkey")
-    g = F.when(pk % 2 == 0, F.lit("g:even")).otherwise(F.lit("g:odd"))
-    quads = (
-        part.filter(pk >= 2)
-        .select(
-            g.alias("graph"),
-            F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
-            F.lit("broader").alias("predicate"),
-            F.concat(
-                F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
-            ).alias("object"),
-        )
-        .unionByName(
-            part.select(
-                g.alias("graph"),
-                F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
-                F.lit("label").alias("predicate"),
-                F.col("p_name").alias("object"),
-            )
-        )
-    )
     return bgp_match(
-        quads,
+        _parity_quads(spark, sf),
         [("?g", "?x", "broader", "?y"), ("?g", "?x", "label", "?xl")],
         select=["?g", "?x", "?xl"],
     )

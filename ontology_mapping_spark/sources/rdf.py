@@ -40,21 +40,27 @@ DEFAULT_PREFIXES: dict[str, str] = {
 _ABS_IRI = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
 
 
+# the sink's IRI sanitization table, IN APPLICATION ORDER: '%' first so
+# the encodings stay unambiguous and decodable; newline/CR/tab must be
+# encoded or a smuggled control character breaks the sink's
+# line-orientation (caught by the distributed reader round-trip test).
+# SINGLE SOURCE OF TRUTH — the reader decodes it in reverse, the DuckDB
+# oracle (queries._nt_sanitize_sql) and the pure-Python parser twin
+# (tests/test_rdf_sink.py) generate their mirrors from this table.
+IRI_SANITIZE: tuple[tuple[str, str], ...] = (
+    ("%", "%25"),
+    (" ", "%20"),
+    ("<", "%3C"),
+    (">", "%3E"),
+    ('"', "%22"),
+    ("\n", "%0A"),
+    ("\r", "%0D"),
+    ("\t", "%09"),
+)
+
+
 def _sanitize_iri(c: Column) -> Column:
-    # '%' first so the encodings below stay unambiguous and decodable;
-    # newline/CR/tab must be encoded or a smuggled control character
-    # breaks the sink's line-orientation (caught by the distributed
-    # reader round-trip test)
-    for ch, enc in (
-        ("%", "%25"),
-        (" ", "%20"),
-        ("<", "%3C"),
-        (">", "%3E"),
-        ('"', "%22"),
-        ("\n", "%0A"),
-        ("\r", "%0D"),
-        ("\t", "%09"),
-    ):
+    for ch, enc in IRI_SANITIZE:
         c = F.replace(c, F.lit(ch), F.lit(enc))
     return c
 
@@ -127,21 +133,14 @@ def _parse_term(c: Column, prefixes: dict[str, str]) -> Column:
     (longest namespace first); a quoted literal unescapes."""
     iri = F.substring(c, 2, 2_000_000)
     iri = F.substring(iri, 1, F.length(iri) - 1)
-    for enc, ch in (
-        ("%20", " "),
-        ("%3C", "<"),
-        ("%3E", ">"),
-        ("%22", '"'),
-        ("%0A", "\n"),
-        ("%0D", "\r"),
-        ("%09", "\t"),
-        ("%25", "%"),  # last: inverse of the sink's first replace
-    ):
+    # decode in REVERSE table order (inverse of the sink's chain)
+    for ch, enc in reversed(IRI_SANITIZE):
         iri = F.replace(iri, F.lit(enc), F.lit(ch))
     compact = iri
-    for p, ns in sorted(
-        prefixes.items(), key=lambda kv: len(kv[1]), reverse=True
-    ):
+    # build the when-chain ASCENDING by namespace length: the last
+    # condition built is the OUTERMOST, so the longest namespace wins
+    # for nested prefix maps (e.g. 'http://ex/' inside 'http://ex/sub/')
+    for p, ns in sorted(prefixes.items(), key=lambda kv: len(kv[1])):
         compact = F.when(
             iri.startswith(ns),
             F.concat(
@@ -173,10 +172,12 @@ def read_ntriples(
 
     Pure codegen string work on the line scan (regexp_extract + chained
     replaces) — zero shuffles, zero Python; comment (``#``) and blank
-    lines are skipped per the format. ``strict=True`` (default) raises
-    if any remaining line does not parse — a silent drop would
-    under-count the KG; pass ``strict=False`` to skip malformed lines
-    when ingesting third-party dumps."""
+    lines are skipped per the format. ``strict=True`` (default) makes
+    any unparseable line RAISE at the consuming action (the check is
+    fused into the scan via ``raise_error`` — the reader stays lazy and
+    the file is read once, not pre-validated in an extra pass); a
+    silent drop would under-count the KG. Pass ``strict=False`` to skip
+    malformed lines when ingesting third-party dumps."""
     prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
     lines = spark.read.text(path).select(F.col("value").alias("line"))
     content = lines.filter(
@@ -190,12 +191,19 @@ def read_ntriples(
         ],
     )
     if strict:
-        bad = parsed.filter(F.col("s") == "").select("line").limit(1).collect()
-        if bad:
-            raise ValueError(
-                f"unparseable N-Triples line in {path!r}: {bad[0]['line']!r} "
-                "(pass strict=False to skip malformed lines)"
-            )
+        parsed = parsed.withColumn(
+            "s",
+            F.when(
+                F.col("s") == "",
+                F.raise_error(
+                    F.concat(
+                        F.lit("unparseable N-Triples line: "),
+                        F.col("line"),
+                        F.lit(" (pass strict=False to skip malformed lines)"),
+                    )
+                ),
+            ).otherwise(F.col("s")),
+        )
     good = parsed.filter(F.col("s") != "")
     return good.select(
         _parse_term(F.col("s"), prefixes).alias("subject"),

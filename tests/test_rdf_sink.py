@@ -6,6 +6,7 @@ import re
 
 from ontology_mapping_spark.sources.rdf import (
     DEFAULT_PREFIXES,
+    IRI_SANITIZE,
     ntriples_lines,
     write_ntriples,
 )
@@ -44,11 +45,8 @@ def parse_line(line: str):
 
 
 def _sanitize(s: str) -> str:
-    # mirrors rdf._sanitize_iri exactly ('%' first, control chars encoded)
-    for ch, enc in (
-        ("%", "%25"), (" ", "%20"), ("<", "%3C"), (">", "%3E"),
-        ('"', "%22"), ("\n", "%0A"), ("\r", "%0D"), ("\t", "%09"),
-    ):
+    # generated from the sink's own table — no hand-copied mirror
+    for ch, enc in IRI_SANITIZE:
         s = s.replace(ch, enc)
     return s
 
@@ -146,18 +144,26 @@ def test_read_ntriples_inverts_write(spark, tmp_path):
     write_ntriples(df, path)
     back = read_ntriples(spark, path)
     got = sorted(tuple(r) for r in back.collect())
-    # terms the sink treats as IRIs (prefix / absolute) come back
-    # verbatim; everything else round-trips through the literal escapes.
-    # A literal that LOOKS like a prefixed IRI is serialized as that IRI
-    # by the sink (documented), so expect its expansion-compaction.
-    def norm(t):
-        from ontology_mapping_spark.sources.rdf import DEFAULT_PREFIXES
-        for p in DEFAULT_PREFIXES:
-            if t.startswith(p + ":"):
-                return t
-        return t
-    want = sorted((norm(s), norm(p), norm(o)) for s, p, o in rows)
-    assert got == want
+    # every term round-trips verbatim: IRIs (prefix-form / absolute)
+    # re-compact to the input spelling, literals through the escapes
+    assert got == sorted(rows)
+
+
+def test_read_ntriples_nested_prefixes_compact_longest(spark, tmp_path):
+    """A prefix map with one namespace nested inside another must
+    re-compact against the LONGEST namespace (the when-chain order bug
+    this pins: shortest-outermost would read 'exs:x' back as 'ex:sub/x')."""
+    from ontology_mapping_spark.sources.rdf import read_ntriples, write_ntriples
+
+    prefixes = {"ex": "http://ex/", "exs": "http://ex/sub/"}
+    df = spark.createDataFrame(
+        [("exs:x", "ex:p", "ex:sub2")],
+        "subject string, predicate string, object string",
+    )
+    path = str(tmp_path / "nested_nt")
+    write_ntriples(df, path, prefixes)
+    back = read_ntriples(spark, path, prefixes).collect()
+    assert [tuple(r) for r in back] == [("exs:x", "ex:p", "ex:sub2")]
 
 
 def test_read_ntriples_strict_and_lax(spark, tmp_path):
@@ -172,7 +178,9 @@ def test_read_ntriples_strict_and_lax(spark, tmp_path):
         "\n"
         "this line is garbage\n"
     )
-    with pytest.raises(ValueError, match="unparseable"):
+    with pytest.raises(Exception, match="unparseable"):
+        # strict mode raises at the consuming action (check fused into
+        # the scan, no pre-validation pass)
         read_ntriples(spark, str(p)).collect()
     got = read_ntriples(spark, str(p), strict=False).collect()
     assert [tuple(r) for r in got] == [("http://e.org/a", "http://e.org/p", "ok")]

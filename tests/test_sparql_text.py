@@ -421,7 +421,9 @@ def test_bound_replace_substr_builtins(kg):
             FILTER(!BOUND(?p)) }""",
     ).collect()
     assert [r["x"] for r in got2] == ["a"]
-    # REPLACE / SUBSTR map to their Spark twins
+    # SUBSTR maps to substring (both 1-based); replace passes through to
+    # Spark's LITERAL replace untouched — the superset contract keeps
+    # Spark SQL semantics (SPARQL's regex REPLACE = write regexp_replace)
     got3 = sparql(
         kg,
         """SELECT (REPLACE(?l, "oo", "0") AS ?r) (SUBSTR(?l, 1, 2) AS ?h)
@@ -606,3 +608,35 @@ def test_graph_management_forms(spark):
         quads, "ADD g1 TO g2 ; WITH g2 DELETE WHERE { ?x broader a . }"
     )
     assert graphs(seq) == [("g1", "b"), (None, "x")]
+
+
+def test_trailing_values_joins_after_grouping(kg):
+    # spec 18.2.4.3: the final VALUES joins the GROUPED solutions — a
+    # VALUES on a non-grouped variable is the cartesian extension and
+    # must NOT filter rows before counting
+    got = sparql(
+        kg,
+        """SELECT ?y (COUNT(*) AS ?n) WHERE { ?x broader ?y . }
+           GROUP BY ?y ORDER BY ?y VALUES ?x { b }""",
+    ).collect()
+    assert [(r["y"], r["n"]) for r in got] == [("a", 3), ("b", 2)]
+    # a VALUES on the grouped variable restricts the groups
+    got2 = sparql(
+        kg,
+        """SELECT ?y (COUNT(*) AS ?n) WHERE { ?x broader ?y . }
+           GROUP BY ?y VALUES ?y { a }""",
+    ).collect()
+    assert [(r["y"], r["n"]) for r in got2] == [("a", 3)]
+
+
+def test_ask_trailing_values_and_exhaustion(kg):
+    q = "ASK { ?x broader ?y . } VALUES ?x { %s }"
+    assert sparql(kg, q % "nosuch").first()["ask"] is False
+    assert sparql(kg, q % "d").first()["ask"] is True
+    for bad, msg in [
+        ("ASK { ?x broader ?y . } LIMIT 1", "unexpected token"),
+        ("SELECT ?x WHERE { ?x label ?l . } VALUES ?x { b } VALUES ?x { d }",
+         "multiple trailing"),
+    ]:
+        with pytest.raises(SparqlSyntaxError, match=msg):
+            sparql(kg, bad)
