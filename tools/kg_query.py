@@ -69,11 +69,17 @@ def main(argv: list[str] | None = None) -> None:
     from ontology_mapping_spark.session import get_spark
     from ontology_mapping_spark.sources.rdf import read_ntriples, write_ntriples
 
-    # only stop a session this invocation created (in-process callers,
-    # e.g. the tests, share their own)
-    owns_session = SparkSession.getActiveSession() is None
-    spark = get_spark(
-        "kg_query", parallelism=args.cpus, shuffle_partitions=args.cpus
+    # an in-process caller (e.g. the tests) already has a session: use
+    # it UNTOUCHED — reconfiguring shuffle partitions on a shared
+    # session would leak into the caller's plans — and don't stop it
+    active = SparkSession.getActiveSession()
+    owns_session = active is None
+    spark = (
+        get_spark(
+            "kg_query", parallelism=args.cpus, shuffle_partitions=args.cpus
+        )
+        if owns_session
+        else active
     )
     if args.triples:
         kg = spark.read.parquet(args.triples)
