@@ -9,8 +9,8 @@ consumable from Spark without a separate triple store:
 
 * ``bgp_match``       — conjunctive triple patterns (BGP, bag semantics)
                         with OPTIONAL groups, FILTER expressions,
-                        FILTER NOT EXISTS / MINUS negation, and VALUES
-                        inline bindings;
+                        FILTER EXISTS / FILTER NOT EXISTS / MINUS
+                        existence tests, and VALUES inline bindings;
 * ``bgp_union``       — UNION of pattern groups (null-padded bag union);
 * ``bgp_match_paths`` — SPARQL 1.1 property paths: 'pred+'/'pred*'
                         through the distributed transitive closure,
@@ -244,6 +244,7 @@ def bgp_match(
     optional: Sequence[Sequence[Pattern]] = (),
     filter_expr: str | Sequence[str] | None = None,
     var_pred_source: DataFrame | None = None,
+    exists: Sequence[Sequence[Pattern]] = (),
     not_exists: Sequence[Sequence[Pattern]] = (),
     minus: Sequence[Sequence[Pattern]] = (),
     values: DataFrame | Sequence[dict] | None = None,
@@ -278,12 +279,16 @@ def bgp_match(
     patterns (see ``_pattern_df``; used by ``bgp_match_paths`` to keep
     synthetic closure rows out of ?p bindings).
 
-    ``not_exists`` is a sequence of pattern groups, each a SPARQL
-    ``FILTER NOT EXISTS { ... }``: a solution is dropped when the group
+    ``exists`` is a sequence of pattern groups, each a SPARQL
+    ``FILTER EXISTS { ... }``: a solution is kept only when the group
     matches under its bindings — compiled as its own BGP and
-    LEFT-ANTI-joined on the shared variables (the group's private
-    variables are existential). Each group must share >=1 variable with
-    the bound set, else the test degenerates to a constant.
+    LEFT-SEMI-joined on the shared variables (the group's private
+    variables are existential, and a semi join can never multiply
+    solution rows). ``not_exists`` is its negation, SPARQL
+    ``FILTER NOT EXISTS { ... }``: the identical compilation
+    LEFT-ANTI-joined instead. For both, each group must share >=1
+    variable with the bound set, else the test degenerates to a
+    constant.
 
     ``minus`` is SPARQL ``MINUS``: same anti-join, except a group sharing
     NO variable removes nothing (per spec, disjoint domains are never
@@ -353,7 +358,11 @@ def bgp_match(
             # the spec's cartesian extension; no broadcast hint — see above
             out = out.crossJoin(sq)
         bound |= set(sq.columns)
-    for kind, groups_ in (("NOT EXISTS", not_exists), ("MINUS", minus)):
+    for kind, groups_, how in (
+        ("EXISTS", exists, "left_semi"),
+        ("NOT EXISTS", not_exists, "left_anti"),
+        ("MINUS", minus, "left_anti"),
+    ):
         for grp in groups_:
             g, gvars = _compile_bgp(
                 triples, grp, allow_product, broadcast_min_constants,
@@ -364,13 +373,14 @@ def bgp_match(
                 if kind == "MINUS":
                     continue  # disjoint domains: MINUS removes nothing
                 raise ValueError(
-                    f"NOT EXISTS group {grp!r} shares no variable with the "
+                    f"{kind} group {grp!r} shares no variable with the "
                     f"bound set {sorted(bound)} — the test would be constant"
                 )
             # the group's private variables are existential: project to the
-            # shared key before the anti-join so they can't multiply rows
+            # shared key before the semi/anti-join so they can't multiply
+            # (or under-remove) rows
             out = out.join(
-                g.select(*shared).distinct(), on=shared, how="left_anti"
+                g.select(*shared).distinct(), on=shared, how=how
             )
     if filter_expr is not None:
         exprs = [filter_expr] if isinstance(filter_expr, str) else filter_expr
@@ -697,6 +707,7 @@ def bgp_match_paths(
     max_iters: int = 20,
     optional: Sequence[Sequence[Pattern]] = (),
     filter_expr: str | Sequence[str] | None = None,
+    exists: Sequence[Sequence[Pattern]] = (),
     not_exists: Sequence[Sequence[Pattern]] = (),
     minus: Sequence[Sequence[Pattern]] = (),
     values: DataFrame | Sequence[dict] | None = None,
@@ -724,10 +735,11 @@ def bgp_match_paths(
     counter = [0]
     patterns = expand_path_patterns(patterns, counter)
     optional = [expand_path_patterns(g, counter) for g in optional]
+    exists = [expand_path_patterns(g, counter) for g in exists]
     not_exists = [expand_path_patterns(g, counter) for g in not_exists]
     minus = [expand_path_patterns(g, counter) for g in minus]
     all_patterns = list(patterns)
-    for grp in (*optional, *not_exists, *minus):
+    for grp in (*optional, *exists, *not_exists, *minus):
         all_patterns.extend(grp)
     out = bgp_match(
         with_path_closures(triples, all_patterns, max_iters=max_iters),
@@ -737,6 +749,7 @@ def bgp_match_paths(
         optional=optional,
         filter_expr=filter_expr,
         var_pred_source=triples,
+        exists=exists,
         not_exists=not_exists,
         minus=minus,
         values=values,
@@ -761,6 +774,7 @@ def bgp_construct(
     filter_expr: str | Sequence[str] | None = None,
     distinct: bool = True,
     paths: bool = False,
+    exists: Sequence[Sequence[Pattern]] = (),
     not_exists: Sequence[Sequence[Pattern]] = (),
     minus: Sequence[Sequence[Pattern]] = (),
     values: DataFrame | Sequence[dict] | None = None,
@@ -798,6 +812,7 @@ def bgp_construct(
         allow_product=allow_product,
         optional=optional,
         filter_expr=filter_expr,
+        exists=exists,
         not_exists=not_exists,
         minus=minus,
         values=values,
@@ -883,6 +898,7 @@ def bgp_ask(
     paths: bool = False,
     optional: Sequence[Sequence[Pattern]] = (),
     filter_expr: str | Sequence[str] | None = None,
+    exists: Sequence[Sequence[Pattern]] = (),
     not_exists: Sequence[Sequence[Pattern]] = (),
     minus: Sequence[Sequence[Pattern]] = (),
     values: DataFrame | Sequence[dict] | None = None,
@@ -905,6 +921,7 @@ def bgp_ask(
         allow_product=allow_product,
         optional=optional,
         filter_expr=filter_expr,
+        exists=exists,
         not_exists=not_exists,
         minus=minus,
         values=values,
@@ -1106,6 +1123,7 @@ def bgp_select(
     allow_product: bool = False,
     optional: Sequence[Sequence[Pattern]] = (),
     filter_expr: str | Sequence[str] | None = None,
+    exists: Sequence[Sequence[Pattern]] = (),
     not_exists: Sequence[Sequence[Pattern]] = (),
     minus: Sequence[Sequence[Pattern]] = (),
     values: DataFrame | Sequence[dict] | None = None,
@@ -1137,6 +1155,7 @@ def bgp_select(
         allow_product=allow_product,
         optional=optional,
         filter_expr=filter_expr,
+        exists=exists,
         not_exists=not_exists,
         minus=minus,
         values=values,
@@ -1166,6 +1185,7 @@ def update_graph(
     allow_product: bool = False,
     optional: Sequence[Sequence[Pattern]] = (),
     filter_expr: str | Sequence[str] | None = None,
+    exists: Sequence[Sequence[Pattern]] = (),
     not_exists: Sequence[Sequence[Pattern]] = (),
     minus: Sequence[Sequence[Pattern]] = (),
     values: DataFrame | Sequence[dict] | None = None,
@@ -1226,6 +1246,7 @@ def update_graph(
         allow_product=allow_product,
         optional=optional,
         filter_expr=filter_expr,
+        exists=exists,
         not_exists=not_exists,
         minus=minus,
         values=values,

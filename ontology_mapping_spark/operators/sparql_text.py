@@ -19,7 +19,8 @@ types, covering exactly the constructs the algebra implements:
 * group graph patterns — triple patterns (property-path predicates pass
   through verbatim to the path compiler; ``;``/``,``
   predicate-object/object-list abbreviations desugar to full patterns),
-  ``OPTIONAL { }``, ``FILTER(expr)``, ``FILTER NOT EXISTS { }``,
+  ``OPTIONAL { }``, ``FILTER(expr)``, ``FILTER EXISTS { }`` /
+  ``FILTER NOT EXISTS { }``,
   ``MINUS { }``, ``VALUES`` (inline data, ``UNDEF`` supported),
   ``GRAPH term { }`` (4-term quad patterns), ``{ SELECT ... }``
   sub-SELECTs (evaluated bottom-up, joined on shared variables with no
@@ -270,6 +271,7 @@ class _Group:
         self.patterns: list[tuple] = []
         self.optional: list[list[tuple]] = []
         self.filters: list[str] = []
+        self.exists: list[list[tuple]] = []
         self.not_exists: list[list[tuple]] = []
         self.minus: list[list[tuple]] = []
         self.values_vars: list[str] | None = None
@@ -279,7 +281,13 @@ class _Group:
         self.subqueries: list[DataFrame] = []
 
     def any_path(self) -> bool:
-        groups = [self.patterns, *self.optional, *self.not_exists, *self.minus]
+        groups = [
+            self.patterns,
+            *self.optional,
+            *self.exists,
+            *self.not_exists,
+            *self.minus,
+        ]
         return any(_has_path(p[-2]) for g in groups for p in g)
 
 
@@ -325,6 +333,7 @@ def _is_plain_group(g: "_Group") -> bool:
         g.union_branches
         or g.optional
         or g.filters
+        or g.exists
         or g.not_exists
         or g.minus
         or g.binds
@@ -387,6 +396,14 @@ def _parse_group(
                         "NOT EXISTS bodies must be plain triple groups"
                     )
                 g.not_exists.append(sub.patterns)
+            elif cur.at_kw("EXISTS"):
+                cur.next()
+                sub = _parse_group(triples, cur, prefixes)
+                if not _is_plain_group(sub):
+                    raise SparqlSyntaxError(
+                        "EXISTS bodies must be plain triple groups"
+                    )
+                g.exists.append(sub.patterns)
             else:
                 g.filters.append(_translate_expr(_capture_parens(cur)))
         elif up == "MINUS":
@@ -677,6 +694,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             paths=g.any_path(),
             optional=g.optional,
             filter_expr=g.filters or None,
+            exists=g.exists,
             not_exists=g.not_exists,
             minus=g.minus,
             values=g.values_rows or None,
@@ -707,6 +725,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             paths=g.any_path(),
             optional=g.optional,
             filter_expr=g.filters or None,
+            exists=g.exists,
             not_exists=g.not_exists,
             minus=g.minus,
             values=g.values_rows or None,
@@ -758,6 +777,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             paths=g.any_path(),
             optional=g.optional,
             filter_expr=g.filters or None,
+            exists=g.exists,
             not_exists=g.not_exists,
             minus=g.minus,
             values=g.values_rows or None,
@@ -811,6 +831,7 @@ def _parse_select_query(
                 paths=g.any_path(),
                 optional=g.optional,
                 filter_expr=g.filters or None,
+                exists=g.exists,
                 not_exists=g.not_exists,
                 minus=g.minus,
                 subqueries=g.subqueries,
@@ -868,6 +889,7 @@ def _parse_select_query(
         paths=g.any_path(),
         optional=g.optional,
         filter_expr=g.filters or None,
+        exists=g.exists,
         not_exists=g.not_exists,
         minus=g.minus,
         values=g.values_rows or None,
@@ -942,6 +964,7 @@ def _apply_where_update(
         paths=g.any_path(),
         optional=g.optional,
         filter_expr=g.filters or None,
+        exists=g.exists,
         not_exists=g.not_exists,
         minus=g.minus,
         values=g.values_rows or None,

@@ -428,6 +428,27 @@ def test_not_exists_without_shared_variable_raises(kg):
         )
 
 
+def test_exists_keeps_only_matching_solutions(kg):
+    # labelled concepts that have a parent: the EXISTS semi-join keeps
+    # b, c, d and drops the root a. The duplicate (c, broader, a) triple
+    # must NOT multiply c's solution row (semi join, distinct-projected).
+    got = bgp_match(
+        kg,
+        [("?x", "label", "?l")],
+        exists=[[("?x", "broader", "?p")]],
+    ).collect()
+    assert sorted(r["x"] for r in got) == ["b", "c", "d"]
+
+
+def test_exists_without_shared_variable_raises(kg):
+    with pytest.raises(ValueError, match="EXISTS"):
+        bgp_match(
+            kg,
+            [("?x", "label", "?l")],
+            exists=[[("?a", "broader", "?b")]],
+        )
+
+
 def test_minus_disjoint_domain_removes_nothing(kg):
     got = bgp_match(
         kg,
@@ -531,6 +552,16 @@ def test_alternation_invisible_to_variable_predicate(kg):
         kg, [("?x", "broader|label", "?y"), ("?y", "?p", "?o")]
     ).collect()
     assert got and all("|" not in r["p"] for r in got)
+
+
+def test_paths_in_exists_group(kg):
+    # labelled concepts that ARE descendants of a (any number of hops)
+    got = bgp_match_paths(
+        kg,
+        [("?x", "label", "?l")],
+        exists=[[("?x", "broader+", "a")]],
+    ).collect()
+    assert sorted(r["x"] for r in got) == ["b", "c", "d"]
 
 
 def test_paths_in_not_exists_group(kg):

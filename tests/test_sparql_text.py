@@ -74,6 +74,23 @@ def test_optional_filter_not_exists_minus(kg):
     assert rows(got_minus) == rows(want_minus)
 
 
+def test_filter_exists(kg):
+    from ontology_mapping_spark.operators.kgquery import bgp_match
+
+    got = sparql(
+        kg,
+        "SELECT ?x WHERE { ?x label ?l . FILTER EXISTS { ?x broader ?p . } }",
+    )
+    want = bgp_match(
+        kg,
+        [("?x", "label", "?l")],
+        exists=[[("?x", "broader", "?p")]],
+        select=["?x"],
+    )
+    assert rows(got) == rows(want)
+    assert sorted(r["x"] for r in got.collect()) == ["b", "c", "d"]
+
+
 def test_aggregates_group_by_having_order_limit(kg):
     q = """SELECT ?y (COUNT(*) AS ?n) (GROUP_CONCAT(?x; SEPARATOR=";") AS ?kids)
     WHERE { ?x broader ?y . }
@@ -482,6 +499,11 @@ def test_group_bodies_must_be_plain(kg):
         ("SELECT ?x WHERE { ?x label ?l . FILTER NOT EXISTS { "
          "?x broader ?p . OPTIONAL { ?p label ?q . } } }",
          "NOT EXISTS bodies"),
+        ("SELECT ?x WHERE { ?x label ?l . FILTER EXISTS { "
+         "?x broader ?p . FILTER(?p = \"a\") } }", "EXISTS bodies"),
+        ("""SELECT ?x WHERE {
+            { ?x broader a . FILTER EXISTS { ?x label ?l . } }
+            UNION { ?x label ?z . } }""", "plain triple groups"),
     ]:
         with pytest.raises(SparqlSyntaxError, match=msg):
             sparql(kg, q)
