@@ -196,6 +196,10 @@ LOCAL_ONLY: frozenset = frozenset(
         # sub-SELECT through the text front-end: the inner aggregate is
         # kg_select_agg's shape, the outer join the kg_bgp_match shape
         "kg_sparql_subselect",
+        # positive FILTER EXISTS (left-semi twin of the curated
+        # kg_bgp_match row's NOT EXISTS), with a sequence path inside the
+        # EXISTS body; exact-SQL EXISTS oracle
+        "kg_sparql_exists",
         # solution-driven DESCRIBE (semi-join node-set description)
         "kg_describe_set",
         # temporal as-of window filter: pure-Catalyst projection of the
@@ -3918,6 +3922,36 @@ def q_kg_describe_set(spark, sf):
 
     tr = _part_tree_broader(spark, sf).unionByName(_part_tree_labels(spark, sf))
     return sparql(tr, "DESCRIBE ?x WHERE { ?x broader p:1 . }")
+
+
+@query(
+    "kg_sparql_exists",
+    f"""WITH {_KG_TREE_SQL}
+    SELECT t.subject AS x, t.object AS l FROM tr t
+    WHERE t.predicate = 'label'
+      AND EXISTS (
+        SELECT 1 FROM tr b JOIN tr b2 ON b.object = b2.subject
+        WHERE b.predicate = 'broader' AND b2.predicate = 'broader'
+          AND b.subject = t.subject)""",
+)
+def q_kg_sparql_exists(spark, sf):
+    # positive FILTER EXISTS through the text front-end: labelled nodes
+    # that have a GRANDPARENT — the EXISTS body is a sequence path
+    # (broader/broader), so this row pins both the left-semi compilation
+    # (solutions are kept, never multiplied, by the distinct-projected
+    # semi join) and path expansion inside an existence group. Plan: the
+    # label scan semi-joined to the two-hop self-join, dimension-sized
+    # per node fan-out. The oracle is the literal SQL EXISTS.
+    from ontology_mapping_spark.operators.sparql_text import sparql
+
+    tr = _part_tree_broader(spark, sf).unionByName(_part_tree_labels(spark, sf))
+    return sparql(
+        tr,
+        """SELECT ?x ?l WHERE {
+             ?x label ?l .
+             FILTER EXISTS { ?x broader/broader ?g . }
+           }""",
+    )
 
 
 @query(
