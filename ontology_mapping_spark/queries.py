@@ -149,6 +149,9 @@ LOCAL_ONLY: frozenset = frozenset(
         "cooccurrence_npmi",
         # serialization sink: §2.1 family already holds a curated writer row
         "kg_ntriples_lines",
+        # its named-graph twin (optional 4th term; NULL graph = 3-term
+        # default-graph line), same character-exact DuckDB mirror
+        "kg_nquads_lines",
         # argmax-per-group family: topk_per_group stays the curated primary
         "mention_disambiguation",
         # triple-pattern family: kg_bgp_match is the curated primary (the
@@ -2670,6 +2673,59 @@ def q_kg_ntriples(spark, sf):
         .alias("object"),
     )
     return ntriples_lines(t).groupBy("line").agg(F.count("*").cast("long").alias("n"))
+
+
+@query(
+    "kg_nquads_lines",
+    f"""WITH t AS (
+      SELECT 'src:C' || CAST(doc_id % 7 AS VARCHAR) AS s,
+        'kg:isA' AS p,
+        CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN 'tgt:C' || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 1 THEN 'https://example.org/p?q=a b'
+             ELSE 'say "hi"' || chr(10) || 'quad' END AS o,
+        CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN NULL
+             WHEN 1 THEN 'kg:asserted'
+             WHEN 2 THEN 'https://example.org/g/' || CAST(doc_id % 2 AS VARCHAR)
+             ELSE 'g1' END AS g
+      FROM documents)
+    SELECT {_nt_term_sql('s')} || ' ' || {_nt_term_sql('p')} || ' ' ||
+           {_nt_term_sql('o')} ||
+           CASE WHEN g IS NULL THEN ' .'
+                ELSE ' ' || {_nt_term_sql('g')} || ' .' END AS line,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY 1""",
+)
+def q_kg_nquads(spark, sf):
+    # the named-graph sink (sources/rdf.nquads_lines): NULL graphs emit
+    # spec-valid 3-term (default-graph) lines, named graphs append the
+    # optional fourth term; exercises every term branch (prefix
+    # expansion, absolute IRI with sanitize, escaped literal, bare-name
+    # graph label) against the same character-exact DuckDB mirror as
+    # kg_ntriples_lines
+    from ontology_mapping_spark.sources.rdf import nquads_lines
+
+    d = F.col("doc_id")
+    t = _t(spark, sf, "documents").select(
+        F.when(d % 4 == 0, F.lit(None).cast("string"))
+        .when(d % 4 == 1, F.lit("kg:asserted"))
+        .when(
+            d % 4 == 2,
+            F.concat(F.lit("https://example.org/g/"), (d % 2).cast("string")),
+        )
+        .otherwise(F.lit("g1"))
+        .alias("graph"),
+        F.concat(F.lit("src:C"), (d % 7).cast("string")).alias("subject"),
+        F.lit("kg:isA").alias("predicate"),
+        F.when(d % 3 == 0, F.concat(F.lit("tgt:C"), (d % 5).cast("string")))
+        .when(d % 3 == 1, F.lit("https://example.org/p?q=a b"))
+        .otherwise(F.lit('say "hi"\nquad'))
+        .alias("object"),
+    )
+    return nquads_lines(t).groupBy("line").agg(
+        F.count("*").cast("long").alias("n")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1,9 +1,12 @@
-"""N-Triples serialization sink for the emitted KG.
+"""N-Triples / N-Quads serialization sink + reader for the emitted KG.
 
 SURVEY §2.1 declared RDF/XML serialization out of scope (the reference
 never writes RDF back out); N-Triples is the format a KG at 10^12-triple
 scale actually ships — line-oriented, so the sink is a plain distributed
 text write with no cross-row state, mergeable by any downstream tool.
+N-Quads is its named-graph twin for the engine's quad tables (a
+``graph`` column): the graph label is the optional fourth term, NULL
+graphs serialize as plain default-graph triple lines.
 
 Serialization contract (documented, mirrored by the DuckDB oracle and
 the pytest parser twin):
@@ -118,8 +121,57 @@ def write_ntriples(
     ntriples_lines(triples, prefixes).write.mode("overwrite").text(path)
 
 
+def nquads_lines(
+    quads: DataFrame, prefixes: dict[str, str] | None = None
+) -> DataFrame:
+    """(graph, subject, predicate, object) -> single-column (line) N-Quads.
+
+    The engine's named-graph layer (a quad table with a ``graph``
+    column) ships in N-Quads: the graph label is the OPTIONAL fourth
+    term, so a NULL graph serializes as a plain 3-term line (the
+    default graph, per the format) and everything else appends the
+    graph term before the final '.'. Each term goes through the same
+    ``term_expr`` contract as the triple sink — note the N-Quads spec
+    restricts graph labels to IRIs/blank nodes, so a bare engine-side
+    graph name (not absolute, not in the prefix map) serializes as a
+    quoted literal: exact for sink→reader round-trips of internal quad
+    tables, but use IRI graph names when shipping to external tools.
+    Same distributed shape as the triple sink: one codegen'd string
+    projection, zero shuffles, zero Python."""
+    if "graph" not in quads.columns:
+        raise ValueError(
+            f"nquads_lines needs a 'graph' column (got {quads.columns}); "
+            "for a plain triple table use ntriples_lines"
+        )
+    spo = [
+        term_expr("subject", prefixes),
+        term_expr("predicate", prefixes),
+        term_expr("object", prefixes),
+    ]
+    return quads.select(
+        F.when(
+            F.col("graph").isNull(),
+            F.concat_ws(" ", *spo, F.lit(".")),
+        )
+        .otherwise(
+            F.concat_ws(" ", *spo, term_expr("graph", prefixes), F.lit("."))
+        )
+        .alias("line")
+    )
+
+
+def write_nquads(
+    quads: DataFrame, path: str, prefixes: dict[str, str] | None = None
+) -> None:
+    """Distributed N-Quads text write (one ``.nq`` shard per task)."""
+    nquads_lines(quads, prefixes).write.mode("overwrite").text(path)
+
+
 _TERM_RE = r'(<[^>]*>|"(?:[^"\\]|\\.)*")'
 _LINE_RE = rf"^\s*{_TERM_RE}\s+{_TERM_RE}\s+{_TERM_RE}\s+\.\s*$"
+_QLINE_RE = (
+    rf"^\s*{_TERM_RE}\s+{_TERM_RE}\s+{_TERM_RE}(?:\s+{_TERM_RE})?\s+\.\s*$"
+)
 # an out-of-band sentinel for the two-phase backslash unescape; literals
 # containing this exact byte pair are outside the serialization contract
 # (the sink's own docstring already demands exotic content be cleaned
@@ -206,6 +258,56 @@ def read_ntriples(
         )
     good = parsed.filter(F.col("s") != "")
     return good.select(
+        _parse_term(F.col("s"), prefixes).alias("subject"),
+        _parse_term(F.col("p"), prefixes).alias("predicate"),
+        _parse_term(F.col("o"), prefixes).alias("object"),
+    )
+
+
+def read_nquads(
+    spark,
+    path: str,
+    prefixes: dict[str, str] | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """Distributed N-Quads read -> (graph, subject, predicate, object),
+    the inverse of :func:`write_nquads`: the optional fourth term binds
+    the ``graph`` column, and a plain 3-term (default-graph) line reads
+    back as a NULL graph — so sink→reader round-trips a quad table
+    exactly, mixed default/named rows included. Same plan shape and
+    strict/lax contract as :func:`read_ntriples` (one line scan, pure
+    codegen, ``raise_error`` fused into the projection)."""
+    prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
+    lines = spark.read.text(path).select(F.col("value").alias("line"))
+    content = lines.filter(
+        (F.trim("line") != "") & ~F.trim(F.col("line")).startswith("#")
+    )
+    parsed = content.select(
+        "line",
+        *[
+            F.regexp_extract("line", _QLINE_RE, i).alias(c)
+            for i, c in ((1, "s"), (2, "p"), (3, "o"), (4, "g"))
+        ],
+    )
+    if strict:
+        parsed = parsed.withColumn(
+            "s",
+            F.when(
+                F.col("s") == "",
+                F.raise_error(
+                    F.concat(
+                        F.lit("unparseable N-Quads line: "),
+                        F.col("line"),
+                        F.lit(" (pass strict=False to skip malformed lines)"),
+                    )
+                ),
+            ).otherwise(F.col("s")),
+        )
+    good = parsed.filter(F.col("s") != "")
+    return good.select(
+        F.when(F.col("g") == "", F.lit(None).cast("string"))
+        .otherwise(_parse_term(F.col("g"), prefixes))
+        .alias("graph"),
         _parse_term(F.col("s"), prefixes).alias("subject"),
         _parse_term(F.col("p"), prefixes).alias("predicate"),
         _parse_term(F.col("o"), prefixes).alias("object"),

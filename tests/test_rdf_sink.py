@@ -184,3 +184,84 @@ def test_read_ntriples_strict_and_lax(spark, tmp_path):
         read_ntriples(spark, str(p)).collect()
     got = read_ntriples(spark, str(p), strict=False).collect()
     assert [tuple(r) for r in got] == [("http://e.org/a", "http://e.org/p", "ok")]
+
+
+def test_nquads_round_trip_mixed_graphs(spark, tmp_path):
+    """write_nquads -> read_nquads round-trips a quad table exactly:
+    named-graph rows carry the optional fourth term, NULL-graph rows
+    serialize as plain 3-term (default-graph) lines and read back as
+    NULL, and every term goes through the same adversarial alphabet as
+    the triple round-trip."""
+    import random
+
+    from ontology_mapping_spark.sources.rdf import read_nquads, write_nquads
+
+    rng = random.Random(20260819)
+    alphabet = list('abc "\\\n\r\t<>:/.%μδ€') + ["kg:", "src:", "https://"]
+    rows = []
+    for i in range(120):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        g = rng.choice([None, "kg:asserted", "https://e.org/g/1", "g1"])
+        rows.append((g, f"src:T{i}", "kg:label", s))
+    df = spark.createDataFrame(
+        rows, "graph string, subject string, predicate string, object string"
+    )
+    path = str(tmp_path / "kg_nq")
+    write_nquads(df, path)
+    back = read_nquads(spark, path)
+    def key(r):
+        return tuple("" if x is None else x for x in r)
+
+    got = sorted((tuple(r) for r in back.collect()), key=key)
+    assert got == sorted(rows, key=key)
+
+
+def test_nquads_default_graph_lines_are_triples(spark, tmp_path):
+    """NULL-graph quads emit spec-valid 3-term lines — byte-identical to
+    the N-Triples sink for the same triples — so a default-graph-only
+    quad table ships as a file any N-Triples consumer can read."""
+    from ontology_mapping_spark.sources.rdf import nquads_lines, ntriples_lines
+
+    rows = [("src:C1", "kg:isA", "tgt:C2"), ("src:C1", "kg:label", 'say "hi"')]
+    tdf = spark.createDataFrame(
+        rows, "subject string, predicate string, object string"
+    )
+    qdf = spark.createDataFrame(
+        [(None, *r) for r in rows],
+        "graph string, subject string, predicate string, object string",
+    )
+    nt = sorted(r["line"] for r in ntriples_lines(tdf).collect())
+    nq = sorted(r["line"] for r in nquads_lines(qdf).collect())
+    assert nq == nt
+
+
+def test_nquads_strict_lax_and_triple_table_rejected(spark, tmp_path):
+    import pytest
+
+    from ontology_mapping_spark.sources.rdf import nquads_lines, read_nquads
+
+    p = tmp_path / "mixed.nq"
+    p.write_text(
+        "# comment\n"
+        '<http://e.org/a> <http://e.org/p> "ok" <http://e.org/g> .\n'
+        '<http://e.org/a> <http://e.org/p> "default" .\n'
+        "garbage line\n"
+    )
+    with pytest.raises(Exception, match="unparseable"):
+        read_nquads(spark, str(p)).collect()
+    got = sorted(
+        (tuple(r) for r in read_nquads(spark, str(p), strict=False).collect()),
+        key=str,
+    )
+    assert got == sorted(
+        [
+            ("http://e.org/g", "http://e.org/a", "http://e.org/p", "ok"),
+            (None, "http://e.org/a", "http://e.org/p", "default"),
+        ],
+        key=str,
+    )
+    tdf = spark.createDataFrame(
+        [("a", "b", "c")], "subject string, predicate string, object string"
+    )
+    with pytest.raises(ValueError, match="graph"):
+        nquads_lines(tdf)
