@@ -102,7 +102,10 @@ def _pattern_df(
     variable binds the graph name into the solution; patterns within one
     BGP share a ``?g`` exactly like any other join variable. 3-term
     patterns over a quad table match triples in ANY graph (SPARQL's
-    default-graph-as-union reading).
+    default-graph-as-union reading). A NULL graph value marks the
+    DEFAULT graph (the N-Quads reader's 3-term lines): matched by 3-term
+    patterns, but never by ``GRAPH ?g`` — a variable cannot bind to
+    nothing — nor by any constant graph term.
 
     ``var_pred_source``: alternate table for patterns whose PREDICATE is a
     variable. ``bgp_match_paths`` augments the triple table with synthetic
@@ -123,6 +126,9 @@ def _pattern_df(
     df = triples
     if var_pred_source is not None and is_var(pat[-2]):
         df = var_pred_source
+    if len(pat) == 4 and is_var(pat[0]):
+        # a variable never binds the default graph's NULL marker
+        df = df.filter(F.col("graph").isNotNull())
     first_pos_of: dict[str, str] = {}
     for pos, term in zip(positions, pat):
         if is_var(term):
@@ -395,6 +401,8 @@ def bgp_union(
     select: Sequence[str] | None = None,
     allow_product: bool = False,
     broadcast_min_constants: int = 2,
+    paths: bool = False,
+    max_iters: int = 20,
 ) -> DataFrame:
     """SPARQL ``UNION``: the bag union of each group's solution set.
 
@@ -402,19 +410,36 @@ def bgp_union(
     set); a variable bound in only some branches null-pads in the others
     (``unionByName(allowMissingColumns=True)``), exactly SPARQL's
     set-of-mappings union. Distributed shape: a UNION is plan-level —
-    Spark unions the child plans with no shuffle of its own."""
+    Spark unions the child plans with no shuffle of its own.
+
+    ``paths=True`` resolves property-path predicates inside the branches
+    (the ``bgp_match_paths`` treatment: one closure-augmented scan shared
+    by every branch, variable-predicate patterns kept on the original
+    table, sequence-path existentials dropped per branch before the
+    union so they never null-pad across branches)."""
     if not groups:
         raise ValueError("UNION needs at least one group")
+    if paths:
+        counter = [0]
+        groups = [expand_path_patterns(g, counter) for g in groups]
+        scan = with_path_closures(
+            triples, [p for g in groups for p in g], max_iters=max_iters
+        )
+        var_pred_source = triples
+    else:
+        scan, var_pred_source = triples, None
     sols: list[DataFrame] = []
     all_bound: set[str] = set()
     for grp in groups:
         g, gvars = _compile_bgp(
-            triples, grp, allow_product, broadcast_min_constants
+            scan, grp, allow_product, broadcast_min_constants,
+            var_pred_source,
         )
-        if not gvars:
+        public = {v for v in gvars if not v.startswith("__path")}
+        if not public:
             raise ValueError(f"UNION branch {grp!r} binds no variables")
-        sols.append(_project(g, gvars, None))
-        all_bound |= gvars
+        sols.append(_project(g, gvars, None).drop(*(gvars - public)))
+        all_bound |= public
     out = sols[0]
     for s in sols[1:]:
         out = out.unionByName(s, allowMissingColumns=True)

@@ -256,6 +256,10 @@ def _pred_term(cur: _Cursor, prefixes: dict[str, str]) -> str:
     return _term(tok, prefixes)
 
 
+def _branches_any_path(branches: list[list[tuple]]) -> bool:
+    return any(_has_path(p[-2]) for br in branches for p in br)
+
+
 def _has_path(p: str) -> bool:
     return (
         not is_var(p)
@@ -717,7 +721,23 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             cur.next()
         g = _parse_group(triples, cur, prefixes)
         if g.union_branches:
-            raise SparqlSyntaxError("ASK over UNION is not supported")
+            _finish_form(cur, prefixes, g)
+            if g.values_rows is not None:
+                raise SparqlSyntaxError(
+                    "VALUES alongside a whole-group UNION is not supported; "
+                    "put the VALUES inside a non-union group"
+                )
+            sols = bgp_union(
+                triples,
+                g.union_branches,
+                paths=_branches_any_path(g.union_branches),
+            )
+            # same lazy LIMIT-1-bounded existence plan as bgp_ask
+            return (
+                sols.limit(1)
+                .select(F.lit(1).alias("__one"))
+                .agg((F.count("__one") > 0).alias("ask"))
+            )
         _finish_form(cur, prefixes, g)
         return bgp_ask(
             triples,
@@ -870,7 +890,11 @@ def _parse_select_query(
                 "VALUES alongside a whole-group UNION is not supported; "
                 "put the VALUES inside a non-union group"
             )
-        sols = bgp_union(triples, g.union_branches)
+        sols = bgp_union(
+            triples,
+            g.union_branches,
+            paths=_branches_any_path(g.union_branches),
+        )
         return solution_modifiers(
             sols,
             bind=(g.binds + proj_binds) or None,

@@ -66,3 +66,46 @@ def test_cli_update_roundtrip(kg_paths, spark, capsys):
     back = read_ntriples(spark, out_dir)
     preds = {r["predicate"] for r in back.collect()}
     assert preds == {"broader", "label"}
+
+
+def test_cli_nquads_graph_query_and_export(kg_paths, spark, capsys):
+    """--nquads ingest binds the graph column (GRAPH patterns work on the
+    ingested table) and --format nquads exports a quad-shaped result."""
+    from ontology_mapping_spark.sources.rdf import read_nquads, write_nquads
+
+    base, _pq, _nt = kg_paths
+    quads = spark.createDataFrame(
+        [
+            ("g1", "b", "broader", "a"),
+            ("g2", "c", "broader", "a"),
+            (None, "a", "label", "root"),
+        ],
+        "graph string, subject string, predicate string, object string",
+    )
+    nq = str(base / "dump.nq")
+    write_nquads(quads, nq)
+    _run(
+        [
+            "--nquads", nq, "--cpus", "4",
+            "--query", "SELECT ?x WHERE { GRAPH g1 { ?x broader ?y . } }",
+        ]
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "x" and out[1:] == ["b"]
+    # quad-shaped export round-trips, NULL (default-graph) row included
+    out_dir = str(base / "nq_copy")
+    _run(
+        [
+            "--nquads", nq, "--cpus", "4",
+            "--query",
+            "SELECT ?g ?s ?p ?o WHERE { GRAPH ?g { ?s ?p ?o . } }",
+            "--out", out_dir, "--format", "parquet",
+        ]
+    )
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 2  # named-graph rows bind ?g; NULL graph doesn't
+    back = read_nquads(spark, nq)
+    key = lambda r: tuple("" if v is None else v for v in r)
+    assert sorted((tuple(r) for r in back.collect()), key=key) == sorted(
+        (tuple(r) for r in quads.collect()), key=key
+    )

@@ -564,6 +564,21 @@ def test_paths_in_exists_group(kg):
     assert sorted(r["x"] for r in got) == ["b", "c", "d"]
 
 
+def test_union_paths_branches(kg):
+    # bgp_union(paths=True): one closure-augmented scan shared by the
+    # branches; 'broader+' resolves transitively, the plain branch is
+    # untouched, and the solution is the bag union
+    got = bgp_union(
+        kg,
+        [[("?x", "broader+", "a")], [("?x", "label", "root")]],
+        paths=True,
+    ).collect()
+    # 'broader+' solutions are NODE PAIRS (SPARQL 1.1 path semantics:
+    # the closure is a set), so the duplicate (c, broader, a) base edge
+    # does not duplicate c; the plain label branch stays a bag
+    assert sorted(r["x"] for r in got) == ["a", "b", "c", "d"]
+
+
 def test_paths_in_not_exists_group(kg):
     # concepts with a label that are NOT descendants of a
     got = bgp_match_paths(

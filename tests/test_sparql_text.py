@@ -164,6 +164,37 @@ def test_union_with_modifiers(kg):
     assert [r["x"] for r in got] == ["a", "b", "c", "c"]  # bag union
 
 
+def test_union_with_property_paths(kg):
+    # a path predicate inside a UNION branch must resolve through the
+    # closure, not match as a literal predicate (the silent-mis-answer
+    # this pins: 'broader+' used to bind zero rows in a union branch)
+    got = sparql(
+        kg,
+        """SELECT ?x WHERE {
+            { ?x broader+ a . } UNION { ?x label root . }
+        } ORDER BY ?x""",
+    ).collect()
+    # descendants of a: b, c, d, http://x.org/e (path solutions are
+    # node pairs — the duplicate c edge collapses in the closure);
+    # label root: a
+    assert [r["x"] for r in got] == ["a", "b", "c", "d", "http://x.org/e"]
+    # a sequence path binds reserved existentials that must not leak or
+    # null-pad into the other branch
+    got2 = sparql(
+        kg,
+        """SELECT ?x ?l WHERE {
+            { ?x broader/broader ?g . } UNION { ?x label ?l . } }""",
+    )
+    assert sorted(got2.columns) == ["l", "x"]
+
+
+def test_ask_over_union(kg):
+    t = sparql(kg, "ASK { { ?x broader+ a . } UNION { ?x label nope . } }")
+    assert t.first()["ask"] is True
+    f = sparql(kg, "ASK { { ?x broader zzz . } UNION { ?x label nope . } }")
+    assert f.first()["ask"] is False
+
+
 def test_values_with_undef(kg):
     got = sparql(
         kg,

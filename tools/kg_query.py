@@ -2,9 +2,11 @@
 engine as a command line.
 
 Reads the KG from parquet (the engine's native (subject, predicate,
-object[, graph]) layout, e.g. a StageRunner/kgmaint output) or from an
+object[, graph]) layout, e.g. a StageRunner/kgmaint output), from an
 N-Triples dump (``sources/rdf.read_ntriples`` — the sink's exact
-inverse), compiles the query STRING through ``operators/sparql_text``
+inverse), or from an N-Quads dump (``read_nquads``; the optional fourth
+term binds the ``graph`` column, so GRAPH patterns work directly on the
+ingested table), compiles the query STRING through ``operators/sparql_text``
 into the same distributed plan the algebra builds, and either prints the
 first rows or writes the full result out (parquet, or N-Triples when the
 result is triple-shaped — CONSTRUCT/DESCRIBE/UPDATE results are).
@@ -45,6 +47,7 @@ def main(argv: list[str] | None = None) -> None:
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--triples", help="parquet triple/quad table path")
     src.add_argument("--ntriples", help="N-Triples text path")
+    src.add_argument("--nquads", help="N-Quads text path (binds a graph column)")
     q = ap.add_mutually_exclusive_group(required=True)
     q.add_argument("--query", help="SPARQL query string")
     q.add_argument("--query-file", help="file holding the SPARQL query")
@@ -53,9 +56,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--out", help="output directory (write instead of print)")
     ap.add_argument(
         "--format",
-        choices=("parquet", "ntriples"),
+        choices=("parquet", "ntriples", "nquads"),
         default="parquet",
-        help="output format for --out (ntriples needs a triple-shaped result)",
+        help="output format for --out (ntriples/nquads need a "
+        "triple-/quad-shaped result)",
     )
     ap.add_argument("--limit", type=int, default=20, help="print at most N rows")
     ap.add_argument(
@@ -67,7 +71,12 @@ def main(argv: list[str] | None = None) -> None:
 
     from ontology_mapping_spark.operators.sparql_text import sparql, sparql_update
     from ontology_mapping_spark.session import get_spark
-    from ontology_mapping_spark.sources.rdf import read_ntriples, write_ntriples
+    from ontology_mapping_spark.sources.rdf import (
+        read_ntriples,
+        read_nquads,
+        write_ntriples,
+        write_nquads,
+    )
 
     # an in-process caller (e.g. the tests) already has a session: use
     # it UNTOUCHED — reconfiguring shuffle partitions on a shared
@@ -83,6 +92,8 @@ def main(argv: list[str] | None = None) -> None:
     )
     if args.triples:
         kg = spark.read.parquet(args.triples)
+    elif args.nquads:
+        kg = read_nquads(spark, args.nquads)
     else:
         kg = read_ntriples(spark, args.ntriples)
 
@@ -106,6 +117,14 @@ def main(argv: list[str] | None = None) -> None:
                     "DESCRIBE/UPDATE or --format parquet"
                 )
             write_ntriples(result, args.out)
+        elif args.format == "nquads":
+            if set(result.columns) != {"graph", "subject", "predicate", "object"}:
+                ap.error(
+                    "--format nquads needs a quad-shaped result "
+                    f"(got columns {result.columns}); query a quad table "
+                    "or use --format parquet"
+                )
+            write_nquads(result, args.out)
         else:
             result.write.mode("overwrite").parquet(args.out)
         print(f"wrote {args.out} [{args.format}]")
