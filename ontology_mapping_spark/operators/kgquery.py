@@ -1214,6 +1214,8 @@ def update_graph(
     not_exists: Sequence[Sequence[Pattern]] = (),
     minus: Sequence[Sequence[Pattern]] = (),
     values: DataFrame | Sequence[dict] | None = None,
+    subqueries: Sequence[DataFrame] = (),
+    bind: Sequence[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """SPARQL UPDATE ``DELETE { } INSERT { } WHERE { }`` over the triple
     table: returns the post-update graph (the caller owns persistence —
@@ -1233,6 +1235,12 @@ def update_graph(
     normalizes each of its triples to exactly one copy (existing
     duplicates of an inserted triple collapse) — so an update is
     idempotent: re-running it yields the identical graph.
+
+    ``bind`` is SPARQL ``BIND``: (``?var``, Spark-SQL expression)
+    pairs computed over the solutions AFTER the match (the same
+    contract as the SELECT pipeline — a FILTER cannot reference a BIND
+    variable), so templates can mint computed values. ``subqueries``
+    passes through to the matcher.
 
     Plan shape at 10^12 triples: the delete- and insert-sets are
     solution-sized (dimension-sized, from a selective WHERE), so the
@@ -1275,7 +1283,35 @@ def update_graph(
         not_exists=not_exists,
         minus=minus,
         values=values,
+        subqueries=subqueries,
     )
+    if bind:
+        for var, expr in bind:
+            sols = sols.withColumn(_var_name(var), F.expr(expr))
+    return apply_update(triples, sols, delete=delete, insert=insert)
+
+
+def apply_update(
+    triples: DataFrame,
+    sols: DataFrame,
+    delete: Sequence[Pattern] = (),
+    insert: Sequence[Pattern] = (),
+) -> DataFrame:
+    """Apply SPARQL UPDATE templates to a PRECOMPUTED solution table —
+    the tail of :func:`update_graph`, public so callers whose WHERE is
+    not a single BGP (a UNION of groups, a hand-built solution frame)
+    get the identical set-semantics apply step. ``sols`` has one column
+    per variable; both templates instantiate against it once
+    (evaluate-WHERE-once semantics), then the same broadcast anti-join +
+    plan-level union as ``update_graph``."""
+    for pat in delete:
+        for t in pat:
+            if isinstance(t, str) and t.startswith("_:"):
+                raise ValueError(
+                    "blank nodes cannot appear in a DELETE template "
+                    "(SPARQL UPDATE forbids them; a fresh node can never "
+                    "name an existing triple)"
+                )
     key = ["subject", "predicate", "object"]
     doomed = (
         _instantiate_templates(sols, delete).distinct() if delete else None

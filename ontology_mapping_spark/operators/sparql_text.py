@@ -11,7 +11,13 @@ types, covering exactly the constructs the algebra implements:
   a ``WHERE`` group);
 * update forms (``sparql_update``) — ``INSERT DATA`` / ``DELETE DATA``
   (ground triples), ``DELETE WHERE``, ``DELETE { } INSERT { } WHERE
-  { }`` (either template optional), ``WITH <g>`` scoping a WHERE-form
+  { }`` (either template optional; the WHERE group accepts the full
+  pattern surface including a whole-group UNION — compiled to
+  ``bgp_union`` + ``apply_update`` — plus BIND (template-usable computed
+  columns) and ``{ SELECT ... }`` sub-SELECTs; the DELETE WHERE
+  shorthand stays plain-patterns-only per the spec, and WITH-scoped
+  updates reject UNION/sub-SELECT rather than silently escaping the
+  graph scope), ``WITH <g>`` scoping a WHERE-form
   update to one named graph of a quad table, the graph-management forms
   ``CLEAR``/``DROP``/``CREATE``/``ADD``/``COPY``/``MOVE`` (each one
   filter/union scan), and ``;``-separated operation sequences folding
@@ -59,6 +65,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ontology_mapping_spark.operators.kgquery import (
+    apply_update,
     bgp_ask,
     bgp_construct,
     bgp_select,
@@ -964,12 +971,6 @@ def _apply_where_update(
 ) -> DataFrame:
     cur.expect("WHERE")
     g = _parse_group(triples, cur, prefixes)
-    if g.union_branches:
-        raise SparqlSyntaxError("UNION in an update WHERE is not supported")
-    if g.binds:
-        raise SparqlSyntaxError("BIND in an update WHERE is not supported")
-    if g.subqueries:
-        raise SparqlSyntaxError("sub-SELECT in an update WHERE is not supported")
     for pats in (delete, insert):
         for pat in pats:
             if _has_path(pat[1]):
@@ -982,6 +983,38 @@ def _apply_where_update(
         # must NOT fall into update_graph's DELETE WHERE shorthand (that
         # would delete every matched triple)
         return triples
+    if shorthand and (g.subqueries or g.binds):
+        # DELETE WHERE's group is its own template: the spec restricts
+        # it to plain quad patterns
+        raise SparqlSyntaxError(
+            "sub-SELECT / BIND in a DELETE WHERE shorthand update WHERE "
+            "is not supported (the pattern set is the template); pass "
+            "explicit templates"
+        )
+    if graph is not None and g.subqueries:
+        # the sub-SELECT was parsed against the FULL quad table; running
+        # it inside WITH <g> would silently escape the graph scope
+        raise SparqlSyntaxError(
+            "sub-SELECT in a WITH-scoped update WHERE is not supported"
+        )
+    if g.union_branches:
+        # a whole-group UNION WHERE: compute the union solutions, then
+        # the same apply step (evaluate-WHERE-once) via apply_update
+        if shorthand:
+            raise SparqlSyntaxError(
+                "DELETE WHERE shorthand cannot range over UNION (the "
+                "pattern set is the template); pass explicit templates"
+            )
+        if graph is not None:
+            raise SparqlSyntaxError(
+                "UNION in a WITH-scoped update WHERE is not supported"
+            )
+        sols = bgp_union(
+            triples,
+            g.union_branches,
+            paths=_branches_any_path(g.union_branches),
+        )
+        return apply_update(triples, sols, delete=delete, insert=insert)
     kwargs = dict(
         delete=delete,
         insert=insert,
@@ -992,6 +1025,8 @@ def _apply_where_update(
         not_exists=g.not_exists,
         minus=g.minus,
         values=g.values_rows or None,
+        subqueries=g.subqueries,
+        bind=g.binds or None,
     )
     if graph is not None:
         return update_quads(triples, graph, g.patterns, **kwargs)

@@ -367,6 +367,50 @@ def test_update_where_forms(kg):
     assert ("a", "has_kid", "b") in got3
 
 
+def test_update_where_union_bind_subselect(kg):
+    # whole-group UNION WHERE with explicit templates: delete everything
+    # matched by either branch (bgp_union solutions through apply_update)
+    got = rows(sparql_update(
+        kg,
+        """DELETE { ?x broader ?y . ?x label ?y . }
+           WHERE { { ?x broader ?y . } UNION { ?x label ?y . } }""",
+    ))
+    assert got == []
+    # BIND in the WHERE mints a computed value the INSERT template uses
+    got2 = sparql_update(
+        kg,
+        """DELETE { } INSERT { ?x tag ?t . }
+           WHERE { ?x broader a . BIND(CONCAT("n-", ?x) AS ?t) }""",
+    ).filter("predicate = 'tag'")
+    assert rows(got2) == [("b", "tag", "n-b"), ("c", "tag", "n-c")]
+    # sub-SELECT in the WHERE joins its aggregate into the solutions
+    got3 = sparql_update(
+        kg,
+        """DELETE { ?x broader ?y . }
+           WHERE { ?x broader ?y .
+                   { SELECT ?y (COUNT(*) AS ?n) WHERE { ?z broader ?y . }
+                     GROUP BY ?y }
+                   FILTER(?n >= 3) }""",
+    )
+    preds = rows(got3.filter("predicate = 'broader'"))
+    # only parent a has >= 3 inbound edges (b, c x2): those drop
+    assert preds == [
+        ("d", "broader", "b"),
+        ("http://x.org/e", "broader", "b"),
+    ]
+    # spec guards stay loud: shorthand and WITH-scoped restrictions
+    with pytest.raises(SparqlSyntaxError, match="shorthand"):
+        sparql_update(
+            kg,
+            """DELETE WHERE { { ?x broader a . } UNION { ?x label ?l . } }""",
+        )
+    with pytest.raises(SparqlSyntaxError, match="shorthand"):
+        sparql_update(
+            kg,
+            "DELETE WHERE { ?x broader a . BIND(1 AS ?one) }",
+        )
+
+
 def test_update_sequences_and_prefixes(kg):
     q = """PREFIX ex: <http://x.org/>
     INSERT DATA { ex:f broader b . } ;
