@@ -443,7 +443,12 @@ def main() -> None:
         per_pass: list[dict] = []
         lo, hi = levels[0], levels[-1]
         ratio = int(hi) / int(lo)
-        for pass_i in range(passes):
+        # beyond the base `passes`, allow a few EXTRA retries — but only
+        # when the pass-to-pass spread says the misses were host phases
+        # (see below), never to grind a genuinely non-scaling workload
+        extra = int(os.environ.get("SPARK_GRAFT_SCALING_EXTRA", "2"))
+        pass_i = 0
+        while True:
             pass_r: dict = {}
             # alternate level order per pass so a slow phase starting or
             # ending mid-pass doesn't always land on the same side
@@ -481,6 +486,22 @@ def main() -> None:
             eff_i = (pass_r[lo]["value"] / pass_r[hi]["value"]) / ratio
             if eff_i >= target:
                 break  # healthy host: one clean pass is the evidence
+            pass_i += 1
+            if pass_i >= passes:
+                effs = [
+                    (p[lo]["value"] / p[hi]["value"]) / ratio
+                    for p in per_pass
+                ]
+                # discriminate host phases from a real scaling limit: a
+                # workload that genuinely doesn't scale measures the SAME
+                # ratio every pass (small spread); passes 2x+ apart mean
+                # a slow phase polluted some of them, so a clean window
+                # may still come (observed sequences like 0.21, 0.30,
+                # 0.56 during a busy host vs 0.99 solo)
+                spread = max(effs) / max(min(effs), 1e-9)
+                if pass_i < passes + extra and spread > 2.0:
+                    continue
+                break
         # paired-within-a-pass efficiency: the lo and hi samples of one
         # pass run minutes apart, so a multi-minute host slow phase hits
         # both sides of the pair roughly equally; best-of-level aggregates

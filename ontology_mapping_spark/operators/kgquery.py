@@ -275,6 +275,10 @@ def bgp_match(
     (SPARQL's left-associative leftjoin), so its variables null-pad where
     the group has no match. Each group must share >=1 variable with what
     is already bound — an unshared OPTIONAL would be a left cross product.
+    An entry may also be ``{'patterns': [...], 'filters': [...]}`` for
+    ``OPTIONAL { ... FILTER(...) }`` bodies whose filter ranges over the
+    group's own variables (applied to the group before the left join —
+    see the inline note for why that is exact).
 
     ``filter_expr`` is one SQL boolean expression (or a sequence applied
     conjunctively) over the variable columns — SPARQL ``FILTER`` after all
@@ -327,10 +331,24 @@ def bgp_match(
         var_pred_source,
     )
     for grp in optional:
+        if isinstance(grp, dict):
+            # {'patterns': [...], 'filters': [...]}: SPARQL's leftjoin
+            # with a filter over the GROUP'S OWN variables — equivalent
+            # to filtering the group before the left join (shared
+            # variables are equal across compatible solutions, so
+            # pre-join filtering on them is also exact). A filter
+            # naming a variable the group does not bind raises at
+            # analysis (unresolved column) — the cross-group leftjoin
+            # condition is deliberately out of scope.
+            grp, gfilters = grp["patterns"], grp.get("filters", ())
+        else:
+            gfilters = ()
         g, gvars = _compile_bgp(
             triples, grp, allow_product, broadcast_min_constants,
             var_pred_source,
         )
+        for e in gfilters:
+            g = g.filter(F.expr(e))
         if not gvars:
             raise ValueError(
                 f"OPTIONAL group {grp!r} binds no variables; a ground "
@@ -759,13 +777,19 @@ def bgp_match_paths(
     path relation, not dataset triples, and must not bind a ?p."""
     counter = [0]
     patterns = expand_path_patterns(patterns, counter)
-    optional = [expand_path_patterns(g, counter) for g in optional]
+
+    def _expand_opt(g):
+        if isinstance(g, dict):
+            return {**g, "patterns": expand_path_patterns(g["patterns"], counter)}
+        return expand_path_patterns(g, counter)
+
+    optional = [_expand_opt(g) for g in optional]
     exists = [expand_path_patterns(g, counter) for g in exists]
     not_exists = [expand_path_patterns(g, counter) for g in not_exists]
     minus = [expand_path_patterns(g, counter) for g in minus]
     all_patterns = list(patterns)
     for grp in (*optional, *exists, *not_exists, *minus):
-        all_patterns.extend(grp)
+        all_patterns.extend(grp["patterns"] if isinstance(grp, dict) else grp)
     out = bgp_match(
         with_path_closures(triples, all_patterns, max_iters=max_iters),
         patterns,

@@ -25,7 +25,10 @@ types, covering exactly the constructs the algebra implements:
 * group graph patterns — triple patterns (property-path predicates pass
   through verbatim to the path compiler; ``;``/``,``
   predicate-object/object-list abbreviations desugar to full patterns),
-  ``OPTIONAL { }``, ``FILTER(expr)``, ``FILTER EXISTS { }`` /
+  ``OPTIONAL { }`` (the body may carry its own ``FILTER``s over its
+  own variables — applied to the body before the left join, which is
+  exact for body-local filters; a filter naming an outer-only variable
+  raises), ``FILTER(expr)``, ``FILTER EXISTS { }`` /
   ``FILTER NOT EXISTS { }``,
   ``MINUS { }``, ``VALUES`` (inline data, ``UNDEF`` supported),
   ``GRAPH term { }`` (4-term quad patterns), ``{ SELECT ... }``
@@ -281,6 +284,7 @@ class _Group:
     def __init__(self):
         self.patterns: list[tuple] = []
         self.optional: list[list[tuple]] = []
+        self.optional_filters: list[list[str]] = []
         self.filters: list[str] = []
         self.exists: list[list[tuple]] = []
         self.not_exists: list[list[tuple]] = []
@@ -333,6 +337,16 @@ def _parse_triples_block(cur: _Cursor, prefixes, graph: str | None) -> list[tupl
         if cur.at_kw("."):
             cur.next()
     return pats
+
+
+def _optional_arg(g: "_Group"):
+    """The algebra's ``optional=`` argument: plain pattern lists, or the
+    {'patterns', 'filters'} dict form for OPTIONAL bodies carrying their
+    own FILTERs."""
+    return [
+        {"patterns": pats, "filters": fs} if fs else pats
+        for pats, fs in zip(g.optional, g.optional_filters)
+    ]
 
 
 def _is_plain_group(g: "_Group") -> bool:
@@ -391,11 +405,17 @@ def _parse_group(
         if up == "OPTIONAL":
             cur.next()
             sub = _parse_group(triples, cur, prefixes)
+            # an OPTIONAL body may carry its own FILTERs (over the
+            # body's variables); every other nested feature would be
+            # silently dropped, so reject it loudly
+            sub_filters, sub.filters = sub.filters, []
             if not _is_plain_group(sub):
                 raise SparqlSyntaxError(
-                    "OPTIONAL bodies must be plain triple groups"
+                    "OPTIONAL bodies must be plain triple groups "
+                    "(FILTER over the body's own variables allowed)"
                 )
             g.optional.append(sub.patterns)
+            g.optional_filters.append(sub_filters)
         elif up == "FILTER":
             cur.next()
             if cur.at_kw("NOT"):
@@ -703,7 +723,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             triples,
             g.patterns,
             paths=g.any_path(),
-            optional=g.optional,
+            optional=_optional_arg(g),
             filter_expr=g.filters or None,
             exists=g.exists,
             not_exists=g.not_exists,
@@ -750,7 +770,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             triples,
             g.patterns,
             paths=g.any_path(),
-            optional=g.optional,
+            optional=_optional_arg(g),
             filter_expr=g.filters or None,
             exists=g.exists,
             not_exists=g.not_exists,
@@ -802,7 +822,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             g.patterns,
             template,
             paths=g.any_path(),
-            optional=g.optional,
+            optional=_optional_arg(g),
             filter_expr=g.filters or None,
             exists=g.exists,
             not_exists=g.not_exists,
@@ -856,7 +876,7 @@ def _parse_select_query(
                 triples,
                 g.patterns,
                 paths=g.any_path(),
-                optional=g.optional,
+                optional=_optional_arg(g),
                 filter_expr=g.filters or None,
                 exists=g.exists,
                 not_exists=g.not_exists,
@@ -918,7 +938,7 @@ def _parse_select_query(
         triples,
         g.patterns,
         paths=g.any_path(),
-        optional=g.optional,
+        optional=_optional_arg(g),
         filter_expr=g.filters or None,
         exists=g.exists,
         not_exists=g.not_exists,
@@ -1019,7 +1039,7 @@ def _apply_where_update(
         delete=delete,
         insert=insert,
         paths=g.any_path(),
-        optional=g.optional,
+        optional=_optional_arg(g),
         filter_expr=g.filters or None,
         exists=g.exists,
         not_exists=g.not_exists,

@@ -74,6 +74,23 @@ def test_optional_filter_not_exists_minus(kg):
     assert rows(got_minus) == rows(want_minus)
 
 
+def test_optional_with_body_filter(kg):
+    # OPTIONAL { ... FILTER(...) }: the filter scopes to the body, so a
+    # failing filter null-pads instead of dropping the outer solution
+    got = sparql(
+        kg,
+        """SELECT ?x ?p WHERE {
+            ?x label ?l .
+            OPTIONAL { ?x broader ?p . FILTER(?p = "a") }
+        } ORDER BY ?x""",
+    ).collect()
+    # b, c broader a -> bound (c twice: dup edge); a, d -> null-padded
+    # (d's parent is b, filtered out of the BODY, not the solution)
+    assert [(r["x"], r["p"]) for r in got] == [
+        ("a", None), ("b", "a"), ("c", "a"), ("c", "a"), ("d", None),
+    ]
+
+
 def test_filter_exists(kg):
     from ontology_mapping_spark.operators.kgquery import bgp_match
 
@@ -568,7 +585,7 @@ def test_group_bodies_must_be_plain(kg):
             { ?x broader a . VALUES ?x { b } } UNION { ?x label ?z . } }""",
          "plain triple groups"),
         ("SELECT ?x WHERE { ?x label ?l . OPTIONAL { ?x broader ?p . "
-         "FILTER(?p = \"a\") } }", "OPTIONAL bodies"),
+         "VALUES ?p { a } } }", "OPTIONAL bodies"),
         ("SELECT ?x WHERE { ?x label ?l . MINUS { ?x broader ?p . "
          "BIND(1 AS ?one) } }", "MINUS bodies"),
         ("SELECT ?x WHERE { ?x label ?l . FILTER NOT EXISTS { "
