@@ -310,6 +310,258 @@ def saturate_incremental(
     )
 
 
+def retract_incremental(
+    saturated: DataFrame,
+    asserted: DataFrame,
+    removals: DataFrame,
+    rules: Sequence[Rule],
+    max_iters: int = 20,
+    broadcast_min_constants: int = 2,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Fold a batch of RETRACTED asserted triples out of an ALREADY-
+    SATURATED graph — delete-and-rederive (DRed), the deletion twin of
+    :func:`saturate_incremental`: equal to
+    ``saturate(asserted − removals, rules)`` whenever ``saturated ==
+    saturate(asserted, rules)`` (the caller's contract, property-pinned
+    in tests/test_kginfer.py, not checked here for the same cost reason).
+    Recrawls don't only add facts — a page revision can withdraw the
+    support for a triple (kgmaint.latest_captures replaces captures), and
+    naively re-saturating the whole graph per retraction is the cost this
+    function exists to skip.
+
+    Three stages, each scaled to the retraction's blast radius:
+
+    1. OVERDELETE — semi-naive over the deletion set D: seed D with the
+       actually-removed asserted triples, then per round anchor one body
+       position of each rule at the round's delta with the REST at the
+       original (pre-deletion) saturated graph — any one-step consequence
+       of a suspect fact is itself suspect. Work tracks |D|'s frontier,
+       not the graph (delta-anchored scans are deletion-sized; AQE
+       broadcasts them against the big relation at runtime).
+    2. REDERIVE SEED — facts in D with an ALTERNATIVE derivation wholly
+       inside the surviving graph G0 = saturated − D must come back. One
+       head-targeted round per rule over G0: every body pattern that
+       binds a head variable is pre-restricted by a broadcast semi-join
+       against D's projection of that variable (constants of the head
+       template filter D first), so the scans are D-sized when D is
+       small — never a full naive round over the graph. Asserted
+       overdeleted facts that were not themselves removed re-enter here
+       for free (put-back).
+    3. PROPAGATE — the seed continues through the shared semi-naive loop
+       (:func:`_semi_naive_rounds`): rederived facts may support further
+       rederivations, and every head derivable from the growing total is
+       legitimately in the final closure (⊆ the original saturation, so
+       termination is inherited).
+
+    Retracting a triple that is still DERIVABLE from the surviving
+    asserted facts is a no-op on the closure (it rederives); retracting a
+    derived-only triple (never asserted) is a no-op on the asserted base
+    and hence on the result. Raises ``RuntimeError`` on ``max_iters``
+    overflow in either fixpoint, same contract as :func:`saturate`.
+    """
+    _check_rules(rules)
+    if assume_distinct:
+        sat = saturated.select(*_KEY)
+    else:
+        sat = materialize(saturated.select(*_KEY).distinct())
+    asserted = asserted.select(*_KEY)
+    removals = materialize(removals.select(*_KEY).distinct())
+    removals_hinted = _maybe_broadcast(removals, removals.count())
+    # only retractions of facts actually asserted matter; removing a
+    # derived-only triple cannot change the closure
+    removed0 = materialize(
+        asserted.join(removals_hinted, on=_KEY, how="left_semi").distinct()
+    )
+    if removed0.isEmpty():
+        return sat
+    asserted_after = asserted.join(removals_hinted, on=_KEY, how="left_anti")
+
+    from ontology_mapping_spark.operators.kgquery import is_var
+
+    has_var_pred = any(
+        is_var(term[1])
+        for patterns, template in rules
+        for term in list(patterns) + list(template)
+    )
+    ctx = (
+        _constraint_propagation_off(saturated.sparkSession)
+        if has_var_pred
+        else contextlib.nullcontext()
+    )
+    with ctx:
+        deleted = _overdelete(
+            sat, removed0, rules, max_iters, broadcast_min_constants
+        )
+        g0 = materialize(deleted.surviving)
+        suspects = _maybe_broadcast(deleted.suspects, deleted.n_suspects)
+        put_back = asserted_after.join(suspects, on=_KEY, how="left_semi")
+        seed = materialize(
+            put_back.unionByName(
+                _rederive_candidates(
+                    g0, suspects, rules, broadcast_min_constants
+                )
+            ).distinct()
+        )
+        n_seed = seed.count()
+        if n_seed == 0:
+            return g0
+        return _semi_naive_loop(
+            g0.unionByName(seed),
+            seed,
+            rules,
+            max_iters,
+            broadcast_min_constants,
+            delta_rows=n_seed,
+            small_delta_rows=500_000,
+        )
+
+
+class _Overdeleted:
+    """suspects = the overdeletion set D (with its known row count);
+    surviving = saturated − D."""
+
+    def __init__(self, suspects: DataFrame, surviving: DataFrame, n: int):
+        self.suspects = suspects
+        self.surviving = surviving
+        self.n_suspects = n
+
+
+# above this, the suspect/delta set stops being broadcast and the joins
+# fall back to shuffles — same order as _semi_naive_loop's 4x guard
+_BROADCAST_CAP_ROWS = 2_000_000
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= _BROADCAST_CAP_ROWS else df
+
+
+def _overdelete(
+    sat: DataFrame,
+    removed0: DataFrame,
+    rules: Sequence[Rule],
+    max_iters: int,
+    broadcast_min_constants: int,
+) -> _Overdeleted:
+    """Semi-naive overdeletion: accumulate every triple with SOME
+    derivation touching a removed fact. Other body positions scan the
+    ORIGINAL saturated graph — a derivation through a fact that is itself
+    suspect still taints its head (DRed overapproximates; rederivation
+    repairs). Heads are ⊆ sat by the fixpoint contract, so D never
+    escapes the graph and the loop terminates on |sat|."""
+    suspects = removed0
+    n_suspects = removed0.count()
+    delta = removed0
+    for _ in range(max_iters):
+        parts: list[DataFrame] = []
+        for patterns, template in rules:
+            for i in range(len(patterns)):
+                sources: list[DataFrame | None] = [None] * len(patterns)
+                sources[i] = delta
+                sols, _bound = _compile_bgp(
+                    sat,
+                    patterns,
+                    allow_product=False,
+                    broadcast_min_constants=broadcast_min_constants,
+                    sources=sources,
+                )
+                parts.append(_instantiate_templates(sols, template))
+        derived = parts[0]
+        for p_ in parts[1:]:
+            derived = derived.unionByName(p_)
+        delta = materialize(
+            derived.distinct().join(
+                _maybe_broadcast(suspects, n_suspects),
+                on=_KEY,
+                how="left_anti",
+            )
+        )
+        n_delta = delta.count()
+        if n_delta == 0:
+            return _Overdeleted(
+                suspects,
+                sat.join(
+                    _maybe_broadcast(suspects, n_suspects),
+                    on=_KEY,
+                    how="left_anti",
+                ),
+                n_suspects,
+            )
+        # suspects stay deletion-sized (≤ blast radius), so plan-level
+        # union of materialized rounds is the cheap accumulation
+        suspects = suspects.unionByName(delta)
+        n_suspects += n_delta
+    raise RuntimeError(
+        f"overdeletion did not converge within max_iters={max_iters} "
+        "rounds; raise max_iters or check the rule set"
+    )
+
+
+def _rederive_candidates(
+    g0: DataFrame,
+    suspects: DataFrame,
+    rules: Sequence[Rule],
+    broadcast_min_constants: int,
+) -> DataFrame:
+    """One head-targeted rule round over the surviving graph: derivations
+    whose body lies entirely in g0 and whose head is a suspect. For each
+    rule, each body pattern binding a head variable is pre-restricted to
+    the suspect set's projection of that variable (suspects filtered by
+    the head template's constant positions first), via broadcast
+    left-semi — so when the blast radius is small, every scan in the
+    round is suspect-sized, not graph-sized. Patterns sharing no head
+    variable scan g0 in full (they are the rule's context — unavoidable,
+    but they join against already-restricted sides)."""
+    from ontology_mapping_spark.operators.kgquery import is_var
+
+    pos_cols = ("subject", "predicate", "object")
+    parts: list[DataFrame] = []
+    for patterns, template in rules:
+        # head-variable projections from the suspect set: restrict
+        # suspects by the template triple's constant positions, project
+        # the variable's column; a variable used by several template
+        # triples gets the union (a superset restriction is still sound)
+        proj: dict[str, DataFrame] = {}
+        for tmpl in template:
+            cand = suspects
+            for col, term in zip(pos_cols, tmpl):
+                if not is_var(term) and not term.startswith("_:"):
+                    cand = cand.filter(F.col(col) == F.lit(term))
+            for col, term in zip(pos_cols, tmpl):
+                if is_var(term):
+                    name = term[1:]
+                    p = cand.select(F.col(col).alias(name))
+                    proj[name] = (
+                        p if name not in proj else proj[name].unionByName(p)
+                    )
+        proj = {k: v.distinct() for k, v in proj.items()}
+        sources: list[DataFrame | None] = []
+        for pat in patterns:
+            src: DataFrame | None = None
+            for col, term in zip(pos_cols, pat):
+                if is_var(term) and term[1:] in proj:
+                    restr = proj[term[1:]].withColumnRenamed(term[1:], col)
+                    src = (g0 if src is None else src).join(
+                        F.broadcast(restr), on=col, how="left_semi"
+                    )
+            sources.append(src)
+        sols, _bound = _compile_bgp(
+            g0,
+            patterns,
+            allow_product=False,
+            broadcast_min_constants=broadcast_min_constants,
+            sources=sources,
+        )
+        parts.append(_instantiate_templates(sols, template))
+    derived = parts[0]
+    for p_ in parts[1:]:
+        derived = derived.unionByName(p_)
+    # only suspects matter: anything else the round derives is ⊆ g0
+    # (the caller passes the suspect set already broadcast-hinted when
+    # it is small enough)
+    return derived.distinct().join(suspects, on=_KEY, how="left_semi")
+
+
 def rdfs_rules(
     sub_class: str = "subClassOf",
     rdf_type: str = "type",

@@ -244,6 +244,10 @@ LOCAL_ONLY: frozenset = frozenset(
         # semi-naive engine as the curated kg_saturate_rdfs; declarations
         # read from the graph itself); exact recursive-CTE oracle
         "kg_saturate_owl",
+        # DRed retraction twin of the rule-inference family: overdelete +
+        # rederive vs a full re-saturation recursive-CTE oracle over the
+        # post-retraction base; the curated slot stays with the primary
+        "kg_retract_entailment",
     }
 )
 
@@ -3581,6 +3585,65 @@ def q_kg_saturate_rdfs(spark, sf):
         sub.unionByName(inst), rdfs_rules(sub_class="subClassOf")
     )
     return sat.filter(F.col("predicate") == "type")
+
+
+@query(
+    "kg_retract_entailment",
+    """WITH RECURSIVE sub AS (
+      SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS c,
+             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS d
+      FROM part WHERE p_partkey >= 2 AND p_partkey % 5 <> 0
+    ), clo AS (
+      SELECT c, d FROM sub
+      UNION
+      SELECT clo.c, sub.d FROM clo JOIN sub ON sub.c = clo.d
+    ), inst AS (
+      SELECT 'i:' || CAST(p_partkey AS VARCHAR) AS x,
+             'p:' || CAST(p_partkey AS VARCHAR) AS c
+      FROM part WHERE p_partkey % 7 = 0
+    )
+    SELECT c AS subject, 'subClassOf' AS predicate, d AS object FROM clo
+    UNION
+    SELECT x, 'type', c FROM inst
+    UNION
+    SELECT i.x, 'type', clo.d FROM inst i JOIN clo ON clo.c = i.c""",
+)
+def q_kg_retract_entailment(spark, sf):
+    # DRed delete-and-rederive (kginfer.retract_incremental): saturate the
+    # FULL part-tree + instances, then retract every subclass edge whose
+    # child key is divisible by 5 — the oracle re-saturates the remaining
+    # base from scratch (recursive CTE), so the row pins overdeletion
+    # (closure paths through a cut edge vanish), rederivation (paths
+    # around surviving ancestors return), and type-inheritance cascade in
+    # one equivalence. Equivalence with full re-saturation is also
+    # property-pinned at unit scale in tests/test_kginfer.py.
+    from ontology_mapping_spark.operators.kginfer import (
+        rdfs_rules,
+        retract_incremental,
+        saturate,
+    )
+
+    part = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    sub = part.filter(pk >= 2).select(
+        F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
+        F.lit("subClassOf").alias("predicate"),
+        F.concat(
+            F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
+        ).alias("object"),
+    )
+    inst = part.filter(pk % 7 == 0).select(
+        F.concat(F.lit("i:"), pk.cast("string")).alias("subject"),
+        F.lit("type").alias("predicate"),
+        F.concat(F.lit("p:"), pk.cast("string")).alias("object"),
+    )
+    asserted = sub.unionByName(inst)
+    rules = rdfs_rules(sub_class="subClassOf")
+    sat = saturate(asserted, rules)
+    removals = sub.filter(pk % 5 == 0)
+    return retract_incremental(
+        sat, asserted, removals, rules, assume_distinct=True
+    )
 
 
 # the parity-split quad table (part tree in two named graphs) the three

@@ -207,3 +207,145 @@ def test_owl_rules_all_disabled_raises():
 
     with pytest.raises(ValueError, match="disabled"):
         owl_rules(inverse_of=None, symmetric_class=None, transitive_class=None)
+
+
+# ---------------------------------------------------------------------------
+# retract_incremental (DRed): the deletion twin of saturate_incremental.
+# The load-bearing property is equivalence with full re-saturation of the
+# post-retraction asserted base; the classic trap is the alternative
+# derivation (an overdeleted fact that must be REDERIVED from survivors).
+
+
+def _retract(spark, asserted_rows, removal_rows, rules, **kw):
+    from ontology_mapping_spark.operators.kginfer import retract_incremental
+
+    asserted = spark.createDataFrame(asserted_rows, T)
+    sat = saturate(asserted, rules)
+    removals = spark.createDataFrame(removal_rows, T)
+    return retract_incremental(sat, asserted, removals, rules, **kw)
+
+
+def _resat(spark, asserted_rows, removal_rows, rules):
+    remaining = [r for r in asserted_rows if r not in set(removal_rows)]
+    return saturate(spark.createDataFrame(remaining, T), rules)
+
+
+def test_retract_equals_full_resaturation(spark):
+    rows = [
+        ("b", "subClassOf", "a"),
+        ("c", "subClassOf", "b"),
+        ("d", "subClassOf", "c"),
+        ("e", "subClassOf", "d"),
+        ("x1", "type", "e"),
+        ("x2", "type", "c"),
+    ]
+    removals = [("c", "subClassOf", "b"), ("x2", "type", "c")]
+    got = _retract(spark, rows, removals, rdfs_rules())
+    want = _resat(spark, rows, removals, rdfs_rules())
+    assert tset(got) == tset(want)
+
+
+def test_retract_alternative_derivation_rederives(spark):
+    # diamond: a->c via b AND via d; retracting a->b must NOT lose (a,c)
+    rows = [
+        ("a", "subClassOf", "b"),
+        ("b", "subClassOf", "c"),
+        ("a", "subClassOf", "d"),
+        ("d", "subClassOf", "c"),
+    ]
+    removals = [("a", "subClassOf", "b")]
+    got = tset(_retract(spark, rows, removals, rdfs_rules()))
+    assert ("a", "subClassOf", "c") in got  # rederived through d
+    assert ("a", "subClassOf", "b") not in got
+    assert got == tset(_resat(spark, rows, removals, rdfs_rules()))
+
+
+def test_retract_put_back_keeps_asserted_overdeletions(spark):
+    # (a,c) is BOTH asserted and derivable via the retracted chain: the
+    # overdelete taints it, the put-back restores it
+    rows = [
+        ("a", "subClassOf", "b"),
+        ("b", "subClassOf", "c"),
+        ("a", "subClassOf", "c"),
+    ]
+    removals = [("a", "subClassOf", "b")]
+    got = tset(_retract(spark, rows, removals, rdfs_rules()))
+    assert got == {("b", "subClassOf", "c"), ("a", "subClassOf", "c")}
+
+
+def test_retract_derived_only_or_unknown_is_noop(spark):
+    rows = [
+        ("b", "subClassOf", "a"),
+        ("c", "subClassOf", "b"),
+    ]
+    sat_before = tset(_resat(spark, rows, [], rdfs_rules()))
+    # (c, subClassOf, a) is derived, never asserted; (z,*,z) is unknown
+    for removals in (
+        [("c", "subClassOf", "a")],
+        [("z", "subClassOf", "z")],
+    ):
+        got = tset(_retract(spark, rows, removals, rdfs_rules()))
+        assert got == sat_before
+
+
+def test_retract_cascade_drops_the_whole_chain_suffix(spark):
+    rows = [(f"n{i}", "subClassOf", f"n{i + 1}") for i in range(6)] + [
+        ("x", "type", "n0")
+    ]
+    removals = [("n2", "subClassOf", "n3")]
+    got = _retract(spark, rows, removals, rdfs_rules())
+    want = _resat(spark, rows, removals, rdfs_rules())
+    assert tset(got) == tset(want)
+    # spot pins: nothing crosses the cut edge any more
+    assert ("n0", "subClassOf", "n4") not in tset(got)
+    assert ("x", "type", "n2") in tset(got)
+    assert ("x", "type", "n3") not in tset(got)
+
+
+def test_retract_under_variable_predicate_rules(spark):
+    # sub-property rules carry a variable predicate scan — exercises the
+    # constraint-propagation toggle path through overdelete + rederive
+    rules = rdfs_rules(sub_property="subPropertyOf", domain="domain")
+    rows = [
+        ("hasPart", "subPropertyOf", "related"),
+        ("related", "domain", "thing"),
+        ("m", "hasPart", "n"),
+        ("m2", "related", "n2"),
+    ]
+    removals = [("hasPart", "subPropertyOf", "related")]
+    got = _retract(spark, rows, removals, rules)
+    want = _resat(spark, rows, removals, rules)
+    assert tset(got) == tset(want)
+    assert ("m", "related", "n") not in tset(got)
+    assert ("m2", "type", "thing") in tset(got)
+
+
+def test_retract_assume_distinct_equivalent(spark):
+    from ontology_mapping_spark.operators.kginfer import retract_incremental
+
+    rows = [
+        ("b", "subClassOf", "a"),
+        ("c", "subClassOf", "b"),
+        ("d", "subClassOf", "c"),
+    ]
+    asserted = spark.createDataFrame(rows, T)
+    sat = saturate(asserted, rdfs_rules())
+    removals = spark.createDataFrame([("c", "subClassOf", "b")], T)
+    slow = retract_incremental(sat, asserted, removals, rdfs_rules())
+    fast = retract_incremental(
+        sat, asserted, removals, rdfs_rules(), assume_distinct=True
+    )
+    assert tset(slow) == tset(fast)
+
+
+def test_retract_overdelete_overflow_raises(spark):
+    from ontology_mapping_spark.operators.kginfer import retract_incremental
+
+    rows = [(f"n{i}", "subClassOf", f"n{i + 1}") for i in range(8)]
+    asserted = spark.createDataFrame(rows, T)
+    sat = saturate(asserted, rdfs_rules())
+    removals = spark.createDataFrame([("n0", "subClassOf", "n1")], T)
+    with pytest.raises(RuntimeError, match="max_iters"):
+        retract_incremental(
+            sat, asserted, removals, rdfs_rules(), max_iters=1
+        )
