@@ -172,8 +172,6 @@ def pagerank(
     Lineage is cut per round (session.materialize) exactly like
     transitive_closure; N is the one bounded driver scalar, computed once.
     """
-    from ontology_mapping_spark.operators.graph import _cut
-
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -184,31 +182,270 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
-    base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
-        rk = ranks.join(outdeg, "node", "left")
-        contrib = (
-            e.join(rk.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("c"))
+        ranks = _pagerank_step(e, nodes, outdeg, ranks, n, damping)
+    return ranks
+
+
+def _pagerank_step(e, nodes, outdeg, ranks, n, damping):
+    """One power-iteration step (shared by the fixed-iteration and the
+    warm-started/converged forms): ranks⋈edges on src, partial+final sum
+    on dst, 1-row dangling aggregate broadcast back in, lineage cut."""
+    from ontology_mapping_spark.operators.graph import _cut
+
+    base = (1.0 - damping) / n
+    rk = ranks.join(outdeg, "node", "left")
+    contrib = (
+        e.join(rk.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("c"))
+    )
+    dangling = rk.filter(F.col("outdeg").isNull()).agg(
+        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+    )
+    return _cut(
+        nodes.join(contrib, "node", "left")
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dmass") / n)
+            ).alias("rank"),
         )
-        dangling = rk.filter(F.col("outdeg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+    )
+
+
+def pagerank_warm(
+    edges: DataFrame,
+    ranks0: DataFrame | None = None,
+    tol: float = 1e-6,
+    max_iters: int = 60,
+    damping: float = 0.85,
+    src: str = "src_host",
+    dst: str = "dst_host",
+) -> tuple[DataFrame, int]:
+    """Convergence-based PageRank with optional WARM START — the
+    crawl-cadence form: a recrawl perturbs a fraction of the link graph,
+    and the stationary distribution is independent of the init, so
+    seeding from the PREVIOUS crawl's ranks reaches the same fixpoint in
+    a fraction of the iterations a cold uniform start needs (each saved
+    iteration is one shuffle join + one aggregate over the whole graph —
+    the entire per-iteration cost at 10^12 edges).
+
+    -> (ranks, iterations_used). Stops when the L1 step delta
+    ``Σ|r'(v) − r(v)|`` drops below ``tol`` (one 1-row aggregate per
+    round — the same bounded driver scalar the fixpoint loops already
+    pay for their convergence checks); raises ``RuntimeError`` if
+    ``max_iters`` rounds don't get there, never returns a silently
+    unconverged ranking. Warm-start seeding: nodes carried over keep
+    their previous rank, NEW nodes (this crawl's discoveries) seed at
+    1/N, departed nodes drop, and the vector renormalizes to Σ=1 so the
+    mass-conservation invariant of :func:`pagerank` holds from round
+    one. ``pagerank_warm(e, None)`` is the cold convergence twin —
+    exactly :func:`pagerank`'s semantics with tol instead of a fixed
+    iteration count (equality at the common fixpoint is pinned in
+    tests/test_linkgraph.py)."""
+    from ontology_mapping_spark.operators.graph import _cut
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0)), 0
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
+    if ranks0 is None:
+        ranks = _cut(nodes.withColumn("rank", F.lit(1.0 / n)))
+    else:
+        seeded = nodes.join(
+            ranks0.select("node", F.col("rank").alias("r0")), "node", "left"
+        ).select(
+            "node", F.coalesce(F.col("r0"), F.lit(1.0 / n)).alias("rank")
         )
+        total = seeded.agg(F.sum("rank").alias("s"))
         ranks = _cut(
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dmass") / n)
-                ).alias("rank"),
+            seeded.crossJoin(F.broadcast(total)).select(
+                "node", (F.col("rank") / F.col("s")).alias("rank")
             )
         )
-    return ranks
+    for it in range(1, max_iters + 1):
+        nxt = _pagerank_step(e, nodes, outdeg, ranks, n, damping)
+        l1 = (
+            nxt.join(ranks.withColumnRenamed("rank", "prev"), "node")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("l1"))
+            .collect()[0]["l1"]
+        )
+        ranks = nxt
+        if l1 < tol:
+            return ranks, it
+    raise RuntimeError(
+        f"pagerank did not converge to tol={tol} within "
+        f"max_iters={max_iters} iterations (damping={damping}); raise "
+        "max_iters or loosen tol"
+    )
+
+
+def triangles(
+    edges: DataFrame, src: str = "src_host", dst: str = "dst_host"
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    UNDIRECTED simple graph underlying a directed edge list ->
+    (node, degree, triangles, clustering). The community-structure
+    instrument for the host graph: link farms and boilerplate nav rings
+    show up as high-clustering blocks, real editorial linking as sparse
+    wedges.
+
+    Scale shape — the classic degree-ordered orientation: every
+    undirected edge is directed from its (degree, node)-smaller endpoint
+    to the larger, which bounds EVERY oriented out-degree at O(√m)
+    regardless of hubs (a wikipedia.org with 10^7 neighbours never
+    enumerates its own neighbour pairs — its low-degree neighbours each
+    enumerate a few). Wedges are then within-row pairs over the sorted
+    out-neighbour array (the cooccurrence_edges idiom — one group
+    exchange, no self-join), and one equi-join against the oriented edge
+    set closes them; each triangle is found exactly once, from its
+    smallest corner. Total wedge work is the textbook Σ d_out² ≤ O(m^1.5)
+    bound, shuffle = one groupBy + one join, both on oriented keys."""
+    s, d = F.col(src), F.col(dst)
+    und = (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(a_first, F.col("dega")).otherwise(F.col("degb")).alias("dlo"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("dhi"),
+        )
+    )
+    # out-neighbour array sorted by the SAME (degree, node) order the
+    # orientation uses, so every within-row pair is itself an oriented
+    # key and closes against `oriented` directly
+    ns = F.array_sort(
+        F.collect_list(F.struct(F.col("dhi").alias("d"), F.col("hi").alias("n")))
+    )
+    grouped = oriented.groupBy("lo").agg(ns.alias("ns"))
+    arr = F.col("ns")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x["n"].alias("x"), y["n"].alias("y")),
+            ),
+        )
+    )
+    wedges = grouped.select(
+        F.col("lo"), F.explode(pairs).alias("p")
+    ).select("lo", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    tri = wedges.join(
+        oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y")),
+        ["x", "y"],
+        "inner",
+    )
+    corners = tri.select(
+        F.explode(F.array("lo", "x", "y")).alias("node")
+    )
+    tcounts = corners.groupBy("node").agg(F.count("*").alias("triangles"))
+    return deg.join(tcounts, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            2.0
+            * F.coalesce(F.col("triangles"), F.lit(0))
+            / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    max_iters: int = 100,
+) -> DataFrame:
+    """The k-core of the undirected simple graph underlying a directed
+    edge list: the maximal subgraph in which every node has degree ≥ k ->
+    its node set ``(node, degree)`` with degrees measured INSIDE the
+    core. Dense-block extraction for the host graph (link farms survive
+    high k, editorial periphery peels away); ``k_core(e, 2)`` is the
+    standard pre-filter before triangle/community work.
+
+    Shape: iterative peel — per round one degree aggregate (partial+final
+    count) and one semi-join of the edge set against surviving nodes on
+    BOTH endpoints; every round strictly shrinks the edge set or
+    terminates, lineage cut per round. Round count is the peel depth
+    (bounded by the degeneracy ordering's layer count — single digits on
+    power-law web graphs, NOT O(n): each round removes every node below k
+    simultaneously); ``max_iters`` overflow raises rather than returning
+    a not-yet-maximal subgraph."""
+    from ontology_mapping_spark.operators.graph import _cut
+
+    if k < 1:
+        raise ValueError(f"k_core needs k >= 1, got {k}")
+    s, d = F.col(src), F.col(dst)
+    e = (
+        edges.filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    e = _cut(e)
+    n_edges = e.count()
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e2 = _cut(
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            return deg.filter(F.col("degree") >= k)
+        e, n_edges = e2, n2
+    if n_edges == 0:
+        # fully peeled: empty core, empty frame with the right schema
+        return (
+            e.select(F.col("a").alias("node"))
+            .withColumn("degree", F.lit(0).cast("long"))
+            .limit(0)
+        )
+    raise RuntimeError(
+        f"k_core(k={k}) did not stabilize within max_iters={max_iters} "
+        "peel rounds; raise max_iters"
+    )
 
 
 def anchor_aliases(links: DataFrame, min_count: int = 1) -> DataFrame:

@@ -248,6 +248,10 @@ LOCAL_ONLY: frozenset = frozenset(
         # rederive vs a full re-saturation recursive-CTE oracle over the
         # post-retraction base; the curated slot stays with the primary
         "kg_retract_entailment",
+        # link-graph analytics sibling of the curated pagerank_graph row:
+        # degree-oriented triangle counting + clustering coefficient,
+        # exact 3-way-join SQL oracle
+        "triangle_clustering",
     }
 )
 
@@ -2453,6 +2457,68 @@ def q_pagerank(spark, sf):
     pr = pagerank(edges, iters=5, damping=0.85)
     # same +1e-12 epsilon shift as the oracle (see _pagerank_sql)
     return pr.select("node", F.round(F.col("rank") + F.lit(1e-12), 8).alias("rank"))
+
+
+@query(
+    "triangle_clustering",
+    """WITH raw AS (
+      SELECT CAST(p_partkey AS VARCHAR) AS s,
+             CAST(p_partkey // 2 AS VARCHAR) AS t
+      FROM part WHERE p_partkey >= 2
+      UNION ALL
+      SELECT CAST(p_partkey AS VARCHAR),
+             CAST((p_partkey * 7 + 3) % 211 AS VARCHAR) FROM part
+    ), und AS (
+      SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+      FROM raw WHERE s <> t
+    ), deg AS (
+      SELECT n AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), tc AS (
+      SELECT n AS node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) GROUP BY n
+    )
+    SELECT deg.node, deg.degree,
+           COALESCE(tc.triangles, 0) AS triangles,
+           CASE WHEN deg.degree >= 2
+                THEN round(2.0 * COALESCE(tc.triangles, 0)
+                           / (deg.degree * (deg.degree - 1)), 8)
+                ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN tc USING (node)""",
+)
+def q_triangle_clustering(spark, sf):
+    # degree-oriented triangle counting + local clustering coefficient
+    # (linkgraph.triangles) over the same deterministic part-derived web
+    # graph as the pagerank_graph row (tree rule + modular rule gives
+    # genuine triangles where a tree edge closes a modular wedge). The
+    # oracle enumerates each triangle once by lexicographic 3-way join —
+    # a DIFFERENT orientation than the engine's (degree, node) order, so
+    # the equality also pins orientation-independence of the counts.
+    from ontology_mapping_spark.operators.linkgraph import triangles
+
+    k = F.col("p_partkey")
+    p = _t(spark, sf, "part")
+    a = p.filter(k >= 2).select(
+        k.cast("string").alias("src_host"),
+        F.floor(k / 2).cast("string").alias("dst_host"),
+    )
+    b = p.select(
+        k.cast("string").alias("src_host"),
+        ((k * 7 + 3) % 211).cast("string").alias("dst_host"),
+    )
+    t = triangles(a.union(b))
+    return t.select(
+        "node",
+        "degree",
+        "triangles",
+        F.round("clustering", 8).alias("clustering"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -239,3 +239,191 @@ def test_filter_blocked_hosts(spark):
 def test_pagerank_empty_graph(spark):
     empty = spark.createDataFrame([], "src_host string, dst_host string")
     assert pagerank(empty, iters=2).count() == 0
+
+
+# ------------------------------------------------------- pagerank_warm
+
+
+def _converged_py(edges, tol=1e-12, d=0.85):
+    # run the dict twin to (numerical) convergence — the unique fixpoint
+    r = pagerank_py(edges, iters=0, d=d)
+    for _ in range(500):
+        nxt = pagerank_py_step(edges, r, d)
+        if sum(abs(nxt[v] - r[v]) for v in r) < tol:
+            return nxt
+        r = nxt
+    raise AssertionError("twin did not converge")
+
+
+def pagerank_py_step(edges, r, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    out: dict[str, list[str]] = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    dangling = sum(r[v] for v in nodes if v not in out)
+    nxt = {v: 0.0 for v in nodes}
+    for s, ts in out.items():
+        for t in ts:
+            nxt[t] += r[s] / len(ts)
+    return {v: (1 - d) / n + d * (nxt[v] + dangling / n) for v in nodes}
+
+
+def test_pagerank_warm_cold_reaches_the_fixpoint(spark):
+    from ontology_mapping_spark.operators.linkgraph import pagerank_warm
+
+    ranks, its = pagerank_warm(_edges_df(spark), tol=1e-10, max_iters=200)
+    got = {r.node: r.rank for r in ranks.collect()}
+    want = _converged_py(_EDGES)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-7)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert its > 1
+
+
+def test_pagerank_warm_start_fewer_iterations_same_answer(spark):
+    from ontology_mapping_spark.operators.linkgraph import pagerank_warm
+
+    prev, cold_iters0 = pagerank_warm(
+        _edges_df(spark), tol=1e-9, max_iters=200
+    )
+    # a recrawl perturbs the graph: one new edge
+    new_edges = _EDGES | {("d", "b")}
+    ndf = spark.createDataFrame(
+        sorted(new_edges), "src_host string, dst_host string"
+    )
+    cold, cold_iters = pagerank_warm(ndf, tol=1e-9, max_iters=200)
+    warm, warm_iters = pagerank_warm(ndf, ranks0=prev, tol=1e-9, max_iters=200)
+    gc = {r.node: r.rank for r in cold.collect()}
+    gw = {r.node: r.rank for r in warm.collect()}
+    for v in gc:
+        assert gw[v] == pytest.approx(gc[v], abs=1e-6)
+    assert warm_iters < cold_iters  # the warm start is the point
+
+
+def test_pagerank_warm_new_and_departed_nodes(spark):
+    from ontology_mapping_spark.operators.linkgraph import pagerank_warm
+
+    prev, _ = pagerank_warm(_edges_df(spark), tol=1e-9, max_iters=200)
+    # g is new; e->f departed (e, f leave the node set entirely)
+    new_edges = (_EDGES - {("e", "f")}) | {("g", "a"), ("hub", "g")}
+    ndf = spark.createDataFrame(
+        sorted(new_edges), "src_host string, dst_host string"
+    )
+    warm, _ = pagerank_warm(ndf, ranks0=prev, tol=1e-10, max_iters=200)
+    got = {r.node: r.rank for r in warm.collect()}
+    want = _converged_py(new_edges)
+    assert set(got) == set(want)  # e/f gone, g present
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-7)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_warm_unreachable_tol_raises(spark):
+    from ontology_mapping_spark.operators.linkgraph import pagerank_warm
+
+    with pytest.raises(RuntimeError, match="max_iters"):
+        pagerank_warm(_edges_df(spark), tol=0.0, max_iters=3)
+
+
+# ----------------------------------------------------------------- triangles
+
+
+def test_triangles_matches_networkx(spark):
+    import networkx as nx
+
+    from ontology_mapping_spark.operators.linkgraph import triangles
+
+    # directed duplicates, reverse duplicates and self-loops must all
+    # collapse into the simple undirected graph before counting
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("b", "c"), ("c", "d"),
+        ("d", "a"), ("d", "b"), ("e", "e"), ("e", "f"), ("a", "b"),
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {
+        r.node: (r.degree, r.triangles, r.clustering)
+        for r in triangles(df).collect()
+    }
+    g = nx.Graph()
+    g.add_edges_from((s, t) for s, t in edges if s != t)
+    tri, clu, deg = nx.triangles(g), nx.clustering(g), dict(g.degree())
+    assert set(got) == set(g.nodes())
+    for v in g.nodes():
+        assert got[v][0] == deg[v], v
+        assert got[v][1] == tri[v], v
+        assert got[v][2] == pytest.approx(clu[v], abs=1e-12), v
+
+
+def test_triangles_star_and_clique(spark):
+    from ontology_mapping_spark.operators.linkgraph import triangles
+
+    # star: the hub's neighbour pairs are never enumerated BY the hub
+    # (orientation points every edge leaf->hub) and there are no triangles
+    star = [("hub", f"leaf{i}") for i in range(8)]
+    got = {r.node: r.triangles for r in triangles(
+        spark.createDataFrame(star, "src_host string, dst_host string")
+    ).collect()}
+    assert all(v == 0 for v in got.values())
+    # K5: every node sits in C(4,2)=6 triangles, clustering exactly 1.0
+    k5 = [(f"n{i}", f"n{j}") for i in range(5) for j in range(5) if i < j]
+    rows = triangles(
+        spark.createDataFrame(k5, "src_host string, dst_host string")
+    ).collect()
+    assert all(r.degree == 4 and r.triangles == 6 for r in rows)
+    assert all(r.clustering == pytest.approx(1.0) for r in rows)
+
+
+# -------------------------------------------------------------------- k-core
+
+
+def test_k_core_matches_networkx(spark):
+    import networkx as nx
+
+    from ontology_mapping_spark.operators.linkgraph import k_core
+
+    # K4 clique + a tail path hanging off it + an isolated edge: the
+    # 2-core peels the tail in cascading rounds, the 3-core is exactly K4
+    edges = (
+        [(f"c{i}", f"c{j}") for i in range(4) for j in range(4) if i < j]
+        + [("c0", "t1"), ("t1", "t2"), ("t2", "t3")]
+        + [("x", "y")]
+    )
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    g = nx.Graph(edges)
+    for k in (1, 2, 3, 4):
+        core = nx.k_core(g, k)
+        got = {r.node: r.degree for r in k_core(df, k).collect()}
+        assert set(got) == set(core.nodes()), k
+        for v, dd in core.degree():
+            assert got[v] == dd, (k, v)
+
+
+def test_k_core_duplicate_and_self_loop_edges(spark):
+    from ontology_mapping_spark.operators.linkgraph import k_core
+
+    edges = [("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"), ("c", "a")]
+    got = {r.node: r.degree for r in k_core(
+        spark.createDataFrame(edges, "src_host string, dst_host string"), 2
+    ).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}  # the triangle survives
+
+
+def test_k_core_fully_peeled_is_empty_with_schema(spark):
+    from ontology_mapping_spark.operators.linkgraph import k_core
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src_host string, dst_host string"
+    )
+    out = k_core(df, 3)
+    assert out.columns == ["node", "degree"]
+    assert out.count() == 0
+
+
+def test_k_core_validates_k(spark):
+    from ontology_mapping_spark.operators.linkgraph import k_core
+
+    df = spark.createDataFrame([("a", "b")], "src_host string, dst_host string")
+    with pytest.raises(ValueError, match="k >= 1"):
+        k_core(df, 0)

@@ -163,6 +163,40 @@ def main() -> None:
         "speedup": round(full / inc, 2),
     }
 
+    # --- crawl-cadence retraction (DRed): withdraw ~0.1% of the subclass
+    # edges (leaf-adjacent, the recrawl shape: page revisions retract
+    # support for shallow facts far more often than for the spine) and
+    # compare delete-and-rederive against full re-saturation of the
+    # post-retraction base
+    from ontology_mapping_spark.operators.kginfer import retract_incremental
+
+    key = F.substring("subject", 3, 32).cast("bigint")
+    rem = (
+        sub.filter((key > 3 * n // 4) & (key % 97 == 0))
+        .cache()
+    )
+    n_rem = rem.count()
+    t0 = time.time()
+    ret_n = retract_incremental(
+        sat_cached, kg, rem, rules, max_iters=30, assume_distinct=True
+    ).count()
+    ret = time.time() - t0
+    t0 = time.time()
+    keep = kg.join(rem, ["subject", "predicate", "object"], "left_anti")
+    full_ret_n = saturate(keep, rules, max_iters=30).count()
+    full_ret = time.time() - t0
+    assert ret_n == full_ret_n, (
+        f"retract/full mismatch: {ret_n} vs {full_ret_n}"
+    )
+    out["retraction"] = {
+        "removed_rows": n_rem,
+        "facts_after": ret_n,
+        "facts_dropped": sat_n - ret_n,
+        "dred_sec": round(ret, 2),
+        "full_resat_sec": round(full_ret, 2),
+        "speedup": round(full_ret / ret, 2),
+    }
+
     out["py_burn_sec_end"] = burn()
     print(json.dumps(out))
     spark.stop()
