@@ -171,21 +171,40 @@ def pagerank(
     aggregate broadcast back in — no driver round-trip inside the loop.
     Lineage is cut per round (session.materialize) exactly like
     transitive_closure; N is the one bounded driver scalar, computed once.
+    The loop-invariant frames (distinct edges, node set, out-degrees) are
+    materialized ONCE before the loop — each iteration is a fresh action,
+    so without the cut Spark re-runs the edge-distinct and node-union
+    shuffles every round, tripling per-iteration cost at 10^12 edges.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    nodes = (
+    e, nodes, n, outdeg = _pagerank_base(edges, src, dst)
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        ranks = _pagerank_step(e, nodes, outdeg, ranks, n, damping)
+    return ranks
+
+
+def _pagerank_base(edges, src, dst):
+    """Materialize the loop-invariant frames of a power iteration once:
+    (distinct edge set, node set, N, out-degree table). Every PageRank
+    iteration is its own Spark action, so anything left lazy here would
+    re-execute its shuffles each round."""
+    from ontology_mapping_spark.operators.graph import _cut
+
+    e = _cut(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
+    nodes = _cut(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
-        ranks = _pagerank_step(e, nodes, outdeg, ranks, n, damping)
-    return ranks
+    outdeg = _cut(
+        e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
+    )
+    return e, nodes, n, outdeg
 
 
 def _pagerank_step(e, nodes, outdeg, ranks, n, damping):
@@ -250,16 +269,9 @@ def pagerank_warm(
     tests/test_linkgraph.py)."""
     from ontology_mapping_spark.operators.graph import _cut
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    n = nodes.count()
+    e, nodes, n, outdeg = _pagerank_base(edges, src, dst)
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0)), 0
-    outdeg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
     if ranks0 is None:
         ranks = _cut(nodes.withColumn("rank", F.lit(1.0 / n)))
     else:
