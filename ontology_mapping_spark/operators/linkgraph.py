@@ -460,6 +460,79 @@ def k_core(
     )
 
 
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "src_host",
+    dst: str = "dst_host",
+) -> DataFrame:
+    """Kleinberg HITS over a distinct directed edge set ->
+    (node, hub, authority). PageRank's complement for the host graph:
+    authority separates linked-TO quality from hub (directory/portal)
+    quality, the pair the KG pipeline uses to weight triple confidence
+    by where a mention was found vs what the page points at.
+
+    Semantics (shared exactly by the DuckDB oracle and the numpy twin in
+    tests): hubs init 1.0; per iteration
+    ``a(v) = Σ_{u→v} h(u)`` then L2-normalize, ``h(u) = Σ_{u→v} a(v)``
+    then L2-normalize. Nodes without in-links get authority 0, without
+    out-links hub 0 (they still receive in the other role).
+
+    Scale shape: identical to :func:`pagerank` — the loop-invariant
+    frames (distinct edges, node set) materialize once via
+    `_pagerank_base`; per iteration two shuffle joins (edges⋈scores on
+    src, then on dst), two partial+final sums, and two 1-row L2-norm
+    aggregates broadcast back in (crossJoin of a broadcast 1-row frame —
+    no driver round-trip); lineage cut per round."""
+    from ontology_mapping_spark.operators.graph import _cut
+
+    if iters < 1:
+        raise ValueError(f"hits needs iters >= 1, got {iters}")
+    e, nodes, n, _outdeg = _pagerank_base(edges, src, dst)
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+
+    def _l2norm(df: DataFrame, col: str) -> DataFrame:
+        norm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n"))
+        return df.crossJoin(F.broadcast(norm)).select(
+            "node",
+            F.when(F.col("_n") > 0, F.col(col) / F.col("_n"))
+            .otherwise(F.lit(0.0))
+            .alias(col),
+        )
+
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    auth = None
+    for _ in range(iters):
+        auth = _cut(
+            _l2norm(
+                e.join(hub.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("authority")),
+                "authority",
+            )
+        )
+        hub = _cut(
+            _l2norm(
+                e.join(auth.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("authority").alias("hub")),
+                "hub",
+            )
+        )
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("authority"), F.lit(0.0)).alias("authority"),
+        )
+    )
+
+
 def anchor_aliases(links: DataFrame, min_count: int = 1) -> DataFrame:
     """Anchor-text alias mining: how the web names each target page.
 

@@ -252,6 +252,9 @@ LOCAL_ONLY: frozenset = frozenset(
         # degree-oriented triangle counting + clustering coefficient,
         # exact 3-way-join SQL oracle
         "triangle_clustering",
+        # Kleinberg HITS over the same part-derived graph as
+        # pagerank_graph; unrolled fixed-iteration SQL oracle
+        "hits_graph",
     }
 )
 
@@ -2457,6 +2460,81 @@ def q_pagerank(spark, sf):
     pr = pagerank(edges, iters=5, damping=0.85)
     # same +1e-12 epsilon shift as the oracle (see _pagerank_sql)
     return pr.select("node", F.round(F.col("rank") + F.lit(1e-12), 8).alias("rank"))
+
+
+def _hits_sql(iters: int = 5) -> str:
+    """Unrolled fixed-iteration HITS the oracle runs: same semantics as
+    operators/linkgraph.hits (hubs init 1.0; authority = in-sum of hubs,
+    L2-normalize; hub = out-sum of authorities, L2-normalize), one
+    (raw-auth, normalized-auth, raw-hub, normalized-hub) CTE quadruple
+    per iteration. Every CTE is MATERIALIZED: each normalize step
+    references its input 3x (CASE guard, divide, scalar-subquery norm),
+    so DuckDB's default inline-per-reference CTEs would re-evaluate the
+    chain ~3^(2*iters) times (observed as an fd explosion re-opening the
+    parquet scan); materialization keeps the oracle linear like the
+    engine."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_PR_EDGES_SQL})",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"ra{k} AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub) AS a FROM e "
+            f"JOIN h{k} h ON h.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"na{k} AS MATERIALIZED (SELECT node, CASE WHEN "
+            f"(SELECT sqrt(sum(a * a)) FROM ra{k}) > 0 THEN "
+            f"a / (SELECT sqrt(sum(a * a)) FROM ra{k}) ELSE 0 END AS a "
+            f"FROM ra{k})"
+        )
+        parts.append(
+            f"rh{k + 1} AS MATERIALIZED (SELECT e.src AS node, sum(na.a) AS hub FROM e "
+            f"JOIN na{k} na ON na.node = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"h{k + 1} AS MATERIALIZED (SELECT node, CASE WHEN "
+            f"(SELECT sqrt(sum(hub * hub)) FROM rh{k + 1}) > 0 THEN "
+            f"hub / (SELECT sqrt(sum(hub * hub)) FROM rh{k + 1}) ELSE 0 END AS hub "
+            f"FROM rh{k + 1})"
+        )
+    # same +1e-12 epsilon shift as _pagerank_sql (see its comment): moves
+    # any exact-decimal value off the 8-dp half-boundary before rounding
+    return ", ".join(parts) + (
+        f" SELECT n.node, round(coalesce(h.hub, 0) + 1e-12, 8) AS hub, "
+        f"round(coalesce(na.a, 0) + 1e-12, 8) AS authority "
+        f"FROM nodes n LEFT JOIN h{iters} h ON h.node = n.node "
+        f"LEFT JOIN na{iters - 1} na ON na.node = n.node"
+    )
+
+
+@query("hits_graph", _hits_sql())
+def q_hits(spark, sf):
+    # 5-iteration Kleinberg HITS over the SAME deterministic part-derived
+    # web graph as pagerank_graph (tree rule + modular rule: hubs,
+    # dangling leaves, cycles — leaves exercise authority-0/hub-0 lanes).
+    # The oracle unrolls the same iteration algebra in SQL; 8-dp rounding
+    # + the pagerank epsilon shift absorb cross-engine summation order.
+    from ontology_mapping_spark.operators.linkgraph import hits
+
+    k = F.col("p_partkey")
+    p = _t(spark, sf, "part")
+    a = p.filter(k >= 2).select(
+        k.cast("string").alias("src_host"),
+        F.floor(k / 2).cast("string").alias("dst_host"),
+    )
+    b = p.select(
+        k.cast("string").alias("src_host"),
+        ((k * 7 + 3) % 211).cast("string").alias("dst_host"),
+    )
+    edges = a.union(b).filter(F.col("src_host") != F.col("dst_host"))
+    ha = hits(edges, iters=5)
+    return ha.select(
+        "node",
+        F.round(F.col("hub") + F.lit(1e-12), 8).alias("hub"),
+        F.round(F.col("authority") + F.lit(1e-12), 8).alias("authority"),
+    )
 
 
 @query(

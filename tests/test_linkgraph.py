@@ -427,3 +427,67 @@ def test_k_core_validates_k(spark):
     df = spark.createDataFrame([("a", "b")], "src_host string, dst_host string")
     with pytest.raises(ValueError, match="k >= 1"):
         k_core(df, 0)
+
+
+# ------------------------------------------------------------------ HITS
+
+
+def hits_py(edges: set[tuple[str, str]], iters: int = 5):
+    """Pure-Python twin of operators/linkgraph.hits: hubs init 1.0,
+    authority = in-sum of hubs then L2-normalize, hub = out-sum of
+    authorities then L2-normalize."""
+    import math
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    h = {v: 1.0 for v in nodes}
+    a = {v: 0.0 for v in nodes}
+    for _ in range(iters):
+        a = {v: sum(h[u] for u, w in edges if w == v) for v in nodes}
+        na = math.sqrt(sum(x * x for x in a.values()))
+        a = {v: (x / na if na > 0 else 0.0) for v, x in a.items()}
+        h = {u: sum(a[w] for uu, w in edges if uu == u) for u in nodes}
+        nh = math.sqrt(sum(x * x for x in h.values()))
+        h = {u: (x / nh if nh > 0 else 0.0) for u, x in h.items()}
+    return h, a
+
+
+def test_hits_matches_python_twin(spark):
+    from ontology_mapping_spark.operators.linkgraph import hits
+
+    rows = hits(_edges_df(spark), iters=5).collect()
+    hub = {r.node: r.hub for r in rows}
+    auth = {r.node: r.authority for r in rows}
+    want_h, want_a = hits_py(_EDGES, iters=5)
+    assert set(hub) == set(want_h)
+    for v in want_h:
+        assert hub[v] == pytest.approx(want_h[v], abs=1e-12), ("hub", v)
+        assert auth[v] == pytest.approx(want_a[v], abs=1e-12), ("auth", v)
+    # both vectors L2-normalized after the final iteration
+    assert sum(x * x for x in hub.values()) == pytest.approx(1.0, abs=1e-9)
+    assert sum(x * x for x in auth.values()) == pytest.approx(1.0, abs=1e-9)
+    # role zeros: 'd' is never linked to (authority 0); 'f' never links
+    # out (hub 0) — both still score in their other role
+    assert auth["d"] == 0.0 and hub["d"] > 0
+    assert hub["f"] == 0.0 and auth["f"] > 0
+
+
+def test_hits_duplicate_edges_are_set_semantics(spark):
+    from ontology_mapping_spark.operators.linkgraph import hits
+
+    dup = _edges_df(spark).union(_edges_df(spark))
+    rows = hits(dup, iters=3).collect()
+    want_h, want_a = hits_py(_EDGES, iters=3)
+    for r in rows:
+        assert r.hub == pytest.approx(want_h[r.node], abs=1e-12)
+        assert r.authority == pytest.approx(want_a[r.node], abs=1e-12)
+
+
+def test_hits_empty_graph_and_iter_validation(spark):
+    from ontology_mapping_spark.operators.linkgraph import hits
+
+    empty = spark.createDataFrame([], "src_host string, dst_host string")
+    out = hits(empty, iters=2)
+    assert out.columns == ["node", "hub", "authority"]
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="iters >= 1"):
+        hits(_edges_df(spark), iters=0)
