@@ -399,7 +399,11 @@ def retract_incremental(
         seed = materialize(
             put_back.unionByName(
                 _rederive_candidates(
-                    g0, suspects, rules, broadcast_min_constants
+                    g0,
+                    suspects,
+                    deleted.n_suspects,
+                    rules,
+                    broadcast_min_constants,
                 )
             ).distinct()
         )
@@ -500,6 +504,7 @@ def _overdelete(
 def _rederive_candidates(
     g0: DataFrame,
     suspects: DataFrame,
+    n_suspects: int,
     rules: Sequence[Rule],
     broadcast_min_constants: int,
 ) -> DataFrame:
@@ -541,8 +546,15 @@ def _rederive_candidates(
             for col, term in zip(pos_cols, pat):
                 if is_var(term) and term[1:] in proj:
                     restr = proj[term[1:]].withColumnRenamed(term[1:], col)
+                    # each projection has <= n_suspects rows, so the same
+                    # cap gates it as gates the suspect set itself — a
+                    # closure-sized blast radius must NOT force a
+                    # driver-collected build side (it falls back to a
+                    # shuffle join like every other big-delta path here)
                     src = (g0 if src is None else src).join(
-                        F.broadcast(restr), on=col, how="left_semi"
+                        _maybe_broadcast(restr, n_suspects),
+                        on=col,
+                        how="left_semi",
                     )
             sources.append(src)
         sols, _bound = _compile_bgp(

@@ -302,10 +302,17 @@ def bgp_match(
 
     ``minus`` is SPARQL ``MINUS``: same anti-join, except a group sharing
     NO variable removes nothing (per spec, disjoint domains are never
-    incompatible) instead of raising. For both negation forms a solution
-    whose shared variable is NULL (unbound via OPTIONAL) is KEPT — Spark
-    join-null semantics; SPARQL's unbound-compatibility corner differs and
-    callers negating OPTIONAL-bound variables should FILTER first.
+    incompatible) instead of raising.
+
+    Unbound (NULL) shared variables follow the spec for all three forms:
+    only BOUND variables substitute into an EXISTS/NOT EXISTS body, so a
+    NULL shared variable is FREE there (wildcard), while MINUS
+    compatibility additionally needs >=1 shared variable actually bound
+    on both sides. Columns that can be NULL are tracked (OPTIONAL
+    padding, VALUES/sub-SELECT contributions); when none of the shared
+    variables is nullable the test stays a plain equi semi/anti join,
+    otherwise it compiles to a broadcast nested-loop join against the
+    DISTINCT-projected binding set of the body.
 
     ``values`` is SPARQL ``VALUES``: an inline solution table (DataFrame
     whose columns are variable names, or a sequence of dicts) inner-joined
@@ -330,6 +337,15 @@ def bgp_match(
         triples, patterns, allow_product, broadcast_min_constants,
         var_pred_source,
     )
+    # columns that can hold NULL (unbound) in some solution rows: vars
+    # introduced by OPTIONAL null-padding, plus anything VALUES (UNDEF)
+    # or a sub-SELECT (its own optionals) contributes. Tracked so the
+    # EXISTS/NOT EXISTS/MINUS joins below can switch to SPARQL's
+    # substitution semantics (unbound = free) exactly where needed —
+    # treating a never-null column as nullable would only cost plan
+    # shape, never correctness, so the VALUES/subquery accounting is
+    # deliberately conservative.
+    nullable: set[str] = set()
     for grp in optional:
         if isinstance(grp, dict):
             # {'patterns': [...], 'filters': [...]}: SPARQL's leftjoin
@@ -361,6 +377,7 @@ def bgp_match(
                 f"set {sorted(bound)} — a left cross product"
             )
         out = out.join(g, on=shared, how="left")
+        nullable |= gvars - bound
         bound |= gvars
     if values is not None:
         vdf = (
@@ -373,6 +390,7 @@ def bgp_match(
             out = out.join(F.broadcast(vdf), on=vshared, how="inner")
         else:
             out = out.crossJoin(F.broadcast(vdf))
+        nullable |= set(vdf.columns) - bound
         bound |= set(vdf.columns)
     for sq in subqueries:
         sshared = sorted(set(sq.columns) & bound)
@@ -381,6 +399,7 @@ def bgp_match(
         else:
             # the spec's cartesian extension; no broadcast hint — see above
             out = out.crossJoin(sq)
+        nullable |= set(sq.columns) - bound
         bound |= set(sq.columns)
     for kind, groups_, how in (
         ("EXISTS", exists, "left_semi"),
@@ -403,9 +422,37 @@ def bgp_match(
             # the group's private variables are existential: project to the
             # shared key before the semi/anti-join so they can't multiply
             # (or under-remove) rows
-            out = out.join(
-                g.select(*shared).distinct(), on=shared, how=how
+            proj = g.select(*shared).distinct()
+            null_shared = [v for v in shared if v in nullable]
+            if not null_shared:
+                out = out.join(proj, on=shared, how=how)
+                continue
+            # a shared variable can be NULL (unbound) in some rows.
+            # SPARQL substitution semantics: only BOUND variables
+            # substitute into the EXISTS body — an unbound one is free,
+            # so it must act as a wildcard, which a plain equi-join
+            # (NULL matches nothing) gets wrong. MINUS differs again:
+            # compatibility plus a NON-EMPTY shared domain, so at least
+            # one shared variable must be actually bound AND equal.
+            # The OR-with-isNull condition makes this a broadcast
+            # nested-loop join; the build side is the projected DISTINCT
+            # binding set of the existence body (selective by nature),
+            # hinted broadcast explicitly.
+            gg = proj.select(
+                *[F.col(v).alias(f"__ex_{v}") for v in shared]
             )
+            cond = None
+            for v in shared:
+                eq = F.col(v) == F.col(f"__ex_{v}")
+                term = (eq | F.col(v).isNull()) if v in nullable else eq
+                cond = term if cond is None else (cond & term)
+            if kind == "MINUS":
+                some_bound = None
+                for v in shared:
+                    nn = F.col(v).isNotNull()
+                    some_bound = nn if some_bound is None else (some_bound | nn)
+                cond = cond & some_bound
+            out = out.join(F.broadcast(gg), on=cond, how=how)
     if filter_expr is not None:
         exprs = [filter_expr] if isinstance(filter_expr, str) else filter_expr
         for e in exprs:
@@ -976,6 +1023,16 @@ def bgp_ask(
         values=values,
         subqueries=subqueries,
     )
+    return ask_plan(sols)
+
+
+def ask_plan(sols: DataFrame) -> DataFrame:
+    """The existence-plan tail shared by every ASK route (``bgp_ask``
+    and the text front-end's ASK-over-UNION): LIMIT 1 caps the solution
+    tree (a CollectLimit — the scan stops at the first produced row),
+    then a count-nonzero projection yields the single boolean ``ask``
+    row. Kept in one place so the plan shape and column name can never
+    diverge between routes."""
     return (
         sols.limit(1)
         .select(F.lit(1).alias("__one"))
@@ -1328,6 +1385,15 @@ def apply_update(
     per variable; both templates instantiate against it once
     (evaluate-WHERE-once semantics), then the same broadcast anti-join +
     plan-level union as ``update_graph``."""
+    if "graph" in triples.columns:
+        # same guard as update_graph: the delete key and insert schema
+        # are (s, p, o), so against a quad table the anti-join would
+        # silently drop matched triples from EVERY named graph (and a
+        # non-empty insert dies late on the 3-vs-4-column union)
+        raise ValueError(
+            "apply_update is triple-scoped; for a quad table, filter to "
+            "one graph first and re-attach the graph column to the result"
+        )
     for pat in delete:
         for t in pat:
             if isinstance(t, str) and t.startswith("_:"):

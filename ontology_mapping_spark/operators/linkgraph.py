@@ -185,11 +185,13 @@ def pagerank(
     return ranks
 
 
-def _pagerank_base(edges, src, dst):
+def _pagerank_base(edges, src, dst, with_outdeg: bool = True):
     """Materialize the loop-invariant frames of a power iteration once:
-    (distinct edge set, node set, N, out-degree table). Every PageRank
-    iteration is its own Spark action, so anything left lazy here would
-    re-execute its shuffles each round."""
+    (distinct edge set, node set, N, out-degree table — or None when the
+    caller doesn't weight by out-degree, e.g. HITS; the cut is eager, so
+    an unused table would cost a full groupBy pass over the edge set).
+    Every PageRank iteration is its own Spark action, so anything left
+    lazy here would re-execute its shuffles each round."""
     from ontology_mapping_spark.operators.graph import _cut
 
     e = _cut(
@@ -201,8 +203,14 @@ def _pagerank_base(edges, src, dst):
         .distinct()
     )
     n = nodes.count()
-    outdeg = _cut(
-        e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
+    outdeg = (
+        _cut(
+            e.groupBy(F.col("src").alias("node")).agg(
+                F.count("*").alias("outdeg")
+            )
+        )
+        if with_outdeg
+        else None
     )
     return e, nodes, n, outdeg
 
@@ -488,7 +496,7 @@ def hits(
 
     if iters < 1:
         raise ValueError(f"hits needs iters >= 1, got {iters}")
-    e, nodes, n, _outdeg = _pagerank_base(edges, src, dst)
+    e, nodes, n, _ = _pagerank_base(edges, src, dst, with_outdeg=False)
     if n == 0:
         return nodes.select(
             "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")

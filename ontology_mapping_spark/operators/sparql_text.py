@@ -69,6 +69,7 @@ from pyspark.sql import functions as F
 
 from ontology_mapping_spark.operators.kgquery import (
     apply_update,
+    ask_plan,
     bgp_ask,
     bgp_construct,
     bgp_select,
@@ -759,12 +760,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
                 g.union_branches,
                 paths=_branches_any_path(g.union_branches),
             )
-            # same lazy LIMIT-1-bounded existence plan as bgp_ask
-            return (
-                sols.limit(1)
-                .select(F.lit(1).alias("__one"))
-                .agg((F.count("__one") > 0).alias("ask"))
-            )
+            return ask_plan(sols)
         _finish_form(cur, prefixes, g)
         return bgp_ask(
             triples,

@@ -29,6 +29,8 @@ partitioned text sink.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -210,6 +212,48 @@ def _parse_term(c: Column, prefixes: dict[str, str]) -> Column:
     return F.when(c.startswith("<"), compact).otherwise(lit)
 
 
+def _read_lines(
+    spark,
+    path: str,
+    line_re: str,
+    captures: Sequence[tuple[int, str]],
+    format_name: str,
+    strict: bool,
+) -> DataFrame:
+    """Shared scaffolding of the N-Triples / N-Quads readers: one line
+    scan, comment (``#``) and blank lines skipped per the formats, the
+    term captures extracted by ``line_re``, and — under ``strict`` — a
+    ``raise_error`` fused into the projection so an unparseable line
+    raises at the consuming action (the reader stays lazy, the file is
+    read once, and a silent drop can never under-count the KG)."""
+    lines = spark.read.text(path).select(F.col("value").alias("line"))
+    content = lines.filter(
+        (F.trim("line") != "") & ~F.trim(F.col("line")).startswith("#")
+    )
+    parsed = content.select(
+        "line",
+        *[
+            F.regexp_extract("line", line_re, i).alias(c)
+            for i, c in captures
+        ],
+    )
+    if strict:
+        parsed = parsed.withColumn(
+            "s",
+            F.when(
+                F.col("s") == "",
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"unparseable {format_name} line: "),
+                        F.col("line"),
+                        F.lit(" (pass strict=False to skip malformed lines)"),
+                    )
+                ),
+            ).otherwise(F.col("s")),
+        )
+    return parsed.filter(F.col("s") != "")
+
+
 def read_ntriples(
     spark,
     path: str,
@@ -231,32 +275,14 @@ def read_ntriples(
     silent drop would under-count the KG. Pass ``strict=False`` to skip
     malformed lines when ingesting third-party dumps."""
     prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
-    lines = spark.read.text(path).select(F.col("value").alias("line"))
-    content = lines.filter(
-        (F.trim("line") != "") & ~F.trim(F.col("line")).startswith("#")
+    good = _read_lines(
+        spark,
+        path,
+        _LINE_RE,
+        ((1, "s"), (2, "p"), (3, "o")),
+        "N-Triples",
+        strict,
     )
-    parsed = content.select(
-        "line",
-        *[
-            F.regexp_extract("line", _LINE_RE, i).alias(c)
-            for i, c in ((1, "s"), (2, "p"), (3, "o"))
-        ],
-    )
-    if strict:
-        parsed = parsed.withColumn(
-            "s",
-            F.when(
-                F.col("s") == "",
-                F.raise_error(
-                    F.concat(
-                        F.lit("unparseable N-Triples line: "),
-                        F.col("line"),
-                        F.lit(" (pass strict=False to skip malformed lines)"),
-                    )
-                ),
-            ).otherwise(F.col("s")),
-        )
-    good = parsed.filter(F.col("s") != "")
     return good.select(
         _parse_term(F.col("s"), prefixes).alias("subject"),
         _parse_term(F.col("p"), prefixes).alias("predicate"),
@@ -276,34 +302,17 @@ def read_nquads(
     back as a NULL graph — so sink→reader round-trips a quad table
     exactly, mixed default/named rows included. Same plan shape and
     strict/lax contract as :func:`read_ntriples` (one line scan, pure
-    codegen, ``raise_error`` fused into the projection)."""
+    codegen, ``raise_error`` fused into the projection — both share
+    :func:`_read_lines`)."""
     prefixes = DEFAULT_PREFIXES if prefixes is None else prefixes
-    lines = spark.read.text(path).select(F.col("value").alias("line"))
-    content = lines.filter(
-        (F.trim("line") != "") & ~F.trim(F.col("line")).startswith("#")
+    good = _read_lines(
+        spark,
+        path,
+        _QLINE_RE,
+        ((1, "s"), (2, "p"), (3, "o"), (4, "g")),
+        "N-Quads",
+        strict,
     )
-    parsed = content.select(
-        "line",
-        *[
-            F.regexp_extract("line", _QLINE_RE, i).alias(c)
-            for i, c in ((1, "s"), (2, "p"), (3, "o"), (4, "g"))
-        ],
-    )
-    if strict:
-        parsed = parsed.withColumn(
-            "s",
-            F.when(
-                F.col("s") == "",
-                F.raise_error(
-                    F.concat(
-                        F.lit("unparseable N-Quads line: "),
-                        F.col("line"),
-                        F.lit(" (pass strict=False to skip malformed lines)"),
-                    )
-                ),
-            ).otherwise(F.col("s")),
-        )
-    good = parsed.filter(F.col("s") != "")
     return good.select(
         F.when(F.col("g") == "", F.lit(None).cast("string"))
         .otherwise(_parse_term(F.col("g"), prefixes))

@@ -449,6 +449,73 @@ def test_exists_without_shared_variable_raises(kg):
         )
 
 
+def test_exists_unbound_shared_var_is_free(kg):
+    # SPARQL substitution semantics: only BOUND variables substitute
+    # into the EXISTS body. 'a' (the root) gets p=NULL from the
+    # OPTIONAL; its EXISTS test leaves ?p free, and since SOME broader
+    # edge has a parent (d->b->a), the row must be KEPT — a plain
+    # equi-semi-join (NULL matches nothing) would drop it.
+    got = bgp_match(
+        kg,
+        [("?x", "label", "?l")],
+        optional=[[("?x", "broader", "?p")]],
+        exists=[[("?p", "broader", "?q")]],
+    ).collect()
+    # bound rows: b->a, c->a (x2 dup), d->b. ?p broader ?q matches only
+    # p=b (b->a) and p=e — so d (p=b) survives, b and c (p=a, bound, no
+    # grandparent) drop, and a (p unbound, free) survives.
+    assert sorted((r["x"], r["p"]) for r in got) == [("a", None), ("d", "b")]
+
+
+def test_not_exists_unbound_shared_var_is_free(kg):
+    # the mirror: NOT EXISTS must DROP the p-unbound row when the freed
+    # body matches anything (the equi-anti-join would keep it)
+    got = bgp_match(
+        kg,
+        [("?x", "label", "?l")],
+        optional=[[("?x", "broader", "?p")]],
+        not_exists=[[("?p", "broader", "?q")]],
+    ).collect()
+    assert sorted((r["x"], r["p"]) for r in got) == [
+        ("b", "a"),
+        ("c", "a"),
+        ("c", "a"),
+    ]
+
+
+def test_minus_mixed_null_shared_vars(spark):
+    # MINUS removes a solution iff a compatible MINUS-solution exists
+    # AND they share >=1 actually-bound variable. Row (x=b, p=NULL):
+    # compatible with the minus row (x=b, p=anything) through the bound
+    # x, so it is removed; row (x=c, p=NULL) shares x=c which the minus
+    # group does not produce, so it stays.
+    rows = [
+        ("b", "label", "left"),
+        ("c", "label", "right"),
+        ("b", "rel", "z"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subject string, predicate string, object string"
+    )
+    got = bgp_match(
+        t,
+        [("?x", "label", "?l")],
+        optional=[[("?x", "narrower", "?p")]],
+        minus=[[("?x", "rel", "?p")]],
+    ).collect()
+    assert sorted(r["x"] for r in got) == ["c"]
+    # and when the ONLY shared variable is the unbound one, the domains
+    # never intersect, so MINUS removes nothing (spec; an EXISTS with
+    # the same body would instead treat ?p as free and keep-on-any)
+    got2 = bgp_match(
+        t,
+        [("?x", "label", "?l")],
+        optional=[[("?x", "narrower", "?p")]],
+        minus=[[("?p", "rel", "?w")]],
+    ).collect()
+    assert sorted(r["x"] for r in got2) == ["b", "c"]
+
+
 def test_minus_disjoint_domain_removes_nothing(kg):
     got = bgp_match(
         kg,
@@ -1049,6 +1116,17 @@ def test_update_graph_rejects_quad_tables(quads):
 
     with pytest.raises(ValueError, match="triple-scoped"):
         update_graph(quads, [("?x", "broader", "?y")])
+
+
+def test_apply_update_rejects_quad_tables(quads, spark):
+    # the UNION-WHERE route (sparql_text._apply_where_update) reaches
+    # apply_update directly, bypassing update_graph's guard — it must
+    # refuse quad tables itself, not silently delete from every graph
+    from ontology_mapping_spark.operators.kgquery import apply_update
+
+    sols = spark.createDataFrame([("a", "b")], "x string, y string")
+    with pytest.raises(ValueError, match="triple-scoped"):
+        apply_update(quads, sols, delete=[("?x", "broader", "?y")])
 
 
 # --------------------------------------------------------------------------
