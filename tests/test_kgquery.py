@@ -483,6 +483,27 @@ def test_not_exists_unbound_shared_var_is_free(kg):
     ]
 
 
+def test_exists_fast_path_stays_equi_join(kg):
+    # when no shared variable is nullable the EXISTS test must remain a
+    # plain equi semi-join — the wildcard BroadcastNestedLoopJoin is
+    # reserved for genuinely nullable shared variables
+    fast = bgp_match(
+        kg,
+        [("?x", "label", "?l")],
+        exists=[[("?x", "broader", "?p")]],
+    )
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    slow = bgp_match(
+        kg,
+        [("?x", "label", "?l")],
+        optional=[[("?x", "broader", "?p")]],
+        exists=[[("?p", "broader", "?q")]],
+    )
+    plan2 = slow._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan2
+
+
 def test_minus_mixed_null_shared_vars(spark):
     # MINUS removes a solution iff a compatible MINUS-solution exists
     # AND they share >=1 actually-bound variable. Row (x=b, p=NULL):
