@@ -331,14 +331,24 @@ def triangles(
     exchange, no self-join), and one equi-join against the oriented edge
     set closes them; each triangle is found exactly once, from its
     smallest corner. Total wedge work is the textbook Σ d_out² ≤ O(m^1.5)
-    bound, shuffle = one groupBy + one join, both on oriented keys."""
+    bound, shuffle = one groupBy + one join, both on oriented keys.
+
+    The three multiply-referenced frames (``und`` 3x, ``deg`` 2x,
+    ``oriented`` 2x) are materialized: Spark's static plan gets no
+    ReusedExchange across the references (measured: 12 source scans /
+    24 exchanges unmaterialized), so without the cuts the edge-distinct
+    shuffle would re-execute once per reference — the same
+    loop-invariant rule as ``_pagerank_base``, applied within a single
+    action's DAG."""
+    from ontology_mapping_spark.operators.graph import _cut
+
     s, d = F.col(src), F.col(dst)
-    und = (
+    und = _cut(
         edges.filter(s != d)
         .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
         .distinct()
     )
-    deg = (
+    deg = _cut(
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
         .groupBy("node")
@@ -349,7 +359,7 @@ def triangles(
     a_first = (F.col("dega") < F.col("degb")) | (
         (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
     )
-    oriented = (
+    oriented = _cut(
         und.join(da, "a")
         .join(db, "b")
         .select(
