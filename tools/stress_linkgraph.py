@@ -13,6 +13,8 @@ absorb). Times the shapes that matter:
                        recrawl perturbation: iterations saved IS the
                        claimed win (each saved iteration is one full
                        ranks-join-edges pass);
+* ``hits``           — Kleinberg hubs/authorities, 5 fixed iterations
+                       (two joins + two sums per iteration);
 * ``triangles``      — degree-ordered orientation over the hub-skewed
                        graph (the hubs' neighbour pairs are never
                        enumerated by the hubs);
@@ -47,6 +49,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from ontology_mapping_spark.operators.linkgraph import (
+        hits,
         k_core,
         pagerank,
         pagerank_warm,
@@ -143,6 +146,16 @@ def main() -> None:
         # each) can fail to show in wall time; report both honestly.
         "sec_per_iter_cold": round(re_cold_sec / re_cold_iters, 2),
         "sec_per_iter_warm": round(warm_sec / warm_iters, 2),
+    }
+
+    # --- HITS (same loop shape as pagerank: two joins + two sums/iter)
+    t0 = time.time()
+    hits_rows = hits(edges, iters=5).count()
+    sec = time.time() - t0
+    out["hits_5it"] = {
+        "rows": hits_rows,
+        "sec": round(sec, 2),
+        "edge_iters_per_sec": round(5 * m / sec, 1),
     }
 
     # --- triangles over the hub-skewed graph
