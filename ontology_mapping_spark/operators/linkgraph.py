@@ -137,8 +137,15 @@ def degrees(edges: DataFrame, src: str = "src_host", dst: str = "dst_host") -> D
 
     Full outer join of the two one-sided aggregates on the shared ``node``
     name (USING-join, see the Spark 4.1 constraint-rewrite caveat in
-    session.materialize's docstring)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    session.materialize's docstring). The distinct edge set feeds BOTH
+    aggregates, and Spark's static plan gives the two references no
+    ReusedExchange — without a cut the whole upstream (often a full page
+    scan -> extract_links -> link_graph) executes twice."""
+    from ontology_mapping_spark.operators.graph import _cut
+
+    e = _cut(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
     out_d = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("out_deg"))
     in_d = e.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("in_deg"))
     return (
