@@ -576,63 +576,6 @@ def anchor_aliases(links: DataFrame, min_count: int = 1) -> DataFrame:
     return out
 
 
-TRACKING_PARAM_RE = r"^(utm_[^=&]*|gclid|fbclid|msclkid)(=|$)"
-
-
-def canonicalize_url(url: Column | str) -> Column:
-    """Canonical form of an http(s) URL — the normalization every
-    crawl pipeline applies BEFORE URL-keyed dedup, recrawl matching and
-    link-graph construction, so that ``HTTP://Example.COM:80/a?utm_x=1``
-    and ``http://example.com/a`` collapse to one key.
-
-    Documented contract (pure Catalyst — regexp extraction + array
-    algebra, no Python; the DuckDB oracle derives expected outputs
-    independently from the planted-URL arithmetic, not by mirroring
-    this chain):
-
-    * scheme and host lowercase; path/query case preserved;
-    * the fragment drops;
-    * default ports strip (``:80`` for http, ``:443`` for https);
-      non-default ports survive;
-    * tracking parameters (``utm_*``, ``gclid``, ``fbclid``,
-      ``msclkid``) drop; remaining parameters keep their order; an
-      emptied query drops its ``?``;
-    * an empty path becomes ``/``;
-    * non-http(s) input (no scheme match) passes through unchanged —
-      scheme filtering is :func:`resolve_href`'s job, not a silent drop
-      here. Userinfo is outside the contract (crawl URLs do not carry
-      credentials)."""
-    c = F.col(url) if isinstance(url, str) else url
-    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    hostport = F.lower(
-        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
-    )
-    host = (
-        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
-        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
-        .otherwise(hostport)
-    )
-    path = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
-    path = F.when(path == "", F.lit("/")).otherwise(path)
-    # query = text between the FIRST '?' before any '#' and that '#'
-    query = F.regexp_extract(c, r"^[^?#]*\?([^#]*)", 1)
-    kept = F.filter(
-        F.split(query, "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
-    )
-    q = F.array_join(kept, "&")
-    canon = F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
-    )
-    return F.when(
-        (scheme == "http") | (scheme == "https"), canon
-    ).otherwise(c)
-
-
 def filter_blocked_hosts(
     pages: DataFrame, blocked: DataFrame, url_col: str = "url"
 ) -> DataFrame:

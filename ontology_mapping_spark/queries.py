@@ -255,9 +255,6 @@ LOCAL_ONLY: frozenset = frozenset(
         # Kleinberg HITS over the same part-derived graph as
         # pagerank_graph; unrolled fixed-iteration SQL oracle
         "hits_graph",
-        # URL canonicalization (case/port/fragment/tracking-param
-        # algebra); oracle constructs expected forms arithmetically
-        "canonical_urls",
     }
 )
 
@@ -2299,63 +2296,6 @@ def q_extract_links(spark, sf):
     from ontology_mapping_spark.operators.linkgraph import extract_links
 
     return extract_links(_linkgraph_pages(spark, sf))
-
-
-@query(
-    "canonical_urls",
-    """SELECT CAST(p_partkey AS BIGINT) AS id,
-      CASE p_partkey % 6
-        WHEN 0 THEN 'http://example.com/p/' || k || '?id=' || k
-        WHEN 1 THEN 'https://host' || k || '.example/a/b'
-        WHEN 2 THEN 'https://h' || k || '.example/'
-        WHEN 3 THEN 'http://h' || k || '.net:8080/x'
-        WHEN 4 THEN 'http://site.org/Q/q?a=1&b=' || k
-        ELSE 'ftp://Weird.Host/' || k
-      END AS canon_url
-    FROM (SELECT p_partkey, CAST(p_partkey AS VARCHAR) AS k FROM part)""",
-)
-def q_canonical_urls(spark, sf):
-    # URL canonicalization ahead of URL-keyed dedup / recrawl matching:
-    # six planted branches cover case-folding, default-port strip (http
-    # and https), fragment drop, tracking-param removal (whole-query and
-    # mixed-order), empty-path -> '/', non-default-port survival, and
-    # the non-http(s) passthrough. The oracle CONSTRUCTS each expected
-    # canonical form from the key arithmetic — it never re-derives the
-    # normalization, so the two derivations are independent.
-    from ontology_mapping_spark.operators.linkgraph import canonicalize_url
-
-    k = F.col("p_partkey")
-    ks = k.cast("string")
-    raw = (
-        F.when(
-            k % 6 == 0,
-            F.concat(
-                F.lit("HTTP://Example.COM:80/p/"),
-                ks,
-                F.lit("?utm_source=x&id="),
-                ks,
-                F.lit("#frag"),
-            ),
-        )
-        .when(
-            k % 6 == 1,
-            F.concat(
-                F.lit("https://Host"), ks, F.lit(".example:443/a/b?gclid="), ks
-            ),
-        )
-        .when(k % 6 == 2, F.concat(F.lit("HTTPS://h"), ks, F.lit(".Example")))
-        .when(k % 6 == 3, F.concat(F.lit("http://h"), ks, F.lit(".net:8080/x")))
-        .when(
-            k % 6 == 4,
-            F.concat(F.lit("http://Site.ORG/Q/q?a=1&utm_campaign=c&b="), ks),
-        )
-        .otherwise(F.concat(F.lit("ftp://Weird.Host/"), ks))
-    )
-    return (
-        _t(spark, sf, "part")
-        .select(k.cast("long").alias("id"), raw.alias("raw_url"))
-        .select("id", canonicalize_url("raw_url").alias("canon_url"))
-    )
 
 
 @query(

@@ -491,44 +491,3 @@ def test_hits_empty_graph_and_iter_validation(spark):
     assert out.count() == 0
     with pytest.raises(ValueError, match="iters >= 1"):
         hits(_edges_df(spark), iters=0)
-
-
-# ------------------------------------------------------- canonicalize_url
-
-
-def test_canonicalize_url_contract(spark):
-    from ontology_mapping_spark.operators.linkgraph import canonicalize_url
-
-    cases = [
-        # scheme+host fold, default port, tracking param, fragment
-        ("HTTP://Example.COM:80/p/1?utm_source=x&id=2#f",
-         "http://example.com/p/1?id=2"),
-        # https default port; gclid-only query drops its '?'
-        ("https://Host.example:443/a/b?gclid=9", "https://host.example/a/b"),
-        # empty path -> '/'
-        ("HTTPS://h.Example", "https://h.example/"),
-        # non-default port survives; path case preserved
-        ("http://h.net:8080/X", "http://h.net:8080/X"),
-        # parameter order preserved around the dropped tracker
-        ("http://s.org/q?a=1&utm_campaign=c&b=2&fbclid=z&msclkid=m",
-         "http://s.org/q?a=1&b=2"),
-        # bare '?' drops; trailing '&' collapses
-        ("http://s.org/q?", "http://s.org/q"),
-        ("http://s.org/q?a=1&", "http://s.org/q?a=1"),
-        # '?' inside the fragment is not a query
-        ("http://s.org/x#f?y=1", "http://s.org/x"),
-        # utm requires the underscore; prefixes of trackers survive
-        ("http://s.org/q?utm=1&gclid2=3", "http://s.org/q?utm=1&gclid2=3"),
-        # :80 on https (not the default) survives
-        ("https://h.example:80/x", "https://h.example:80/x"),
-        # non-http(s) passes through byte-identical
-        ("ftp://Weird.Host/F", "ftp://Weird.Host/F"),
-        ("mailto:A@B.com", "mailto:A@B.com"),
-    ]
-    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
-    got = [
-        r.c
-        for r in df.select(canonicalize_url("url").alias("c")).collect()
-    ]
-    for (u, want), g in zip(cases, got):
-        assert g == want, (u, g, want)
