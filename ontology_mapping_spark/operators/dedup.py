@@ -329,9 +329,19 @@ def near_dup_pairs_embedding(
 
         if dim is None:
             raise ValueError("dim is required for the LSH-blocked form")
-        bk = sign_lsh_buckets(
-            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
-            "id", dim, nbits, tables, seed,
+        from ontology_mapping_spark.session import materialize
+
+        # materialize the bucket table before its self-join: both sides
+        # reference it, and the hyperplane dot products (nbits * tables
+        # array folds per row — the expensive projection) would otherwise
+        # run twice (same rule as the banded MinHash table above)
+        bk = materialize(
+            sign_lsh_buckets(
+                corpus.select(
+                    F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+                ),
+                "id", dim, nbits, tables, seed,
+            )
         )
         cands = (
             bk.select(F.col("id").alias("a"), "table", "bucket")

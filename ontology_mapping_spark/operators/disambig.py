@@ -130,16 +130,29 @@ def resolve_mentions(
     tie-break direction the scored path's max(struct(score, uri)) applies
     to equal scores, so which code path ran never flips a tied outcome.
     Both paths keep EVERY mention row of the winning uri (a uri repeated
-    with different payload columns keeps all its rows)."""
-    keys = ambiguous_keys(mentions)
-    best = disambiguate_mentions(
-        mentions,
-        pages_text,
-        concept_vecs,
-        embed_udf=embed_udf,
-        dim=dim,
-        amb_keys=keys,
-    ).select("url", "surface", "uri")
+    with different payload columns keeps all its rows).
+
+    ``keys`` (the corpus-scale ambiguity aggregate, referenced by three
+    joins below) and ``best`` (the embed+score path, referenced twice)
+    are materialized once — Spark re-executes a plan-level reference per
+    consumer otherwise. ``mentions`` itself is referenced five times but
+    stays the CALLER's persistence decision: in the pipeline it is a
+    stage-boundary parquet (cheap pruned re-scans), and checkpointing a
+    10^12-row table inside a library call would be worse than the
+    re-reads."""
+    from ontology_mapping_spark.session import materialize
+
+    keys = materialize(ambiguous_keys(mentions))
+    best = materialize(
+        disambiguate_mentions(
+            mentions,
+            pages_text,
+            concept_vecs,
+            embed_udf=embed_udf,
+            dim=dim,
+            amb_keys=keys,
+        ).select("url", "surface", "uri")
+    )
     unambiguous = mentions.join(keys, ["url", "surface"], "left_anti")
     winners = mentions.join(best, ["url", "surface", "uri"])
     # ambiguous keys with no scored winner: deterministic max-uri fallback

@@ -61,9 +61,15 @@ def sign_lsh_buckets(
 ) -> DataFrame:
     """(id, table, bucket): sign-bit bucket per hash table. Hyperplane dot
     products are pure Catalyst (aggregate over zip_with against literal
-    arrays) — no Python in the hot path."""
+    arrays) — no Python in the hot path.
+
+    All tables come out of ONE scan: each row computes its (table,
+    bucket) structs side by side and explodes them, instead of a
+    plan-level union of per-table selects — the union form re-scanned
+    (and re-projected the embedding column of) the input once per
+    table."""
     planes = _hyperplanes(dim, nbits, tables, seed)
-    rows = []
+    per_table = []
     for t in range(tables):
         bits = []
         for b in range(nbits):
@@ -74,17 +80,14 @@ def sign_lsh_buckets(
                 lambda acc, x: acc + x,
             )
             bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-        rows.append(
-            df.select(
-                F.col(id_col),
-                F.lit(t).alias("table"),
-                F.concat(*bits).alias("bucket"),
+        per_table.append(
+            F.struct(
+                F.lit(t).alias("table"), F.concat(*bits).alias("bucket")
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    return df.select(
+        F.col(id_col), F.explode(F.array(*per_table)).alias("_tb")
+    ).select(F.col(id_col), F.col("_tb.table"), F.col("_tb.bucket"))
 
 
 def ann_lsh_topk(
