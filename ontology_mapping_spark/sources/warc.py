@@ -1,0 +1,192 @@
+"""Distributed WARC (ISO 28500) ingestion — the step that PRODUCES the
+pages table the rest of the engine consumes.
+
+The north rule's input is an Iceberg table of Common-Crawl-style pages
+``(url, warc_ts, html, ...)``; real crawls deliver that data as
+``.warc`` / ``.warc.gz`` shards (Common Crawl: ~1 GB gzip members,
+tens of thousands of files per crawl). :func:`read_warc` turns a
+directory of shards into exactly the engine's page schema, distributed:
+
+* one task per shard (``binaryFile`` sources are non-splittable — the
+  parallelism unit is the FILE, which is how Common Crawl shards are
+  sized to be consumed; a crawl's 64k shards keep any cluster busy);
+* per-record gzip members concatenate, so ``gzip.decompress`` inflates
+  a whole shard in one call (Python handles multi-member streams);
+* parsing is Arrow-batched ``mapInPandas`` — the WARC grammar is
+  byte-oriented and genuinely needs imperative code, the documented
+  exception lane (same as the HTML extractor seam);
+* records stream out in bounded chunks so one task never materializes
+  a shard's full record list on top of its decompressed bytes.
+
+Strict/lax contract mirrors ``sources/rdf.read_ntriples``: ``strict=True``
+raises on the first malformed record naming the file and byte offset
+(a silent drop would under-count the crawl); ``strict=False`` keeps the
+records parsed so far and skips the REST of that file — after a corrupt
+length field there is no reliable resync point in a WARC stream.
+
+The record iterator (:func:`iter_warc_records`) and the HTTP splitter
+(:func:`split_http_response`) are pure Python on bytes, so the pytest
+suite exercises them directly against hand-built shards — including
+multi-member gzip, truncation, and non-response record filtering.
+"""
+
+from __future__ import annotations
+
+import gzip
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SCHEMA = (
+    "url string, warc_ts string, rec_type string, http_status int, "
+    "content_type string, html binary"
+)
+
+# rows per emitted Arrow batch: bounds task memory to chunk-size records
+# on top of the shard's decompressed bytes
+_CHUNK = 1024
+
+
+def iter_warc_records(buf: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield ``(headers, payload)`` per WARC record in ``buf``.
+
+    ``headers`` maps lowercased header names to stripped values (the
+    version line is dropped; WARC header names are case-insensitive per
+    spec). Raises ``ValueError`` naming the byte offset on a malformed
+    version line, header block, length field, or truncated payload.
+    """
+    pos, n = 0, len(buf)
+    while pos < n:
+        while buf.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= n:
+            return
+        if not buf.startswith(b"WARC/", pos):
+            raise ValueError(
+                f"malformed WARC: expected a WARC/ version line at byte {pos}"
+            )
+        hdr_end = buf.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError(
+                f"truncated WARC header block starting at byte {pos}"
+            )
+        lines = buf[pos:hdr_end].decode("utf-8", errors="replace").split("\r\n")
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(
+                f"WARC record at byte {pos} has a missing or non-integer "
+                "Content-Length header"
+            ) from None
+        body_start = hdr_end + 4
+        payload = buf[body_start : body_start + clen]
+        if len(payload) != clen:
+            raise ValueError(
+                f"truncated WARC payload at byte {body_start}: header "
+                f"declares {clen} bytes, {len(payload)} present"
+            )
+        pos = body_start + clen
+        yield headers, payload
+
+
+def split_http_response(payload: bytes) -> tuple[int | None, dict, bytes]:
+    """WARC response payload -> (status, http headers, body bytes).
+
+    A payload without an HTTP head block (no CRLFCRLF, or a first line
+    that is not ``HTTP/...``) comes back as (None, {}, payload) — the
+    caller keeps the bytes rather than guessing.
+    """
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, {}, payload
+    lines = payload[:sep].decode("latin-1", errors="replace").split("\r\n")
+    parts = lines[0].split(None, 2)
+    if not parts or not parts[0].upper().startswith("HTTP/") or len(parts) < 2:
+        return None, {}, payload
+    try:
+        status = int(parts[1])
+    except ValueError:
+        return None, {}, payload
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    return status, headers, payload[sep + 4 :]
+
+
+def read_warc(
+    spark,
+    path: str,
+    record_types: Sequence[str] = ("response",),
+    strict: bool = True,
+) -> DataFrame:
+    """Read ``.warc`` / ``.warc.gz`` shards -> one row per kept record:
+    ``(url, warc_ts timestamp, rec_type, http_status, content_type,
+    html binary)``.
+
+    ``record_types`` filters on ``WARC-Type`` (default: response records
+    only — the pages). For response records the HTTP head is split off:
+    ``http_status`` / ``content_type`` come from it and ``html`` is the
+    body; other kept types (``resource``, ``metadata``, ...) carry their
+    raw payload with NULL status. ``warc_ts`` parses the ISO-8601
+    ``WARC-Date`` Catalyst-side; an unparseable date is NULL, never a
+    dropped row.
+    """
+    kept = tuple(record_types)
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if fpath.endswith(".gz"):
+                    data = gzip.decompress(data)
+                rows: list[tuple] = []
+                try:
+                    for headers, payload in iter_warc_records(data):
+                        if headers.get("warc-type", "") not in kept:
+                            continue
+                        status: int | None = None
+                        ctype: str | None = None
+                        body = payload
+                        if headers.get("warc-type") == "response":
+                            status, hh, body = split_http_response(payload)
+                            ctype = hh.get("content-type")
+                        rows.append(
+                            (
+                                headers.get("warc-target-uri"),
+                                headers.get("warc-date"),
+                                headers.get("warc-type"),
+                                status,
+                                ctype,
+                                body,
+                            )
+                        )
+                        if len(rows) >= _CHUNK:
+                            yield pd.DataFrame(
+                                rows, columns=_COLS
+                            ).astype(_PD_TYPES)
+                            rows = []
+                except ValueError as ex:
+                    if strict:
+                        raise ValueError(f"{fpath}: {ex}") from ex
+                    # lax: keep what parsed, skip the file's remainder
+                if rows:
+                    yield pd.DataFrame(rows, columns=_COLS).astype(_PD_TYPES)
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    out = files.mapInPandas(parse, _SCHEMA)
+    return out.withColumn(
+        "warc_ts",
+        F.to_timestamp(F.regexp_replace("warc_ts", r"Z$", ""))
+    )
+
+
+_COLS = ["url", "warc_ts", "rec_type", "http_status", "content_type", "html"]
+_PD_TYPES = {"http_status": "Int32"}

@@ -1,0 +1,121 @@
+"""WARC ingestion: pure-Python record iterator + distributed reader.
+
+Hand-built shards (plain, multi-member gzip, truncated) pin the ISO
+28500 subset the reader documents; the Spark path is exercised through
+``read_warc`` end-to-end on files written to tmp_path.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from ontology_mapping_spark.sources.warc import (
+    iter_warc_records,
+    read_warc,
+    split_http_response,
+)
+
+
+def _record(rtype: str, payload: bytes, uri: str | None = None,
+            date: str = "2026-03-01T10:20:30Z") -> bytes:
+    headers = [f"WARC-Type: {rtype}"]
+    if uri is not None:
+        headers.append(f"WARC-Target-URI: {uri}")
+    headers.append(f"WARC-Date: {date}")
+    headers.append(f"Content-Length: {len(payload)}")
+    head = "WARC/1.0\r\n" + "\r\n".join(headers) + "\r\n\r\n"
+    return head.encode() + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes, status: int = 200,
+          ctype: str = "text/html; charset=utf-8") -> bytes:
+    return (
+        f"HTTP/1.1 {status} X\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+_INFO = _record("warcinfo", b"software: test\r\n")
+_REQ = _record("request", b"GET / HTTP/1.1\r\nHost: a.example\r\n\r\n",
+               uri="http://a.example/")
+_RESP_A = _record("response", _http(b"<html>alpha</html>"),
+                  uri="http://a.example/")
+_RESP_B = _record("response", _http(b"<html>beta</html>", status=404,
+                                    ctype="text/plain"),
+                  uri="http://b.example/p?x=1",
+                  date="2026-03-02T00:00:00Z")
+_RES = _record("resource", b"\x00\x01raw-bytes", uri="http://c.example/r")
+
+
+def test_iter_warc_records_roundtrip():
+    buf = _INFO + _REQ + _RESP_A + _RES
+    got = list(iter_warc_records(buf))
+    assert [h["warc-type"] for h, _ in got] == [
+        "warcinfo", "request", "response", "resource"
+    ]
+    assert got[2][0]["warc-target-uri"] == "http://a.example/"
+    assert got[2][1] == _http(b"<html>alpha</html>")
+    assert got[3][1] == b"\x00\x01raw-bytes"
+
+
+def test_iter_warc_records_errors():
+    with pytest.raises(ValueError, match="version line at byte 0"):
+        list(iter_warc_records(b"not a warc"))
+    # declared length longer than the remaining bytes
+    trunc = _RESP_A[:-6]  # chop the payload tail + separator
+    with pytest.raises(ValueError, match="truncated WARC payload"):
+        list(iter_warc_records(trunc))
+
+
+def test_split_http_response_contract():
+    st, hh, body = split_http_response(_http(b"abc", 301, "text/x"))
+    assert (st, hh["content-type"], body) == (301, "text/x", b"abc")
+    # no HTTP head: bytes pass through with NULL status
+    assert split_http_response(b"just bytes") == (None, {}, b"just bytes")
+    assert split_http_response(b"NOPE/1.1 200\r\n\r\nx")[0] is None
+
+
+def test_read_warc_plain(spark, tmp_path):
+    (tmp_path / "shard0.warc").write_bytes(_INFO + _REQ + _RESP_A + _RESP_B + _RES)
+    got = read_warc(spark, str(tmp_path)).orderBy("url").collect()
+    # default record_types: responses only
+    assert [r.url for r in got] == ["http://a.example/", "http://b.example/p?x=1"]
+    assert [r.http_status for r in got] == [200, 404]
+    assert got[0].content_type.startswith("text/html")
+    assert bytes(got[0].html) == b"<html>alpha</html>"
+    assert bytes(got[1].html) == b"<html>beta</html>"
+    assert got[0].warc_ts is not None and got[0].warc_ts.year == 2026
+    assert got[1].warc_ts.day == 2
+
+
+def test_read_warc_gzip_multimember(spark, tmp_path):
+    # Common-Crawl layout: one gzip MEMBER per record, concatenated
+    shard = b"".join(gzip.compress(r) for r in (_INFO, _RESP_A, _RESP_B))
+    (tmp_path / "shard0.warc.gz").write_bytes(shard)
+    got = read_warc(spark, str(tmp_path)).orderBy("url").collect()
+    assert [r.url for r in got] == ["http://a.example/", "http://b.example/p?x=1"]
+    assert bytes(got[1].html) == b"<html>beta</html>"
+
+
+def test_read_warc_record_type_filter(spark, tmp_path):
+    (tmp_path / "s.warc").write_bytes(_RESP_A + _RES)
+    got = read_warc(
+        spark, str(tmp_path), record_types=("response", "resource")
+    ).orderBy("url").collect()
+    assert [(r.url, r.rec_type) for r in got] == [
+        ("http://a.example/", "response"), ("http://c.example/r", "resource")
+    ]
+    # resource records keep raw payload and NULL http fields
+    assert got[1].http_status is None
+    assert bytes(got[1].html) == b"\x00\x01raw-bytes"
+
+
+def test_read_warc_strict_vs_lax(spark, tmp_path):
+    (tmp_path / "bad.warc").write_bytes(_RESP_A + _RESP_B[:-10])
+    with pytest.raises(Exception, match="truncated WARC payload"):
+        read_warc(spark, str(tmp_path), strict=True).collect()
+    got = read_warc(spark, str(tmp_path), strict=False).collect()
+    # lax keeps the records parsed before the corruption
+    assert [r.url for r in got] == ["http://a.example/"]
