@@ -132,8 +132,10 @@ def read_warc(
     ``record_types`` filters on ``WARC-Type`` (default: response records
     only — the pages). For response records the HTTP head is split off:
     ``http_status`` / ``content_type`` come from it and ``html`` is the
-    body; other kept types (``resource``, ``metadata``, ...) carry their
-    raw payload with NULL status. ``warc_ts`` parses the ISO-8601
+    body; other kept types carry their raw payload with NULL status —
+    ``record_types=("conversion",)`` reads Common Crawl WET shards (the
+    pre-extracted plain text), ``("resource", "metadata")`` covers
+    archive/WAT-style records. ``warc_ts`` parses the ISO-8601
     ``WARC-Date`` Catalyst-side; an unparseable date is NULL, never a
     dropped row.
     """

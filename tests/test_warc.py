@@ -112,6 +112,19 @@ def test_read_warc_record_type_filter(spark, tmp_path):
     assert bytes(got[1].html) == b"\x00\x01raw-bytes"
 
 
+def test_read_warc_wet_conversion_records(spark, tmp_path):
+    # Common Crawl WET shards are WARC files whose text lives in
+    # 'conversion' records — the same reader ingests them via
+    # record_types, payload passing through as the (text) bytes
+    wet = _record("conversion", "extracted plain text \xe9".encode("utf-8"),
+                  uri="http://a.example/")
+    (tmp_path / "s.warc.wet").write_bytes(_INFO + wet)
+    got = read_warc(spark, str(tmp_path), record_types=("conversion",)).collect()
+    assert len(got) == 1
+    assert bytes(got[0].html).decode("utf-8") == "extracted plain text \xe9"
+    assert got[0].http_status is None
+
+
 def test_read_warc_strict_vs_lax(spark, tmp_path):
     (tmp_path / "bad.warc").write_bytes(_RESP_A + _RESP_B[:-10])
     with pytest.raises(Exception, match="truncated WARC payload"):
