@@ -139,7 +139,47 @@ def read_warc(
     ``WARC-Date`` Catalyst-side; an unparseable date is NULL, never a
     dropped row.
     """
-    kept = tuple(record_types)
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return _finish(files.mapInPandas(_parse_fn(tuple(record_types), strict), _SCHEMA))
+
+
+def stream_warc(
+    spark,
+    path: str,
+    record_types: Sequence[str] = ("response",),
+    strict: bool = True,
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: new shards landing in
+    ``path`` become page rows as they arrive — the crawl-cadence
+    ingestion form (each micro-batch is a set of whole shards; pair with
+    ``foreachBatch`` + the partitioned pages writer, or
+    ``trigger(availableNow=True)`` for catch-up runs). Identical record
+    parsing, schema, and strict/lax contract; parity with the batch
+    reader on the same directory is pytest-pinned. The binaryFile
+    streaming source needs its schema declared explicitly (no inference
+    on streams) — that is the only difference from the batch path."""
+    import pyspark.sql.types as T
+
+    bin_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .load(path)
+        .select("path", "content")
+    )
+    return _finish(files.mapInPandas(_parse_fn(tuple(record_types), strict), _SCHEMA))
+
+
+def _parse_fn(kept: tuple, strict: bool):
+    """The shared mapInPandas generator: (path, content) file rows ->
+    bounded chunks of parsed record rows."""
 
     def parse(batches):
         import pandas as pd
@@ -182,11 +222,12 @@ def read_warc(
                 if rows:
                     yield pd.DataFrame(rows, columns=_COLS).astype(_PD_TYPES)
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
-    out = files.mapInPandas(parse, _SCHEMA)
+    return parse
+
+
+def _finish(out: DataFrame) -> DataFrame:
     return out.withColumn(
-        "warc_ts",
-        F.to_timestamp(F.regexp_replace("warc_ts", r"Z$", ""))
+        "warc_ts", F.to_timestamp(F.regexp_replace("warc_ts", r"Z$", ""))
     )
 
 

@@ -15,6 +15,7 @@ from ontology_mapping_spark.sources.warc import (
     iter_warc_records,
     read_warc,
     split_http_response,
+    stream_warc,
 )
 
 
@@ -132,3 +133,33 @@ def test_read_warc_strict_vs_lax(spark, tmp_path):
     got = read_warc(spark, str(tmp_path), strict=False).collect()
     # lax keeps the records parsed before the corruption
     assert [r.url for r in got] == ["http://a.example/"]
+
+
+def test_stream_warc_parity_with_batch(spark, tmp_path):
+    # availableNow catch-up over the same directory must yield exactly
+    # the batch reader's rows (same parser, schema, and ts cast)
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "s0.warc").write_bytes(_INFO + _RESP_A)
+    (src / "s1.warc.gz").write_bytes(gzip.compress(_RESP_B))
+    q = (
+        stream_warc(spark, str(src))
+        .writeStream.format("memory")
+        .queryName("warc_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select url, warc_ts, http_status, content_type, html "
+        "from warc_stream_t"
+    ).orderBy("url").collect()
+    want = (
+        read_warc(spark, str(src))
+        .select("url", "warc_ts", "http_status", "content_type", "html")
+        .orderBy("url")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(want) == 2
