@@ -177,6 +177,52 @@ def stream_warc(
     return _finish(files.mapInPandas(_parse_fn(tuple(record_types), strict), _SCHEMA))
 
 
+def warc_to_pages(warc: DataFrame) -> DataFrame:
+    """Parsed WARC response rows -> the engine's pages schema
+    ``(url, warc_ts, html, text, lang)``: the input_hint table, ready for
+    :func:`ontology_mapping_spark.sources.readers.write_pages_partitioned`.
+
+    ``text`` comes from the SAME golden extractor every other path uses
+    (byte-identical per url by construction); ``lang`` from the heuristic
+    stopword language-ID (the real model slots into the same column).
+    Both are per-row projections — the composition adds zero shuffles on
+    top of the reader, so S0→S1 is scan → parse → extract → langid →
+    partitioned write, one pass over the crawl bytes. Re-captured urls
+    are NOT collapsed here: recrawl dedup is a maintenance decision
+    (``kgmaint.latest_captures``), not an ingestion side effect."""
+    from ontology_mapping_spark.operators.textstats import detect_lang
+    from ontology_mapping_spark.sources.pages import extract_text_udf
+
+    return (
+        warc.select("url", "warc_ts", "html")
+        .withColumn("text", extract_text_udf(F.col("html")))
+        .withColumn("lang", detect_lang(F.col("text")))
+    )
+
+
+def ingest_warc(
+    spark,
+    warc_path: str,
+    pages_path: str,
+    record_types: Sequence[str] = ("response",),
+    strict: bool = True,
+    mode: str = "overwrite",
+    files_per_partition: int = 1,
+) -> None:
+    """One-call S0: crawl shards in, partitioned ``web_pages`` out
+    (``read_warc`` → :func:`warc_to_pages` → lang/date-partitioned
+    parquet). The written layout is the scan-pruning contract the whole
+    pipeline reads through (``readers.read_pages``)."""
+    from ontology_mapping_spark.sources.readers import write_pages_partitioned
+
+    write_pages_partitioned(
+        warc_to_pages(read_warc(spark, warc_path, record_types, strict)),
+        pages_path,
+        mode=mode,
+        files_per_partition=files_per_partition,
+    )
+
+
 def _parse_fn(kept: tuple, strict: bool):
     """The shared mapInPandas generator: (path, content) file rows ->
     bounded chunks of parsed record rows."""

@@ -163,3 +163,33 @@ def test_stream_warc_parity_with_batch(spark, tmp_path):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert len(want) == 2
+
+
+def test_ingest_warc_end_to_end(spark, tmp_path):
+    # S0 in one call: shards -> extracted+langid'd -> (lang, p_date)-
+    # partitioned pages table readable through the pruning contract
+    from ontology_mapping_spark.sources.readers import read_pages
+
+    body_en = (b"<html><body><p>the quick brown fox and the lazy dog "
+               b"were of that kind</p></body></html>")
+    resp_en = _record("response", _http(body_en), uri="http://en.example/")
+    src = tmp_path / "warc"
+    src.mkdir()
+    (src / "s.warc.gz").write_bytes(gzip.compress(resp_en) + gzip.compress(_RESP_A))
+    out = tmp_path / "pages"
+    from ontology_mapping_spark.sources.warc import ingest_warc
+
+    ingest_warc(spark, str(src), str(out))
+    got = read_pages(spark, str(out)).orderBy("url").collect()
+    assert [r.url for r in got] == ["http://a.example/", "http://en.example/"]
+    assert got[1].lang == "en"
+    assert "quick brown fox" in got[1].text
+    assert got[1].warc_ts.year == 2026
+    # the golden-extractor invariant: text == extract_text_py(html)
+    from ontology_mapping_spark.textnorm import extract_text_py
+
+    for r in got:
+        assert r.text == extract_text_py(bytes(r.html))
+    # partition layout on disk: lang=<x>/p_date=<d>/ directories
+    langs = sorted(p.name for p in out.iterdir() if p.name.startswith("lang="))
+    assert f"lang={got[0].lang}" in langs and "lang=en" in langs
