@@ -136,8 +136,8 @@ def degrees(edges: DataFrame, src: str = "src_host", dst: str = "dst_host") -> D
     """Distinct-neighbour in/out degree per node -> (node, out_deg, in_deg).
 
     Full outer join of the two one-sided aggregates on the shared ``node``
-    name (USING-join, see the Spark 4.1 constraint-rewrite caveat in
-    session.materialize's docstring). The distinct edge set feeds BOTH
+    name (USING-join — the Spark 4.1 UnionBase constraint-rewrite bug
+    this sidesteps is documented in operators/kginfer.py's module notes). The distinct edge set feeds BOTH
     aggregates, and Spark's static plan gives the two references no
     ReusedExchange — without a cut the whole upstream (often a full page
     scan -> extract_links -> link_graph) executes twice."""

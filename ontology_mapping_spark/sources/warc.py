@@ -43,9 +43,12 @@ _SCHEMA = (
     "content_type string, html binary"
 )
 
-# rows per emitted Arrow batch: bounds task memory to chunk-size records
-# on top of the shard's decompressed bytes
+# per-emitted-batch bounds: a chunk flushes at _CHUNK rows OR _CHUNK_BYTES
+# of payload, whichever comes first — many tiny records hit the row bound,
+# few huge ones (1 MB-truncated CC responses, unbounded WET text) hit the
+# byte bound, so task memory stays one decompressed shard + one chunk
 _CHUNK = 1024
+_CHUNK_BYTES = 64 * 1024 * 1024
 
 
 def iter_warc_records(buf: bytes) -> Iterator[tuple[dict, bytes]]:
@@ -177,24 +180,48 @@ def stream_warc(
     return _finish(files.mapInPandas(_parse_fn(tuple(record_types), strict), _SCHEMA))
 
 
-def warc_to_pages(warc: DataFrame) -> DataFrame:
+def warc_to_pages(
+    warc: DataFrame,
+    statuses: Sequence[int] | None = (200,),
+    content_type_prefixes: Sequence[str] | None = ("text/html",),
+) -> DataFrame:
     """Parsed WARC response rows -> the engine's pages schema
     ``(url, warc_ts, html, text, lang)``: the input_hint table, ready for
     :func:`ontology_mapping_spark.sources.readers.write_pages_partitioned`.
 
+    Real crawl shards carry more than pages: 301s with stub bodies, 404
+    error pages, image/PDF responses, and the occasional record without
+    a ``WARC-Target-URI``. The defaults keep exactly the rows the pages
+    table means — url present, HTTP 200, ``text/html`` content type
+    (missing Content-Type passes, per crawl reality) — so the golden
+    extractor and the language-ID never chew PNG bytes. Pass ``None``
+    for either knob to disable that filter (WET ``conversion`` records,
+    for instance, have NULL status and type: ``statuses=None,
+    content_type_prefixes=None``).
+
     ``text`` comes from the SAME golden extractor every other path uses
     (byte-identical per url by construction); ``lang`` from the heuristic
     stopword language-ID (the real model slots into the same column).
-    Both are per-row projections — the composition adds zero shuffles on
-    top of the reader, so S0→S1 is scan → parse → extract → langid →
-    partitioned write, one pass over the crawl bytes. Re-captured urls
-    are NOT collapsed here: recrawl dedup is a maintenance decision
-    (``kgmaint.latest_captures``), not an ingestion side effect."""
+    Filters and projections are per-row — the composition adds zero
+    shuffles on top of the reader, so S0→S1 is scan → parse → filter →
+    extract → langid → partitioned write, one pass over the crawl
+    bytes. Re-captured urls are NOT collapsed here: recrawl dedup is a
+    maintenance decision (``kgmaint.latest_captures``), not an
+    ingestion side effect."""
     from ontology_mapping_spark.operators.textstats import detect_lang
     from ontology_mapping_spark.sources.pages import extract_text_udf
 
+    out = warc.filter(F.col("url").isNotNull())
+    if statuses is not None:
+        out = out.filter(F.col("http_status").isin(*statuses))
+    if content_type_prefixes is not None:
+        keep = None
+        for p in content_type_prefixes:
+            c = F.col("content_type").startswith(p)
+            keep = c if keep is None else (keep | c)
+        out = out.filter(F.col("content_type").isNull() | keep)
     return (
-        warc.select("url", "warc_ts", "html")
+        out.select("url", "warc_ts", "html")
         .withColumn("text", extract_text_udf(F.col("html")))
         .withColumn("lang", detect_lang(F.col("text")))
     )
@@ -208,15 +235,22 @@ def ingest_warc(
     strict: bool = True,
     mode: str = "overwrite",
     files_per_partition: int = 1,
+    statuses: Sequence[int] | None = (200,),
+    content_type_prefixes: Sequence[str] | None = ("text/html",),
 ) -> None:
     """One-call S0: crawl shards in, partitioned ``web_pages`` out
     (``read_warc`` → :func:`warc_to_pages` → lang/date-partitioned
     parquet). The written layout is the scan-pruning contract the whole
-    pipeline reads through (``readers.read_pages``)."""
+    pipeline reads through (``readers.read_pages``); the status/type
+    knobs pass through to :func:`warc_to_pages`."""
     from ontology_mapping_spark.sources.readers import write_pages_partitioned
 
     write_pages_partitioned(
-        warc_to_pages(read_warc(spark, warc_path, record_types, strict)),
+        warc_to_pages(
+            read_warc(spark, warc_path, record_types, strict),
+            statuses=statuses,
+            content_type_prefixes=content_type_prefixes,
+        ),
         pages_path,
         mode=mode,
         files_per_partition=files_per_partition,
@@ -234,8 +268,19 @@ def _parse_fn(kept: tuple, strict: bool):
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 data = bytes(content)
                 if fpath.endswith(".gz"):
-                    data = gzip.decompress(data)
+                    try:
+                        data = gzip.decompress(data)
+                    except (OSError, EOFError) as ex:
+                        # gzip raises BadGzipFile/EOFError, NOT ValueError —
+                        # route it through the same strict/lax contract as a
+                        # malformed record, with the file named
+                        if strict:
+                            raise ValueError(
+                                f"{fpath}: corrupt gzip stream: {ex}"
+                            ) from ex
+                        continue  # lax: skip the unreadable shard
                 rows: list[tuple] = []
+                nbytes = 0
                 try:
                     for headers, payload in iter_warc_records(data):
                         if headers.get("warc-type", "") not in kept:
@@ -256,11 +301,15 @@ def _parse_fn(kept: tuple, strict: bool):
                                 body,
                             )
                         )
-                        if len(rows) >= _CHUNK:
+                        nbytes += len(body)
+                        # flush on EITHER bound: rows for many tiny records,
+                        # bytes for few huge ones (WET text is unbounded) —
+                        # a task holds one decompressed shard + one chunk
+                        if len(rows) >= _CHUNK or nbytes >= _CHUNK_BYTES:
                             yield pd.DataFrame(
                                 rows, columns=_COLS
                             ).astype(_PD_TYPES)
-                            rows = []
+                            rows, nbytes = [], 0
                 except ValueError as ex:
                     if strict:
                         raise ValueError(f"{fpath}: {ex}") from ex
@@ -272,9 +321,11 @@ def _parse_fn(kept: tuple, strict: bool):
 
 
 def _finish(out: DataFrame) -> DataFrame:
-    return out.withColumn(
-        "warc_ts", F.to_timestamp(F.regexp_replace("warc_ts", r"Z$", ""))
-    )
+    # WARC-Date is ISO-8601 with an explicit 'Z' — to_timestamp parses the
+    # zone natively. (Stripping the 'Z' first would reinterpret UTC as
+    # session-local wall time: wrong by the tz offset in any session not
+    # pinned to UTC, and wrong p_date partitions near midnight.)
+    return out.withColumn("warc_ts", F.to_timestamp("warc_ts"))
 
 
 _COLS = ["url", "warc_ts", "rec_type", "http_status", "content_type", "html"]

@@ -193,3 +193,57 @@ def test_ingest_warc_end_to_end(spark, tmp_path):
     # partition layout on disk: lang=<x>/p_date=<d>/ directories
     langs = sorted(p.name for p in out.iterdir() if p.name.startswith("lang="))
     assert f"lang={got[0].lang}" in langs and "lang=en" in langs
+
+
+def test_warc_ts_is_utc_regardless_of_session_tz(spark, tmp_path):
+    # WARC-Date carries an explicit Z; the parse must not reinterpret it
+    # as session-local wall time. Epoch comparison is tz-independent.
+    from datetime import datetime, timezone
+
+    (tmp_path / "s.warc").write_bytes(_RESP_A)  # 2026-03-01T10:20:30Z
+    want = int(datetime(2026, 3, 1, 10, 20, 30,
+                        tzinfo=timezone.utc).timestamp())
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = (
+            read_warc(spark, str(tmp_path))
+            .select(F.unix_timestamp("warc_ts").alias("e"))
+            .collect()
+        )
+        assert got[0].e == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_corrupt_gzip_respects_strict_lax(spark, tmp_path):
+    (tmp_path / "ok.warc").write_bytes(_RESP_A)
+    (tmp_path / "bad.warc.gz").write_bytes(gzip.compress(_RESP_B)[:-4])
+    with pytest.raises(Exception, match="corrupt gzip"):
+        read_warc(spark, str(tmp_path), strict=True).collect()
+    got = read_warc(spark, str(tmp_path), strict=False).collect()
+    # lax: the unreadable shard skips, the good one still reads
+    assert [r.url for r in got] == ["http://a.example/"]
+
+
+def test_warc_to_pages_filters_non_pages(spark, tmp_path):
+    from ontology_mapping_spark.sources.warc import warc_to_pages
+
+    png = _record("response",
+                  _http(b"\x89PNG...", ctype="image/png"),
+                  uri="http://img.example/x.png")
+    err = _record("response", _http(b"<html>not found</html>", status=404),
+                  uri="http://err.example/")
+    nouri = _record("response", _http(b"<html>ghost</html>"))
+    (tmp_path / "s.warc").write_bytes(_RESP_A + png + err + nouri)
+    got = warc_to_pages(read_warc(spark, str(tmp_path))).collect()
+    # only the 200 text/html row with a URI becomes a page
+    assert [r.url for r in got] == ["http://a.example/"]
+    # knobs disable the filters (the WET lane: NULL status/type)
+    all_rows = warc_to_pages(
+        read_warc(spark, str(tmp_path)),
+        statuses=None, content_type_prefixes=None,
+    ).collect()
+    assert len(all_rows) == 3  # everything with a URL

@@ -2,8 +2,17 @@
 of the brief's "explain the plan and iterate" rule.
 
 For every ``queries()`` entry (curated + LOCAL_ONLY) this builds the
-DataFrame at a small sf and inspects the EXECUTED plan string for the
-smells that have produced real regressions in this repo:
+DataFrame at a small sf and inspects the physical plan string for the
+smells that have produced real regressions in this repo. NOTE the plan
+is the PRE-EXECUTION AdaptiveSparkPlan (isFinalPlan=false) — no action
+runs on the result frame, so AQE's runtime exchange reuse and join
+switches are invisible and the ``reused`` stat is ~0 by construction.
+That is the right object for the headline signal anyway: a source
+re-scan is a STATIC plan-reference property (Spark 4.1 inserts no
+ReusedExchange across plan-level references even at runtime for these
+shapes — measured on triangles/degrees before their fixes). Only
+eagerly-materialized subtrees (fixpoints, _cut calls) execute during
+the build. Smells checked:
 
 * ``scans``        — how many times the parquet/Range sources appear:
                      a query whose plan re-scans its source many times
@@ -108,7 +117,9 @@ def main() -> None:
         stat = {
             "name": name,
             "scans": len(re.findall(r"FileScan|Scan parquet|Range \(", plan)),
-            "exchanges": plan.count("Exchange "),
+            # negative lookbehind: "ReusedExchange " must not double-
+            # count as an "Exchange "
+            "exchanges": len(re.findall(r"(?<!Reused)Exchange ", plan)),
             "reused": plan.count("ReusedExchange"),
             "bnlj": plan.count("BroadcastNestedLoopJoin"),
             "cartesian": plan.count("CartesianProduct"),
