@@ -576,6 +576,55 @@ def anchor_aliases(links: DataFrame, min_count: int = 1) -> DataFrame:
     return out
 
 
+def crawl_frontier(
+    links: DataFrame,
+    seen: DataFrame | None = None,
+    blocked: DataFrame | None = None,
+    per_host: int = 100,
+) -> DataFrame:
+    """Next-crawl URL list from this crawl's extracted links ->
+    ``(host, url, n_refs, rank)`` — the crawler-feedback stage that
+    closes the ingest loop (extract_links → frontier → next shards).
+
+    Pipeline: distinct destination URLs with their reference count (the
+    default priority — how much of the web points there), minus already
+    crawled urls (``seen``, 1-column ``url``), minus blocked hosts
+    (:func:`filter_blocked_hosts`'s broadcast suffix anti-join), then a
+    PER-HOST budget: top ``per_host`` urls per host by (n_refs desc,
+    url) — politeness, and the reason this is a window top-k and not a
+    global sort (a global order-by funnels the whole frontier through
+    one reducer; the per-host row_number is the InferWindowGroupLimit
+    shape the engine already uses for topk_per_group).
+
+    Scale: the reference count is a partial+final aggregate on dst_url
+    (billions of links collapse map-side); seen is a left-anti join on
+    the url key (both sides frontier-shaped); hosts never concentrate —
+    the window key IS the politeness unit."""
+    from pyspark.sql import Window
+
+    cand = (
+        links.select("dst_url")
+        .groupBy("dst_url")
+        .agg(F.count("*").alias("n_refs"))
+        .withColumn("host", host_of("dst_url"))
+        .filter(F.col("host") != "")
+    )
+    if seen is not None:
+        cand = cand.join(
+            seen.select(F.col("url").alias("dst_url")), "dst_url", "left_anti"
+        )
+    if blocked is not None:
+        cand = filter_blocked_hosts(cand, blocked, url_col="dst_url")
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_refs").desc(), F.col("dst_url")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_host)
+        .select("host", F.col("dst_url").alias("url"), "n_refs", "rank")
+    )
+
+
 def filter_blocked_hosts(
     pages: DataFrame, blocked: DataFrame, url_col: str = "url"
 ) -> DataFrame:

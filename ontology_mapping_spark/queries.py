@@ -137,6 +137,9 @@ LOCAL_ONLY: frozenset = frozenset(
         "host_degree_stats",
         "anchor_alias_mining",
         "blocked_host_filter",
+        # crawler-feedback frontier (per-host budget window; composes
+        # the link extraction + blocklist + seen-set ops)
+        "crawl_frontier_budget",
         # parked round 4 for the relation-extraction primaries: the
         # membership-filter family keeps anti_join_exclusion curated (semi
         # join is its mirror — same broadcast-join shape, opposite keep
@@ -2296,6 +2299,46 @@ def q_extract_links(spark, sf):
     from ontology_mapping_spark.operators.linkgraph import extract_links
 
     return extract_links(_linkgraph_pages(spark, sf))
+
+
+@query(
+    "crawl_frontier_budget",
+    """WITH raw AS (
+      SELECT 'h' || (p_partkey % 37) || '.example.com' AS host,
+             'http://h' || (p_partkey % 37) || '.example.com/p' || (p_partkey % 11) AS url
+      FROM part),
+    cand AS (SELECT host, url, CAST(count(*) AS BIGINT) AS n_refs
+             FROM raw GROUP BY host, url),
+    kept AS (SELECT * FROM cand
+             WHERE url NOT LIKE '%/p0' AND host <> 'h3.example.com'),
+    ranked AS (SELECT host, url, n_refs,
+               row_number() OVER (PARTITION BY host
+                                  ORDER BY n_refs DESC, url) AS rk
+               FROM kept)
+    SELECT host, url, n_refs, CAST(rk AS INT) AS rank
+    FROM ranked WHERE rk <= 3""",
+)
+def q_crawl_frontier(spark, sf):
+    # crawler-feedback stage: planted destination urls (37 hosts x 11
+    # paths, multiplicity from the key spread) minus a seen set (every
+    # '/p0' url) minus one blocked host, then a per-host budget of 3 by
+    # (n_refs desc, url). The oracle re-derives everything from the same
+    # key arithmetic with its own window.
+    from ontology_mapping_spark.operators.linkgraph import crawl_frontier
+
+    k = F.col("p_partkey")
+    links = _t(spark, sf, "part").select(
+        F.concat(
+            F.lit("http://h"), (k % 37).cast("string"),
+            F.lit(".example.com/p"), (k % 11).cast("string"),
+        ).alias("dst_url")
+    )
+    seen = links.filter(F.col("dst_url").endswith("/p0")).select(
+        F.col("dst_url").alias("url")
+    ).distinct()
+    blocked = spark.createDataFrame([("h3.example.com",)], "domain string")
+    out = crawl_frontier(links, seen=seen, blocked=blocked, per_host=3)
+    return out.select("host", "url", F.col("n_refs").cast("long").alias("n_refs"), "rank")
 
 
 @query(

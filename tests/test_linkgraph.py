@@ -491,3 +491,47 @@ def test_hits_empty_graph_and_iter_validation(spark):
     assert out.count() == 0
     with pytest.raises(ValueError, match="iters >= 1"):
         hits(_edges_df(spark), iters=0)
+
+
+# --------------------------------------------------------- crawl_frontier
+
+
+def test_crawl_frontier_budget_seen_blocked(spark):
+    from ontology_mapping_spark.operators.linkgraph import crawl_frontier
+
+    links = spark.createDataFrame(
+        [
+            # h1: three urls, /a referenced twice (top priority)
+            ("http://h1.example/a",), ("http://h1.example/a",),
+            ("http://h1.example/b",), ("http://h1.example/c",),
+            # h2: one fresh, one already crawled, one on a blocked host
+            ("http://h2.example/x",), ("http://h2.example/old",),
+            ("http://ads.bad/z",), ("http://sub.ads.bad/z2",),
+        ],
+        "dst_url string",
+    )
+    seen = spark.createDataFrame([("http://h2.example/old",)], "url string")
+    blocked = spark.createDataFrame([("ads.bad",)], "domain string")
+    got = crawl_frontier(links, seen=seen, blocked=blocked, per_host=2)
+    rows = {(r.host, r.url): (r.n_refs, r.rank) for r in got.collect()}
+    # h1 budget of 2: /a (2 refs, rank 1) then /b (tie with /c broken by url)
+    assert rows[("h1.example", "http://h1.example/a")] == (2, 1)
+    assert rows[("h1.example", "http://h1.example/b")] == (1, 2)
+    assert ("h1.example", "http://h1.example/c") not in rows
+    # seen url dropped, blocked host (and subdomain) dropped
+    assert rows[("h2.example", "http://h2.example/x")] == (1, 1)
+    assert not any(h.endswith("ads.bad") for h, _ in rows)
+    assert len(rows) == 3
+
+
+def test_crawl_frontier_plan_is_window_group_limit(spark):
+    from ontology_mapping_spark.operators.linkgraph import crawl_frontier
+
+    links = spark.createDataFrame([("http://h/x",)], "dst_url string")
+    plan = (
+        crawl_frontier(links, per_host=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the per-host budget must stay the WindowGroupLimit shape — never a
+    # global sort of the frontier
+    assert "WindowGroupLimit" in plan
