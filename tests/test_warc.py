@@ -247,3 +247,39 @@ def test_warc_to_pages_filters_non_pages(spark, tmp_path):
         statuses=None, content_type_prefixes=None,
     ).collect()
     assert len(all_rows) == 3  # everything with a URL
+
+
+def test_iter_warc_records_roundtrip_property():
+    # serialize -> parse is the identity on (type, uri, payload) for any
+    # payload bytes (including CRLFCRLF and WARC/-lookalikes inside the
+    # payload — Content-Length framing must win over content sniffing)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rtype = st.sampled_from(["response", "resource", "metadata", "conversion"])
+    uri = st.text(
+        alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E),
+        min_size=1, max_size=40,
+    ).map(lambda s: "http://x/" + s)
+    payload = st.binary(min_size=0, max_size=300)
+    rec = st.tuples(rtype, uri, payload)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(rec, min_size=1, max_size=8))
+    def run(recs):
+        buf = b"".join(_record(t, p, uri=u) for t, u, p in recs)
+        got = [
+            (h["warc-type"], h["warc-target-uri"], p)
+            for h, p in iter_warc_records(buf)
+        ]
+        assert got == recs
+    run()
+
+
+def test_iter_warc_records_adversarial_payloads():
+    # payloads that LOOK like record boundaries parse by length framing
+    tricky = b"\r\n\r\nWARC/1.0\r\nContent-Length: 9999\r\n\r\nfake"
+    buf = _record("resource", tricky, uri="http://t/") + _RESP_A
+    got = list(iter_warc_records(buf))
+    assert [h["warc-type"] for h, _ in got] == ["resource", "response"]
+    assert got[0][1] == tricky
