@@ -1,0 +1,158 @@
+"""Crawl-metadata sources: sitemaps and robots.txt politeness rules.
+
+The frontier loop (``linkgraph.crawl_frontier``) has two inputs besides
+extracted links: URL lists the sites publish (sitemaps) and the paths
+they forbid (robots.txt). Both are tiny-per-host, crawl-wide-large
+tables — classic broadcast-side data — and both parse with pure
+Catalyst string algebra (no Python in either path):
+
+* :func:`read_sitemaps` — ``<loc>`` extraction over whole-file text
+  reads (``.xml`` and ``.xml.gz``; Spark's text source inflates gzip
+  transparently). Sitemap INDEX files list other sitemaps with the
+  same ``<loc>`` tag — rows from an index are sitemap urls, and the
+  caller fetches/recurses (no network here by design).
+* :func:`robots_rules` — the documented robots subset: a
+  ``User-agent:`` line opens a group; ``Disallow:``/``Allow:`` lines
+  bind to the group when it names the crawler or ``*``; empty
+  ``Disallow:`` means allow-all (dropped). Group state is a within-row
+  ``F.aggregate`` over the split lines — robots bodies are hundreds of
+  lines, so the per-element array append is bounded.
+* :func:`filter_disallowed` — drop frontier urls whose PATH starts
+  with any disallowed prefix for their host (longest-match Allow
+  precedence within the same host, per the de-facto standard): rules
+  collapse to one row per host (collect_list, broadcast), the url side
+  never shuffles, and the verdict is a within-row array fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LOC_RE = r"(?s)<loc>\s*([^<]*?)\s*</loc>"
+_PATH_RE = r"(?i)^[a-z][a-z0-9+.\-]*://[^/?#]*([^#]*)"
+
+
+def read_sitemaps(spark, path: str) -> DataFrame:
+    """Sitemap / sitemap-index files -> (sitemap, url) rows.
+
+    One row per ``<loc>`` entry; ``sitemap`` is the source file. Pure
+    Catalyst: whole-file text scan + ``regexp_extract_all`` — the tag
+    soup around ``<loc>`` (lastmod, changefreq, namespaces) never needs
+    a real XML parser for this one field, and entries spanning lines
+    parse fine under ``(?s)``."""
+    return (
+        spark.read.text(path, wholetext=True)
+        .select(
+            F.input_file_name().alias("sitemap"),
+            F.explode(
+                F.regexp_extract_all("value", F.lit(LOC_RE), 1)
+            ).alias("url"),
+        )
+        .filter(F.col("url") != "")
+    )
+
+
+def robots_rules(robots: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, body) robots.txt table -> (host, rule, prefix) rows.
+
+    ``rule`` is ``allow`` or ``disallow``; ``prefix`` is the raw path
+    prefix. Only groups whose ``User-agent`` is ``agent`` or ``*`` bind
+    (case-insensitive directives; comments and unknown lines skip;
+    empty ``Disallow:`` drops — it means allow-all). The group scan is
+    a within-row fold over the split lines: acc = (active?, rules so
+    far), no shuffle, no Python."""
+    lines = F.split(F.col("body"), r"\r?\n")
+    empty_rules = F.array().cast("array<struct<rule:string,prefix:string>>")
+
+    def step(acc: Column, line: Column) -> Column:
+        t = F.trim(F.regexp_replace(line, r"#.*$", ""))
+        low = F.lower(t)
+        ua = F.trim(F.regexp_extract(t, r"(?i)^user-agent:\s*(.*)$", 1))
+        dis = F.trim(F.regexp_extract(t, r"(?i)^disallow:\s*(.*)$", 1))
+        alw = F.trim(F.regexp_extract(t, r"(?i)^allow:\s*(.*)$", 1))
+        is_ua = low.startswith("user-agent:")
+        is_dis = low.startswith("disallow:") & (dis != "")
+        is_alw = low.startswith("allow:") & (alw != "")
+        active = F.when(
+            is_ua, (ua == F.lit(agent)) | (ua == "*")
+        ).otherwise(acc["active"])
+        add = (
+            F.when(
+                is_dis & acc["active"],
+                F.array(F.struct(F.lit("disallow").alias("rule"), dis.alias("prefix"))),
+            )
+            .when(
+                is_alw & acc["active"],
+                F.array(F.struct(F.lit("allow").alias("rule"), alw.alias("prefix"))),
+            )
+            .otherwise(empty_rules)
+        )
+        return F.struct(
+            active.alias("active"),
+            F.concat(acc["rules"], add).alias("rules"),
+        )
+
+    acc0 = F.struct(F.lit(False).alias("active"), empty_rules.alias("rules"))
+    body = F.col("body")
+    if dict(robots.dtypes).get("body") == "binary":
+        body = F.decode(body, "UTF-8")
+    return (
+        robots.select("host", body.alias("body"))
+        .select(
+            "host",
+            F.explode(
+                F.aggregate(lines, acc0, step)["rules"]
+            ).alias("r"),
+        )
+        .select("host", F.col("r.rule").alias("rule"), F.col("r.prefix").alias("prefix"))
+    )
+
+
+def filter_disallowed(
+    urls: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop urls whose path a disallow rule covers — longest-match
+    Allow precedence per the de-facto robots standard (an ``Allow:``
+    prefix at least as long as the longest matching ``Disallow:``
+    keeps the url). A host with no rules passes everything.
+
+    Shape: rules collapse to one array per host (tiny — broadcast), the
+    url side joins on host and folds the array within-row; the frontier
+    never shuffles."""
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(F.struct("rule", "prefix")).alias("rs")
+    )
+    from ontology_mapping_spark.operators.linkgraph import host_of
+
+    u = urls.withColumn("_host", host_of(url_col)).withColumn(
+        "_path",
+        F.coalesce(
+            F.nullif(F.regexp_extract(F.col(url_col), _PATH_RE, 1), F.lit("")),
+            F.lit("/"),
+        ),
+    )
+    joined = u.join(
+        F.broadcast(per_host.withColumnRenamed("host", "_host")), "_host", "left"
+    )
+    path = F.col("_path")
+
+    def longest(rule: str) -> Column:
+        # longest matching prefix of one kind; -1 when none matches
+        return F.aggregate(
+            F.col("rs"),
+            F.lit(-1),
+            lambda acc, r: F.when(
+                (r["rule"] == rule)
+                & path.startswith(r["prefix"])
+                & (F.length(r["prefix"]) > acc),
+                F.length(r["prefix"]),
+            ).otherwise(acc),
+        )
+
+    keep = (
+        F.col("rs").isNull()
+        | (longest("disallow") < 0)
+        | (longest("allow") >= longest("disallow"))
+    )
+    return joined.filter(keep).drop("_host", "_path", "rs")

@@ -1,0 +1,140 @@
+"""Crawl-metadata sources: sitemap <loc> extraction, robots.txt group
+parsing, and disallow filtering with longest-match Allow precedence.
+Pure-Python expectations are hand-derived per the documented subset.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+from ontology_mapping_spark.sources.crawlmeta import (
+    filter_disallowed,
+    read_sitemaps,
+    robots_rules,
+)
+
+_SITEMAP = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://a.example/page1</loc><lastmod>2026-01-01</lastmod></url>
+  <url><loc>
+      http://a.example/page2
+  </loc></url>
+  <url><changefreq>daily</changefreq></url>
+</urlset>
+"""
+
+_SITEMAP_INDEX = b"""<sitemapindex>
+  <sitemap><loc>http://a.example/sitemap-a.xml.gz</loc></sitemap>
+  <sitemap><loc>http://a.example/sitemap-b.xml.gz</loc></sitemap>
+</sitemapindex>
+"""
+
+
+def test_read_sitemaps_plain_and_gz(spark, tmp_path):
+    (tmp_path / "m.xml").write_bytes(_SITEMAP)
+    (tmp_path / "idx.xml.gz").write_bytes(gzip.compress(_SITEMAP_INDEX))
+    got = read_sitemaps(spark, str(tmp_path)).collect()
+    urls = sorted(r.url for r in got)
+    # whitespace-trimmed, multiline <loc> handled, entry without <loc>
+    # contributes nothing; the index file's sitemap urls come through
+    assert urls == [
+        "http://a.example/page1",
+        "http://a.example/page2",
+        "http://a.example/sitemap-a.xml.gz",
+        "http://a.example/sitemap-b.xml.gz",
+    ]
+    by_file = {r.url: r.sitemap for r in got}
+    assert by_file["http://a.example/page1"].endswith("m.xml")
+
+
+_ROBOTS = """# comment line
+User-agent: googlebot
+Disallow: /google-only
+
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow:
+allow: /lowercase-directive
+
+User-agent: otherbot
+Disallow: /other
+"""
+
+
+def test_robots_rules_group_scoping(spark):
+    df = spark.createDataFrame([("a.example", _ROBOTS)], "host string, body string")
+    got = sorted(
+        (r.rule, r.prefix) for r in robots_rules(df, agent="*").collect()
+    )
+    # only the '*' group binds: googlebot/otherbot rules drop, the empty
+    # Disallow drops, case-insensitive 'allow:' parses
+    assert got == [
+        ("allow", "/lowercase-directive"),
+        ("allow", "/private/ok"),
+        ("disallow", "/private"),
+    ]
+    # a named agent binds its own group AND the '*' group
+    got_g = sorted(
+        (r.rule, r.prefix)
+        for r in robots_rules(df, agent="googlebot").collect()
+    )
+    assert ("disallow", "/google-only") in got_g
+    assert ("disallow", "/private") in got_g
+
+
+def test_filter_disallowed_longest_match(spark):
+    rules = spark.createDataFrame(
+        [
+            ("a.example", "disallow", "/private"),
+            ("a.example", "allow", "/private/ok"),
+        ],
+        "host string, rule string, prefix string",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("http://a.example/public",),        # no rule matches -> keep
+            ("http://a.example/private/x",),     # disallow -> drop
+            ("http://a.example/private/ok/y",),  # longer allow -> keep
+            ("http://b.example/private/x",),     # host without rules -> keep
+            ("http://a.example",),               # empty path '/' -> keep
+        ],
+        "url string",
+    )
+    got = sorted(r.url for r in filter_disallowed(urls, rules).collect())
+    assert got == [
+        "http://a.example",
+        "http://a.example/private/ok/y",
+        "http://a.example/public",
+        "http://b.example/private/x",
+    ]
+
+
+def test_filter_disallowed_root_block(spark):
+    rules = spark.createDataFrame(
+        [("a.example", "disallow", "/")], "host string, rule string, prefix string"
+    )
+    urls = spark.createDataFrame(
+        [("http://a.example/x",), ("http://a.example",), ("http://b.example/x",)],
+        "url string",
+    )
+    got = sorted(r.url for r in filter_disallowed(urls, rules).collect())
+    assert got == ["http://b.example/x"]
+
+
+def test_robots_binary_body_and_frontier_composition(spark):
+    # binary robots bodies decode; the chain robots -> rules -> frontier
+    # filter composes with crawl_frontier's output shape
+    from ontology_mapping_spark.operators.linkgraph import crawl_frontier
+
+    robots = spark.createDataFrame(
+        [("h1.example", "User-agent: *\nDisallow: /no\n".encode())],
+        "host string, body binary",
+    )
+    links = spark.createDataFrame(
+        [("http://h1.example/ok",), ("http://h1.example/no/page",)],
+        "dst_url string",
+    )
+    frontier = crawl_frontier(links, per_host=10)
+    kept = filter_disallowed(frontier, robots_rules(robots), url_col="url")
+    assert [r.url for r in kept.collect()] == ["http://h1.example/ok"]
