@@ -140,6 +140,9 @@ LOCAL_ONLY: frozenset = frozenset(
         # crawler-feedback frontier (per-host budget window; composes
         # the link extraction + blocklist + seen-set ops)
         "crawl_frontier_budget",
+        # robots politeness filter (within-row longest-match fold vs a
+        # plain-predicate arithmetic oracle)
+        "robots_disallow_filter",
         # parked round 4 for the relation-extraction primaries: the
         # membership-filter family keeps anti_join_exclusion curated (semi
         # join is its mirror — same broadcast-join shape, opposite keep
@@ -2299,6 +2302,44 @@ def q_extract_links(spark, sf):
     from ontology_mapping_spark.operators.linkgraph import extract_links
 
     return extract_links(_linkgraph_pages(spark, sf))
+
+
+@query(
+    "robots_disallow_filter",
+    """WITH u AS (
+      SELECT 'http://h' || (p_partkey % 5) || '.example/p' || (p_partkey % 7) AS url,
+             'h' || (p_partkey % 5) || '.example' AS host,
+             '/p' || (p_partkey % 7) AS path
+      FROM part)
+    SELECT url FROM u
+    WHERE host <> 'h2.example'
+      AND NOT (host = 'h1.example' AND path LIKE '/p1%')""",
+)
+def q_robots_filter(spark, sf):
+    # politeness filter over planted urls (5 hosts x 7 paths): h2 is
+    # root-blocked, h1 blocks /p1, h3 has an equal-length allow/disallow
+    # tie on /p2 (allow wins, >= semantics) — the oracle re-derives the
+    # keep set from the arithmetic with plain predicates, never running
+    # the rule fold.
+    from ontology_mapping_spark.sources.crawlmeta import filter_disallowed
+
+    k = F.col("p_partkey")
+    urls = _t(spark, sf, "part").select(
+        F.concat(
+            F.lit("http://h"), (k % 5).cast("string"),
+            F.lit(".example/p"), (k % 7).cast("string"),
+        ).alias("url")
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h1.example", "disallow", "/p1"),
+            ("h2.example", "disallow", "/"),
+            ("h3.example", "disallow", "/p2"),
+            ("h3.example", "allow", "/p2"),
+        ],
+        "host string, rule string, prefix string",
+    )
+    return filter_disallowed(urls, rules).select("url")
 
 
 @query(
