@@ -143,6 +143,8 @@ LOCAL_ONLY: frozenset = frozenset(
         # robots politeness filter (within-row longest-match fold vs a
         # plain-predicate arithmetic oracle)
         "robots_disallow_filter",
+        # sitemap-lastmod recrawl scheduling vs capture history
+        "recrawl_stale_urls",
         # parked round 4 for the relation-extraction primaries: the
         # membership-filter family keeps anti_join_exclusion curated (semi
         # join is its mirror — same broadcast-join shape, opposite keep
@@ -2302,6 +2304,51 @@ def q_extract_links(spark, sf):
     from ontology_mapping_spark.operators.linkgraph import extract_links
 
     return extract_links(_linkgraph_pages(spark, sf))
+
+
+@query(
+    "recrawl_stale_urls",
+    """WITH e AS (
+      SELECT 'u' || p_partkey AS url,
+             CASE WHEN p_partkey % 5 = 0 THEN NULL
+                  ELSE CAST('2026-01-' ||
+                       lpad(CAST((p_partkey % 27) + 1 AS VARCHAR), 2, '0')
+                       AS TIMESTAMP) END AS lastmod,
+             CASE WHEN p_partkey % 3 = 0
+                  THEN CAST('2026-01-15' AS TIMESTAMP) END AS last_capture
+      FROM part)
+    SELECT url, lastmod, last_capture FROM e
+    WHERE last_capture IS NULL
+       OR (lastmod IS NOT NULL AND lastmod > last_capture)""",
+)
+def q_recrawl_stale(spark, sf):
+    # recrawl scheduling: planted sitemap entries (day-of-month from the
+    # key, every 5th missing lastmod) against a capture history (every
+    # 3rd url captured twice, max 2026-01-15). Stale = never captured,
+    # or lastmod strictly newer; captured-without-lastmod is NOT stale.
+    # The oracle re-derives the verdict with plain predicates.
+    from ontology_mapping_spark.sources.crawlmeta import stale_urls
+
+    k = F.col("p_partkey")
+    day = F.lpad(((k % 27) + 1).cast("string"), 2, "0")
+    entries = _t(spark, sf, "part").select(
+        F.concat(F.lit("u"), k.cast("string")).alias("url"),
+        F.when(
+            k % 5 != 0,
+            F.to_timestamp(F.concat(F.lit("2026-01-"), day)),
+        ).alias("lastmod"),
+    )
+    cap = _t(spark, sf, "part").filter(k % 3 == 0)
+    captures = cap.select(
+        F.concat(F.lit("u"), k.cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2026-01-15")).alias("warc_ts"),
+    ).unionAll(
+        cap.select(
+            F.concat(F.lit("u"), k.cast("string")).alias("url"),
+            F.to_timestamp(F.lit("2026-01-10")).alias("warc_ts"),
+        )
+    )
+    return stale_urls(entries, captures).select("url", "lastmod", "last_capture")
 
 
 @query(

@@ -53,6 +53,60 @@ def read_sitemaps(spark, path: str) -> DataFrame:
     )
 
 
+LASTMOD_RE = r"(?s)<lastmod>\s*([^<]*?)\s*</lastmod>"
+_BLOCK_RE = r"(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"
+
+
+def sitemap_entries(spark, path: str) -> DataFrame:
+    """Sitemap files -> (sitemap, url, lastmod) with ``lastmod`` parsed
+    (NULL when the entry omits it — it is optional in the protocol).
+
+    The per-entry pairing needs block scoping (a flat ``<loc>``/
+    ``<lastmod>`` zip would mis-pair around entries missing one tag), so
+    blocks extract first (``<url>``/``<sitemap>`` both), then the two
+    fields within each block — still pure Catalyst. ``lastmod`` accepts
+    the protocol's W3C datetime forms (date-only or timestamp with
+    offset), which ``to_timestamp`` parses natively."""
+    blocks = F.regexp_extract_all("value", F.lit(_BLOCK_RE), 1)
+    b = F.col("b")
+    return (
+        spark.read.text(path, wholetext=True)
+        .select(F.input_file_name().alias("sitemap"), F.explode(blocks).alias("b"))
+        .select(
+            "sitemap",
+            F.trim(F.regexp_extract(b, LOC_RE, 1)).alias("url"),
+            F.to_timestamp(
+                F.nullif(F.regexp_extract(b, LASTMOD_RE, 1), F.lit(""))
+            ).alias("lastmod"),
+        )
+        .filter(F.col("url") != "")
+    )
+
+
+def stale_urls(entries: DataFrame, captures: DataFrame) -> DataFrame:
+    """Recrawl scheduling: sitemap entries whose content is newer than
+    the last capture -> (url, lastmod, last_capture).
+
+    Stale = never captured (new url — NULL ``last_capture``), or
+    ``lastmod`` strictly after the latest capture. An entry WITHOUT a
+    lastmod that has been captured is NOT stale (conservative: no
+    freshness signal is not a recrawl order; cadence-based recrawl is
+    the frontier's job). Shape: one partial+final max aggregate over
+    captures, one join on the url key — both frontier-shaped."""
+    last = captures.groupBy("url").agg(F.max("warc_ts").alias("last_capture"))
+    return (
+        entries.select("url", "lastmod")
+        .join(last, "url", "left")
+        .filter(
+            F.col("last_capture").isNull()
+            | (
+                F.col("lastmod").isNotNull()
+                & (F.col("lastmod") > F.col("last_capture"))
+            )
+        )
+    )
+
+
 def robots_rules(robots: DataFrame, agent: str = "*") -> DataFrame:
     """(host, body) robots.txt table -> (host, rule, prefix) rows.
 

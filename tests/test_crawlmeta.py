@@ -138,3 +138,52 @@ def test_robots_binary_body_and_frontier_composition(spark):
     frontier = crawl_frontier(links, per_host=10)
     kept = filter_disallowed(frontier, robots_rules(robots), url_col="url")
     assert [r.url for r in kept.collect()] == ["http://h1.example/ok"]
+
+
+def test_sitemap_entries_lastmod_pairing(spark, tmp_path):
+    from ontology_mapping_spark.sources.crawlmeta import sitemap_entries
+
+    xml = b"""<urlset>
+      <url><loc>http://a.example/1</loc><lastmod>2026-02-01</lastmod></url>
+      <url><loc>http://a.example/2</loc></url>
+      <url><lastmod>2026-02-03</lastmod><loc>http://a.example/3</loc></url>
+      <url><loc>http://a.example/4</loc>
+           <lastmod>2026-02-04T05:06:07+02:00</lastmod></url>
+    </urlset>"""
+    (tmp_path / "m.xml").write_bytes(xml)
+    got = {r.url: r.lastmod for r in sitemap_entries(spark, str(tmp_path)).collect()}
+    # block scoping: the entry WITHOUT lastmod must not steal its
+    # neighbour's (a flat loc/lastmod zip would mis-pair here)
+    assert got["http://a.example/2"] is None
+    assert got["http://a.example/1"].day == 1
+    assert got["http://a.example/3"].day == 3
+    # tz offset parses (UTC session: 05:06:07+02:00 == 03:06:07Z)
+    assert (got["http://a.example/4"].hour, got["http://a.example/4"].day) == (3, 4)
+
+
+def test_stale_urls_semantics(spark):
+    from datetime import datetime
+
+    from ontology_mapping_spark.sources.crawlmeta import stale_urls
+
+    entries = spark.createDataFrame(
+        [
+            ("http://a/new", datetime(2026, 2, 1)),      # never captured
+            ("http://a/fresh", datetime(2026, 1, 1)),    # captured later
+            ("http://a/stale", datetime(2026, 3, 1)),    # captured earlier
+            ("http://a/nolm", None),                     # captured, no lastmod
+            ("http://a/nolm-new", None),                 # new, no lastmod
+        ],
+        "url string, lastmod timestamp",
+    )
+    captures = spark.createDataFrame(
+        [
+            ("http://a/fresh", datetime(2026, 2, 1)),
+            ("http://a/stale", datetime(2026, 2, 1)),
+            ("http://a/stale", datetime(2026, 1, 1)),    # older capture loses
+            ("http://a/nolm", datetime(2026, 2, 1)),
+        ],
+        "url string, warc_ts timestamp",
+    )
+    got = sorted(r.url for r in stale_urls(entries, captures).collect())
+    assert got == ["http://a/new", "http://a/nolm-new", "http://a/stale"]
