@@ -108,14 +108,27 @@ def stale_urls(entries: DataFrame, captures: DataFrame) -> DataFrame:
 
 
 def robots_rules(robots: DataFrame, agent: str = "*") -> DataFrame:
-    """(host, body) robots.txt table -> (host, rule, prefix) rows.
+    """(host, body) robots.txt table -> (host, rule, prefix) rows, per
+    RFC 9309 group semantics.
 
     ``rule`` is ``allow`` or ``disallow``; ``prefix`` is the raw path
-    prefix. Only groups whose ``User-agent`` is ``agent`` or ``*`` bind
-    (case-insensitive directives; comments and unknown lines skip;
-    empty ``Disallow:`` drops — it means allow-all). The group scan is
-    a within-row fold over the split lines: acc = (active?, rules so
-    far), no shuffle, no Python."""
+    pattern (wildcards resolve in :func:`filter_disallowed`).
+    RFC-conformant points, each pinned by test:
+
+    * CONSECUTIVE ``User-agent:`` lines form ONE group binding all the
+      listed agents (a rule line closes the agent-accumulation phase;
+      the next UA line after a rule starts a new group);
+    * product tokens compare case-insensitively;
+    * when any group names ``agent`` specifically, the ``*`` groups are
+      IGNORED (most-specific-group rule) — even when the named group
+      only allow-alls;
+    * empty ``Disallow:`` (allow-all) contributes no rule; comments and
+      unknown lines skip.
+
+    The scan is a within-row fold over the split lines — acc =
+    (collecting?, named-active?, star-active?, named-seen?, named
+    rules, star rules); no shuffle, no Python."""
+    agent_l = agent.lower()
     lines = F.split(F.col("body"), r"\r?\n")
     empty_rules = F.array().cast("array<struct<rule:string,prefix:string>>")
 
@@ -128,38 +141,84 @@ def robots_rules(robots: DataFrame, agent: str = "*") -> DataFrame:
         is_ua = low.startswith("user-agent:")
         is_dis = low.startswith("disallow:") & (dis != "")
         is_alw = low.startswith("allow:") & (alw != "")
-        active = F.when(
-            is_ua, (ua == F.lit(agent)) | (ua == "*")
-        ).otherwise(acc["active"])
-        add = (
-            F.when(
-                is_dis & acc["active"],
-                F.array(F.struct(F.lit("disallow").alias("rule"), dis.alias("prefix"))),
-            )
-            .when(
-                is_alw & acc["active"],
-                F.array(F.struct(F.lit("allow").alias("rule"), alw.alias("prefix"))),
-            )
-            .otherwise(empty_rules)
+        is_rule = is_dis | is_alw
+        named_hit = F.lower(ua) == F.lit(agent_l)
+        star_hit = ua == "*"
+        new_group = is_ua & ~acc["collecting"]
+        a_named = (
+            F.when(new_group, named_hit)
+            .when(is_ua, acc["a_named"] | named_hit)
+            .otherwise(acc["a_named"])
+        )
+        a_star = (
+            F.when(new_group, star_hit)
+            .when(is_ua, acc["a_star"] | star_hit)
+            .otherwise(acc["a_star"])
+        )
+        collecting = (
+            F.when(is_ua, F.lit(True))
+            .when(is_rule, F.lit(False))
+            .otherwise(acc["collecting"])
+        )
+        entry = F.when(
+            is_dis,
+            F.array(F.struct(F.lit("disallow").alias("rule"), dis.alias("prefix"))),
+        ).otherwise(
+            F.array(F.struct(F.lit("allow").alias("rule"), alw.alias("prefix")))
+        )
+        named = F.concat(
+            acc["named"],
+            F.when(is_rule & a_named, entry).otherwise(empty_rules),
+        )
+        star = F.concat(
+            acc["star"],
+            F.when(is_rule & a_star, entry).otherwise(empty_rules),
         )
         return F.struct(
-            active.alias("active"),
-            F.concat(acc["rules"], add).alias("rules"),
+            collecting.alias("collecting"),
+            a_named.alias("a_named"),
+            a_star.alias("a_star"),
+            (acc["named_seen"] | (is_ua & named_hit)).alias("named_seen"),
+            named.alias("named"),
+            star.alias("star"),
         )
 
-    acc0 = F.struct(F.lit(False).alias("active"), empty_rules.alias("rules"))
+    acc0 = F.struct(
+        F.lit(False).alias("collecting"),
+        F.lit(False).alias("a_named"),
+        F.lit(False).alias("a_star"),
+        F.lit(False).alias("named_seen"),
+        empty_rules.alias("named"),
+        empty_rules.alias("star"),
+    )
     body = F.col("body")
     if dict(robots.dtypes).get("body") == "binary":
         body = F.decode(body, "UTF-8")
+    folded = F.aggregate(lines, acc0, step)
+    picked = F.when(folded["named_seen"], folded["named"]).otherwise(
+        folded["star"]
+    )
     return (
         robots.select("host", body.alias("body"))
+        .select("host", F.explode(picked).alias("r"))
         .select(
-            "host",
-            F.explode(
-                F.aggregate(lines, acc0, step)["rules"]
-            ).alias("r"),
+            "host", F.col("r.rule").alias("rule"), F.col("r.prefix").alias("prefix")
         )
-        .select("host", F.col("r.rule").alias("rule"), F.col("r.prefix").alias("prefix"))
+    )
+
+
+def _rule_regex(prefix: Column) -> Column:
+    """Robots path pattern -> anchored Java regex (RFC 9309 §2.2.3):
+    ``*`` matches any char run, a TRAILING ``$`` anchors the end, every
+    other char is literal. A plain prefix compiles to ``^literal`` —
+    exactly startswith — so the one matching code path covers both."""
+    esc = F.regexp_replace(prefix, r"([.^+?(){}\[\]|\\])", r"\\$1")
+    ends = prefix.endswith("$")
+    body = F.when(ends, F.substring(esc, 1, F.length(esc) - 1)).otherwise(esc)
+    body = F.replace(body, F.lit("$"), F.lit("\\$"))  # mid-pattern $ literal
+    body = F.replace(body, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), body, F.when(ends, F.lit("$")).otherwise(F.lit(""))
     )
 
 
@@ -167,15 +226,26 @@ def filter_disallowed(
     urls: DataFrame, rules: DataFrame, url_col: str = "url"
 ) -> DataFrame:
     """Drop urls whose path a disallow rule covers — longest-match
-    Allow precedence per the de-facto robots standard (an ``Allow:``
-    prefix at least as long as the longest matching ``Disallow:``
-    keeps the url). A host with no rules passes everything.
+    Allow precedence per RFC 9309 (an ``Allow:`` pattern at least as
+    long as the longest matching ``Disallow:`` keeps the url;
+    specificity = raw pattern length, the de-facto standard). Patterns
+    resolve ``*``/trailing-``$`` wildcards via :func:`_rule_regex`. A
+    host with no rules passes everything.
 
-    Shape: rules collapse to one array per host (tiny — broadcast), the
-    url side joins on host and folds the array within-row; the frontier
-    never shuffles."""
+    Shape: rules collapse to one array per host with their regexes
+    precompiled on the (tiny, broadcast) rules side; the url side joins
+    on host and folds the array within-row ONCE per kind (the two fold
+    results are materialized as columns — re-deriving them inside the
+    boolean would re-run the O(|rules|) fold per reference); the
+    frontier never shuffles."""
     per_host = rules.groupBy("host").agg(
-        F.collect_list(F.struct("rule", "prefix")).alias("rs")
+        F.collect_list(
+            F.struct(
+                "rule",
+                _rule_regex(F.col("prefix")).alias("rx"),
+                F.length("prefix").alias("slen"),
+            )
+        ).alias("rs")
     )
     from ontology_mapping_spark.operators.linkgraph import host_of
 
@@ -192,21 +262,24 @@ def filter_disallowed(
     path = F.col("_path")
 
     def longest(rule: str) -> Column:
-        # longest matching prefix of one kind; -1 when none matches
+        # longest matching pattern of one kind; -1 when none matches
         return F.aggregate(
             F.col("rs"),
             F.lit(-1),
             lambda acc, r: F.when(
                 (r["rule"] == rule)
-                & path.startswith(r["prefix"])
-                & (F.length(r["prefix"]) > acc),
-                F.length(r["prefix"]),
+                & F.regexp_like(path, r["rx"])
+                & (r["slen"] > acc),
+                r["slen"],
             ).otherwise(acc),
         )
 
+    scored = joined.withColumn("_dis", longest("disallow")).withColumn(
+        "_alw", longest("allow")
+    )
     keep = (
         F.col("rs").isNull()
-        | (longest("disallow") < 0)
-        | (longest("allow") >= longest("disallow"))
+        | (F.col("_dis") < 0)
+        | (F.col("_alw") >= F.col("_dis"))
     )
-    return joined.filter(keep).drop("_host", "_path", "rs")
+    return scored.filter(keep).drop("_host", "_path", "rs", "_dis", "_alw")

@@ -74,13 +74,80 @@ def test_robots_rules_group_scoping(spark):
         ("allow", "/private/ok"),
         ("disallow", "/private"),
     ]
-    # a named agent binds its own group AND the '*' group
+    # RFC 9309 most-specific group: a named agent binds ONLY its own
+    # group — the '*' group is ignored when a named group exists
     got_g = sorted(
         (r.rule, r.prefix)
         for r in robots_rules(df, agent="googlebot").collect()
     )
-    assert ("disallow", "/google-only") in got_g
-    assert ("disallow", "/private") in got_g
+    assert got_g == [("disallow", "/google-only")]
+
+
+def test_robots_rules_stacked_user_agents(spark):
+    # consecutive User-agent lines form ONE group binding all of them
+    body = "User-agent: adsbot\nUser-agent: mybot\nDisallow: /private\n"
+    df = spark.createDataFrame([("a.example", body)], "host string, body string")
+    for a in ("adsbot", "mybot"):
+        got = [(r.rule, r.prefix) for r in robots_rules(df, agent=a).collect()]
+        assert got == [("disallow", "/private")], a
+    # and a rule line CLOSES the group: a later UA starts a new one
+    body2 = "User-agent: adsbot\nDisallow: /a\nUser-agent: mybot\nDisallow: /b\n"
+    df2 = spark.createDataFrame([("a.example", body2)], "host string, body string")
+    got2 = [(r.rule, r.prefix) for r in robots_rules(df2, agent="mybot").collect()]
+    assert got2 == [("disallow", "/b")]
+
+
+def test_robots_rules_case_insensitive_agent(spark):
+    df = spark.createDataFrame(
+        [("a.example", "User-agent: MyBot\nDisallow: /x\n")],
+        "host string, body string",
+    )
+    got = [(r.rule, r.prefix) for r in robots_rules(df, agent="mybot").collect()]
+    assert got == [("disallow", "/x")]
+
+
+def test_robots_named_group_overrides_star_even_for_allows(spark):
+    # the union of named + '*' groups was actively unsafe: a generic
+    # '*' Allow must NOT override a named-agent Disallow
+    body = (
+        "User-agent: mybot\nDisallow: /secret\n\n"
+        "User-agent: *\nAllow: /secret/x\n"
+    )
+    robots = spark.createDataFrame([("a.example", body)], "host string, body string")
+    urls = spark.createDataFrame(
+        [("http://a.example/secret/x/page",)], "url string"
+    )
+    kept = filter_disallowed(urls, robots_rules(robots, agent="mybot"))
+    assert kept.count() == 0
+
+
+def test_filter_disallowed_wildcards(spark):
+    # RFC 9309 §2.2.3: '*' any-run, trailing '$' end anchor
+    rules = spark.createDataFrame(
+        [
+            ("a.example", "disallow", "/*.pdf$"),
+            ("a.example", "disallow", "/search*"),
+            ("a.example", "disallow", "/tmp$"),
+        ],
+        "host string, rule string, prefix string",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("http://a.example/doc.pdf",),       # *.pdf$ -> drop
+            ("http://a.example/doc.pdf.html",),  # $ anchor -> keep
+            ("http://a.example/searching/x",),   # /search* -> drop
+            ("http://a.example/tmp",),           # exact via $ -> drop
+            ("http://a.example/tmpX",),          # $ anchor -> keep
+            ("http://a.example/regex.chars(+)",),# literal metachars -> keep
+        ],
+        "url string",
+    )
+    got = sorted(r.url for r in filter_disallowed(urls, rules).collect())
+    assert got == [
+        "http://a.example/doc.pdf.html",
+        "http://a.example/regex.chars(+)",
+        "http://a.example/tmpX",
+    ]
 
 
 def test_filter_disallowed_longest_match(spark):

@@ -95,7 +95,14 @@ def main() -> None:
             None if args.no_type_filter else tuple(args.content_types)
         ),
     )
-    n = spark.read.parquet(args.out).count()
+    try:
+        n = spark.read.parquet(args.out).count()
+    except Exception:
+        # a zero-row partitioned write leaves no part files, so the
+        # readback cannot infer a schema — report the honest count
+        # instead of a stack trace (classic cause: WET records without
+        # --no-status-filter, every NULL status dropped by the 200 gate)
+        n = 0
     print(f"wrote {n} pages to {args.out}")
     spark.stop()
 
