@@ -57,6 +57,7 @@ EXPECTED_BNLJ_SUBSTR = (
     "embedding_near_dup",         # broadcast-probe form (small probe side)
     "ann_ivf",      # centroid assignment = broadcast-codebook nested loop
     "blocked_host_filter",  # endswith anti-join vs a broadcast blocklist
+    "crawl_frontier",       # embeds the same broadcast-blocklist suffix join
     "cooccurrence_npmi",    # 1-row corpus-total aggregate broadcast back in
 )
 
