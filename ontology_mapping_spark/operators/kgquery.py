@@ -327,11 +327,13 @@ def bgp_match(
     arbitrarily large, so AQE picks the strategy from runtime stats (the
     common aggregate-to-a-scalar idiom, e.g. ``(MAX(?d) AS ?m)`` with no
     shared variable, becomes a 1-row broadcast nested-loop extension).
-    As with the negation forms, Spark join-NULL semantics apply: an outer
-    solution whose shared variable is unbound (NULL via OPTIONAL) matches
-    nothing, where SPARQL's unbound-compatibility would match everything
-    — FILTER(bound(?v)) first when negating or joining OPTIONAL-bound
-    variables.
+    Note the join-NULL caveat is scoped to SUBQUERY joins only (the
+    negation forms above implement SPARQL substitution semantics for
+    nullable shared variables): a sub-SELECT join on a shared variable
+    that is unbound (NULL via OPTIONAL) matches nothing under Spark's
+    equi-join NULL semantics, where SPARQL's unbound-compatibility would
+    match everything — FILTER(bound(?v)) first when joining
+    OPTIONAL-bound variables into a sub-SELECT.
     """
     out, bound = _compile_bgp(
         triples, patterns, allow_product, broadcast_min_constants,

@@ -122,7 +122,9 @@ def robots_rules(robots: DataFrame, agent: str = "*") -> DataFrame:
     * when any group names ``agent`` specifically, the ``*`` groups are
       IGNORED (most-specific-group rule) — even when the named group
       only allow-alls;
-    * empty ``Disallow:`` (allow-all) contributes no rule; comments and
+    * empty ``Disallow:`` (allow-all) contributes no rule but IS a rule
+      line — it closes the agent-accumulation phase like any other rule,
+      so the next ``User-agent:`` starts a fresh group; comments and
       unknown lines skip.
 
     The scan is a within-row fold over the split lines — acc =
@@ -142,6 +144,10 @@ def robots_rules(robots: DataFrame, agent: str = "*") -> DataFrame:
         is_dis = low.startswith("disallow:") & (dis != "")
         is_alw = low.startswith("allow:") & (alw != "")
         is_rule = is_dis | is_alw
+        # RFC 9309: ANY allow/disallow line (even an empty allow-all
+        # ``Disallow:``) ends the startgroupline run — group closing must
+        # not depend on whether the line emits a rule.
+        is_rule_line = low.startswith("disallow:") | low.startswith("allow:")
         named_hit = F.lower(ua) == F.lit(agent_l)
         star_hit = ua == "*"
         new_group = is_ua & ~acc["collecting"]
@@ -157,7 +163,7 @@ def robots_rules(robots: DataFrame, agent: str = "*") -> DataFrame:
         )
         collecting = (
             F.when(is_ua, F.lit(True))
-            .when(is_rule, F.lit(False))
+            .when(is_rule_line, F.lit(False))
             .otherwise(acc["collecting"])
         )
         entry = F.when(

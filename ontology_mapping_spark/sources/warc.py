@@ -33,6 +33,7 @@ multi-member gzip, truncation, and non-response record filtering.
 from __future__ import annotations
 
 import gzip
+import zlib
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame
@@ -270,10 +271,11 @@ def _parse_fn(kept: tuple, strict: bool):
                 if fpath.endswith(".gz"):
                     try:
                         data = gzip.decompress(data)
-                    except (OSError, EOFError) as ex:
-                        # gzip raises BadGzipFile/EOFError, NOT ValueError —
-                        # route it through the same strict/lax contract as a
-                        # malformed record, with the file named
+                    except (OSError, EOFError, zlib.error) as ex:
+                        # gzip raises BadGzipFile/EOFError for framing and
+                        # zlib.error for corrupt deflate payloads, NOT
+                        # ValueError — route all through the same strict/lax
+                        # contract as a malformed record, with the file named
                         if strict:
                             raise ValueError(
                                 f"{fpath}: corrupt gzip stream: {ex}"

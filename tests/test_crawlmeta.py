@@ -97,6 +97,25 @@ def test_robots_rules_stacked_user_agents(spark):
     assert got2 == [("disallow", "/b")]
 
 
+def test_robots_empty_disallow_closes_group(spark):
+    # RFC 9309: an empty ``Disallow:`` (allow-all) emits no rule but IS a
+    # rule line — it ends the startgroupline run, so the next User-agent
+    # begins a NEW group whose rules must not bind the earlier agents.
+    body = (
+        "User-agent: adsbot\nDisallow:\n"
+        "User-agent: otherbot\nDisallow: /other\n"
+    )
+    df = spark.createDataFrame([("a.example", body)], "host string, body string")
+    # adsbot's group is allow-all: no rules, and otherbot's /other must
+    # NOT cross-bind to adsbot
+    got_ads = [(r.rule, r.prefix) for r in robots_rules(df, agent="adsbot").collect()]
+    assert got_ads == []
+    got_other = [
+        (r.rule, r.prefix) for r in robots_rules(df, agent="otherbot").collect()
+    ]
+    assert got_other == [("disallow", "/other")]
+
+
 def test_robots_rules_case_insensitive_agent(spark):
     df = spark.createDataFrame(
         [("a.example", "User-agent: MyBot\nDisallow: /x\n")],

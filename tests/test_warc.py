@@ -228,6 +228,23 @@ def test_corrupt_gzip_respects_strict_lax(spark, tmp_path):
     assert [r.url for r in got] == ["http://a.example/"]
 
 
+def test_corrupt_deflate_payload_respects_strict_lax(spark, tmp_path):
+    # a valid gzip HEADER over a garbage deflate body raises zlib.error
+    # (not an OSError subclass) — it must route through the same
+    # strict/lax contract as framing corruption
+    good = gzip.compress(_RESP_B)
+    bad = good[:10] + bytes(x ^ 0xFF for x in good[10:])
+    import zlib
+    with pytest.raises((OSError, EOFError, zlib.error)):
+        gzip.decompress(bad)  # precondition: this corpse is unreadable
+    (tmp_path / "ok.warc").write_bytes(_RESP_A)
+    (tmp_path / "bad.warc.gz").write_bytes(bad)
+    with pytest.raises(Exception, match="corrupt gzip"):
+        read_warc(spark, str(tmp_path), strict=True).collect()
+    got = read_warc(spark, str(tmp_path), strict=False).collect()
+    assert [r.url for r in got] == ["http://a.example/"]
+
+
 def test_warc_to_pages_filters_non_pages(spark, tmp_path):
     from ontology_mapping_spark.sources.warc import warc_to_pages
 
