@@ -1,6 +1,13 @@
-"""Benchmark runner. Prints ONE JSON line:
+"""Benchmark runner. The LAST stdout line is ONE compact JSON record
+(guaranteed < ~1.5 KB so the driver's ~2 KB tail-capture window always
+parses it — round 4's full record outgrew the window and the artifact
+recorded "parsed": null):
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
- "sf": ..., "pages_per_sec": ...}
+ "sf": ..., "pages_per_sec": ..., "efficiency_vs_4x": ...,
+ "detail": "BENCH_DETAIL.json"}
+The full detail record (calibration, kernel_ab, relations, scaling
+passes with suspect flags, skew) is written to BENCH_DETAIL.json and
+also printed as the second-to-last stdout line.
 
 Components:
 * headline operator suite at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS]
@@ -484,7 +491,19 @@ def main() -> None:
                     results[c] = r
             per_pass.append(pass_r)
             eff_i = (pass_r[lo]["value"] / pass_r[hi]["value"]) / ratio
-            if eff_i >= target:
+            # only a NON-SUSPECT pass ends the loop early: efficiency
+            # above 1.1 is physically implausible (it means the lo leg ran
+            # into a host slow phase, inflating the ratio — r04 committed
+            # 1.227 exactly this way), and a lo-leg burn >2x the best burn
+            # seen so far says the same thing directly
+            burn_min_i = min(
+                p[c]["py_burn_sec"] for p in per_pass for c in p
+            )
+            sus_i = (
+                eff_i > 1.1
+                or pass_r[lo]["py_burn_sec"] > 2.0 * burn_min_i
+            )
+            if eff_i >= target and not sus_i:
                 break  # healthy host: one clean pass is the evidence
             pass_i += 1
             if pass_i >= passes:
@@ -514,6 +533,34 @@ def main() -> None:
             for p in per_pass
             if p.get(hi, {}).get("value")
         ]
+        # suspect-pass flagging (VERDICT r4 #8): nominal burn = the best
+        # (fastest) burn observed across every scaling sample this run —
+        # self-calibrating against the host. A pass is suspect when its
+        # lo-leg burn exceeds 2x nominal (the slow leg of the ratio ran
+        # inside a host slow phase, inflating "efficiency") or when the
+        # paired efficiency exceeds 1.1 (physically implausible for a
+        # fixed workload at 4x the cores). The headline prefers the best
+        # NON-suspect pass; all-suspect runs are labeled as such in-band.
+        burn_nominal = min(
+            p[c]["py_burn_sec"] for p in per_pass for c in p
+        )
+        pass_detail = []
+        for p, e in zip(per_pass, pass_effs):
+            sus = (
+                e > 1.1
+                or p[lo]["py_burn_sec"] > 2.0 * burn_nominal
+            )
+            pass_detail.append(
+                {
+                    "efficiency": e,
+                    "suspect": sus,
+                    f"burn_local{lo}": p[lo]["py_burn_sec"],
+                    f"burn_local{hi}": p[hi]["py_burn_sec"],
+                }
+            )
+        clean_effs = [
+            d["efficiency"] for d in pass_detail if not d["suspect"]
+        ]
         t_lo, t_hi = results[lo]["value"], results[hi]["value"]
         # HEADLINE efficiency = the best PAIRED pass (lo and hi measured
         # within one pass, minutes apart, so a host slow phase hits both
@@ -523,7 +570,12 @@ def main() -> None:
         # the mixed value stays in the artifact for transparency, but the
         # target comparison reads the clean paired pass (VERDICT r3 #1).
         eff_mixed = (t_lo / t_hi) / ratio if t_hi > 0 else 0.0
-        eff = max(pass_effs) if pass_effs else 0.0
+        if clean_effs:
+            eff = max(clean_effs)
+            eff_source = "best_non_suspect_pass"
+        else:
+            eff = max(pass_effs) if pass_effs else 0.0
+            eff_source = "best_pass_all_suspect"
         print(
             json.dumps(
                 {
@@ -538,7 +590,10 @@ def main() -> None:
                     f"pages_per_sec_local{hi}": results[hi]["pages_per_sec"],
                     "speedup": round(t_lo / t_hi, 3),
                     f"efficiency_vs_{int(ratio)}x": round(eff, 3),
+                    "efficiency_source": eff_source,
                     "efficiency_per_pass": pass_effs,
+                    "passes": pass_detail,
+                    "burn_nominal_sec": burn_nominal,
                     "efficiency_best_of_level_mix": round(eff_mixed, 3),
                     "py_burn_secs": {
                         c: [p[c]["py_burn_sec"] for p in per_pass if c in p]
@@ -660,7 +715,50 @@ def main() -> None:
             out["skew"] = {k: v for k, v in skew.items() if k != "metric"}
         except (ValueError, IndexError):
             pass
-    print(json.dumps(out))
+    # The driver's tail-capture window is ~2000 bytes; the full detail
+    # record outgrew it in round 4 ("parsed": null — the artifact of
+    # record carried no machine-readable suite time or efficiency). So:
+    # full detail goes to a FILE (+ one stdout line for humans/pipes),
+    # and the LAST stdout line is a compact headline guaranteed to fit
+    # the tail window. Consumers that take the last JSON line get the
+    # headline; `detail` names the file with everything else.
+    detail_path = os.path.join(_REPO, "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        detail_path = None
+    print(json.dumps(out), flush=True)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in out["queries"].items()},
+        "sf": out["sf"],
+        "pages": out["pages"],
+        "pages_per_sec": out["pages_per_sec"],
+    }
+    if "pages_per_sec_best" in out:
+        compact["pages_per_sec_best"] = out["pages_per_sec_best"]
+    scaling = out.get("scaling") or {}
+    for k, v in scaling.items():
+        if k.startswith("efficiency_vs_") or k == "efficiency_source":
+            compact[k] = v
+    if "kernel_ab" in out:
+        compact["kernel_speedup_cnative_vs_trie"] = out["kernel_ab"].get(
+            "speedup_cnative_vs_trie"
+        )
+    if "relations" in out:
+        compact["relations_pages_per_sec"] = out["relations"].get(
+            "pages_per_sec"
+        )
+    if detail_path:
+        compact["detail"] = os.path.basename(detail_path)
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1500:  # never outgrow the tail window again
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
