@@ -198,12 +198,6 @@ LOCAL_ONLY: frozenset = frozenset(
         # mentions_stream_parity curated; this foreachBatch-upsert twin of
         # kg_triple_merge stays in the local gate
         "kg_state_stream_parity",
-        # SPARQL text front-end: parses to the same algebra the curated
-        # kg_select_agg exercises; identical literal-SQL oracle — and its
-        # UPDATE-request twin, the text form of the curated
-        # kg_update_delete_insert (same oracle)
-        "kg_sparql_text",
-        "kg_sparql_update_text",
         # sub-SELECT through the text front-end: the inner aggregate is
         # kg_select_agg's shape, the outer join the kg_bgp_match shape
         "kg_sparql_subselect",
@@ -248,21 +242,33 @@ LOCAL_ONLY: frozenset = frozenset(
         # derived_label's CASE projection recurs inside several curated
         # rows (stopword_language_score, token_quality_stats)
         "derived_label",
-        # schema-driven OWL variant of the rule-inference family (same
-        # semi-naive engine as the curated kg_saturate_rdfs; declarations
-        # read from the graph itself); exact recursive-CTE oracle
-        "kg_saturate_owl",
-        # DRed retraction twin of the rule-inference family: overdelete +
-        # rederive vs a full re-saturation recursive-CTE oracle over the
-        # post-retraction base; the curated slot stays with the primary
-        "kg_retract_entailment",
-        # link-graph analytics sibling of the curated pagerank_graph row:
-        # degree-oriented triangle counting + clustering coefficient,
-        # exact 3-way-join SQL oracle
-        "triangle_clustering",
-        # Kleinberg HITS over the same part-derived graph as
-        # pagerank_graph; unrolled fixed-iteration SQL oracle
-        "hits_graph",
+        # ---- round-5 rotation (VERDICT r4 #2): the heavyweight round-4
+        # lifecycle primaries (kg_saturate_owl, kg_retract_entailment,
+        # hits_graph, triangle_clustering, kg_sparql_text,
+        # kg_sparql_update_text) moved INTO the curated catalog so the
+        # driver's hard gate sees them; these six redundant variants,
+        # each value-checked by the local gate on every commit, park to
+        # keep the catalog at 50. ----
+        # events-family rows: the JSON projection is filter_project's
+        # get_json_object twin, the daily rollup is pricing_summary_agg's
+        # partial+final agg shape over a date_trunc key
+        "events_json_extract",
+        "events_daily_rollup",
+        # near-dup family keeps minhash_lsh_near_dups + the sign-LSH
+        # embedding row curated; simhash's per-bit-vote core keeps its
+        # exact SQL oracle in the local gate
+        "simhash16",
+        # vector-similarity family: embedding_topk_bruteforce (curated)
+        # exercises the same JVM cosine; the pairwise projection parks
+        "cosine_pairs",
+        # sibling family keeps sibling_2hop_join curated; the shared
+        # parent/child flag projection over the same 2-hop shape parks
+        "sibling_shared_child_flags",
+        # mention family keeps mention_detection_flagship (fused C kernel)
+        # curated; the token-blocking join form shares the curated
+        # blocking_token_join_capped plan shape (crossover between the
+        # two forms is pinned in test_mentions.py)
+        "mentions_join_scan",
     }
 )
 
