@@ -76,7 +76,9 @@ def latest_captures(
     )
 
 
-def merge_triples(existing: DataFrame, delta: DataFrame) -> DataFrame:
+def merge_triples(
+    existing: DataFrame, delta: DataFrame, batch_id: str | None = None
+) -> DataFrame:
     """Upsert observed triples into the provenance-carrying KG table.
 
     ``existing``: (subject, predicate, object, first_seen, last_seen,
@@ -92,28 +94,74 @@ def merge_triples(existing: DataFrame, delta: DataFrame) -> DataFrame:
     * not in delta   -> row unchanged (triples are never dropped here;
       retraction is a policy decision ``triple_diff`` supports upstream).
 
-    Idempotent per batch: merging the same delta twice doubles ``support``
-    but fixes the same first/last timestamps — checkpoint-resume safe when
-    the caller runs it inside a StageRunner stage (plans/stages.py).
+    Replay guard (``batch_id``): without it, merging the same delta twice
+    doubles ``support`` (timestamps re-fix to the same values) — safe only
+    when the caller skips completed stages (StageRunner) or carries the
+    streaming batch marker. With ``batch_id`` set, the output carries a
+    ``last_batch_id`` column and any existing row whose ``last_batch_id``
+    equals the current batch passes through UNCHANGED — re-merging an
+    already-applied batch is a per-row no-op, so a crashed driver loop
+    that re-runs its most recent merge cannot inflate ``support``. The
+    guard covers immediate replay (crash-recovery of the LAST batch);
+    out-of-order historical replays still need the caller-side marker.
+    An existing table without the column reads as all-NULL (never equal
+    to a real batch id); an unguarded merge (``batch_id=None``) over a
+    guarded table NULLs the column on the rows it touches — honest
+    "last toucher unknown", so a later replayed batch never mistakes an
+    unguarded change for its own.
     """
+    has_col = "last_batch_id" in existing.columns
     d = delta.groupBy(*TRIPLE_KEY).agg(
         F.min("ts").alias("__d_first"),
         F.max("ts").alias("__d_last"),
         F.count(F.lit(1)).cast("long").alias("__d_support"),
     )
     merged = existing.join(d, on=TRIPLE_KEY, how="full_outer")
+    if batch_id is None and not has_col:
+        return merged.select(
+            *TRIPLE_KEY,
+            # least/greatest skip NULLs in Spark, so the one-sided rows
+            # fall out of the same expressions as the matched rows
+            F.least("first_seen", "__d_first").alias("first_seen"),
+            F.greatest("last_seen", "__d_last").alias("last_seen"),
+            (
+                F.coalesce(F.col("support"), F.lit(0))
+                + F.coalesce(F.col("__d_support"), F.lit(0))
+            )
+            .cast("long")
+            .alias("support"),
+        )
+    prev_b = (
+        F.col("last_batch_id")
+        if has_col
+        else F.lit(None).cast("string")
+    )
+    # eqNullSafe: a NULL last_batch_id (legacy row / unguarded toucher)
+    # never matches a real batch id
+    already = (
+        prev_b.eqNullSafe(F.lit(batch_id))
+        if batch_id is not None
+        else F.lit(False)
+    )
+    touched = F.col("__d_support").isNotNull()
     return merged.select(
         *TRIPLE_KEY,
-        # least/greatest skip NULLs in Spark, so the one-sided rows fall
-        # out of the same expressions as the matched rows
-        F.least("first_seen", "__d_first").alias("first_seen"),
-        F.greatest("last_seen", "__d_last").alias("last_seen"),
-        (
+        F.when(already, F.col("first_seen"))
+        .otherwise(F.least("first_seen", "__d_first"))
+        .alias("first_seen"),
+        F.when(already, F.col("last_seen"))
+        .otherwise(F.greatest("last_seen", "__d_last"))
+        .alias("last_seen"),
+        F.when(already, F.col("support"))
+        .otherwise(
             F.coalesce(F.col("support"), F.lit(0))
             + F.coalesce(F.col("__d_support"), F.lit(0))
         )
         .cast("long")
         .alias("support"),
+        F.when(touched & ~already, F.lit(batch_id).cast("string"))
+        .otherwise(prev_b)
+        .alias("last_batch_id"),
     )
 
 
@@ -197,6 +245,8 @@ def upsert_observations(
     observations: DataFrame,
     commit_meta=None,
     return_count: bool = True,
+    batch_id: str | None = None,
+    buckets: int | None = None,
 ) -> int | None:
     """Merge a batch of (subject, predicate, object, ts) observations into
     the provenance-carrying KG state table at ``state_path`` (parquet
@@ -219,12 +269,45 @@ def upsert_observations(
     keys survive), and ``commit_meta=None`` carries the old marker forward
     unchanged — so a batch crawl stamping ``crawl_ts`` can never erase the
     streaming sink's ``batch_id``/``checkpoint`` replay guard.
+
+    ``batch_id`` (optional) is the batch-path replay guard: the id is
+    recorded as ``merged_batch`` in the commit marker, and a re-run that
+    presents the SAME id against a state whose marker already carries it
+    returns without touching the state at all (whole-batch no-op — the
+    streaming sink's ``merged_batch_id`` idea moved down into the batch
+    primitive). The merge itself also runs with the per-row
+    ``last_batch_id`` guard (see ``merge_triples``), so even a state
+    whose marker was lost (e.g. restored from a raw copy) cannot double
+    ``support`` on an immediate replay.
+
+    ``buckets``: hash-bucket the state by the triple key (see
+    ``_swap_in``); the layout is STICKY — once a state is bucketed,
+    later upserts that don't pass ``buckets`` inherit the count from
+    the commit marker and keep the layout, and the existing side of the
+    merge is read through ``read_state`` so its scan is bucketed (the
+    full-outer join then shuffles only the delta — plan-pinned in
+    tests/test_kgmaint.py).
     """
     import os
 
     meta = _merged_marker_meta(state_path, commit_meta)
+    if buckets is None:
+        buckets = (meta or {}).get("buckets")
+    if batch_id is not None:
+        # the marker read below is POST-overlay (commit_meta keys win),
+        # but callers never put "merged_batch" in commit_meta — the id
+        # here is always the one the last successful merge stamped
+        if (meta or {}).get("merged_batch") == batch_id and os.path.isdir(
+            state_path
+        ):
+            return (
+                spark.read.parquet(state_path).count()
+                if return_count
+                else None
+            )
+        meta = {**(meta or {}), "merged_batch": batch_id}
     if os.path.isdir(state_path):
-        existing = spark.read.parquet(state_path)
+        existing = read_state(spark, state_path)
     else:
         # first batch: an empty state with the exact merged schema, derived
         # from the observations so ts/support types can never drift
@@ -237,26 +320,115 @@ def upsert_observations(
             )
             .limit(0)
         )
-    merged = merge_triples(existing, observations)
-    _swap_in(state_path, merged, meta)
+    merged = merge_triples(existing, observations, batch_id=batch_id)
+    _swap_in(state_path, merged, meta, buckets=buckets)
     if not return_count:
         return None
     return spark.read.parquet(state_path).count()
 
 
-def _swap_in(state_path: str, df: DataFrame, meta: dict | None) -> None:
+def _state_table_name(state_path: str) -> str:
+    """Session-catalog name for the bucketed state at ``state_path`` —
+    deterministic per path so every reader in a session shares one
+    registration."""
+    import hashlib
+    import os
+
+    h = hashlib.md5(
+        os.path.abspath(state_path).encode("utf-8")
+    ).hexdigest()[:12]
+    return f"kg_state_{h}"
+
+
+def read_state(spark, state_path: str) -> DataFrame:
+    """Read the KG state directory, preserving its bucket layout.
+
+    A state written with ``buckets=N`` carries the bucket spec in its
+    commit marker; bucket metadata itself lives in the session CATALOG
+    (parquet files only encode the bucket id in their file names), so a
+    fresh session must re-register the table before the scan reports
+    ``Bucketed: true``. This helper does that re-registration — CREATE
+    an external table CLUSTERED BY the triple key over the existing
+    files (external: dropping the entry never deletes data) — and
+    returns ``spark.table(...)``; a plain (unbucketed) state falls back
+    to ``spark.read.parquet``. On a real deployment the persistent
+    metastore/Iceberg catalog owns this permanently; the re-register is
+    the in-memory-catalog equivalent.
+    """
+    import json
+    import os
+
+    recover_state(state_path)
+    marker = os.path.join(state_path, "_commit.json")
+    buckets = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            buckets = json.load(f).get("buckets")
+    if not buckets:
+        return spark.read.parquet(state_path)
+    name = _state_table_name(state_path)
+    schema = spark.read.parquet(state_path).schema
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    keys = ", ".join(TRIPLE_KEY)
+    loc = os.path.abspath(state_path)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({cols}) USING parquet "
+        f"CLUSTERED BY ({keys}) SORTED BY ({keys}) "
+        f"INTO {int(buckets)} BUCKETS LOCATION '{loc}'"
+    )
+    return spark.table(name)
+
+
+def _swap_in(
+    state_path: str,
+    df: DataFrame,
+    meta: dict | None,
+    buckets: int | None = None,
+) -> None:
     """The atomic state swap: fully materialize ``df`` to ``<path>.next``
     (marker included), keep the old state at ``<path>.prev`` as rollback,
     rename into place. ``recover_state`` repairs the window between the
     renames. Shared by the provenance upsert above and the saturated-KG
-    streaming sink (streaming/kg_state_stream.py)."""
+    streaming sink (streaming/kg_state_stream.py).
+
+    ``buckets``: write the state hash-bucketed by the triple key (the
+    SCALING.md layout — the next merge's full-outer join then shuffles
+    ONLY the delta). Bucketed writes need a catalog entry, so the frame
+    goes through a throwaway EXTERNAL table whose LOCATION is ``.next``
+    (the entry is dropped right after; external drop keeps the files) —
+    the swap stays pure directory renames either way, and the bucket
+    count rides in the commit marker for ``read_state`` to re-register.
+    """
     import json
     import os
     import shutil
 
     nxt = state_path.rstrip("/") + ".next"
     prev = state_path.rstrip("/") + ".prev"
-    df.write.mode("overwrite").parquet(nxt)
+    if buckets:
+        tmp = _state_table_name(state_path) + "__next"
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        keys = [k for k in TRIPLE_KEY]
+        (
+            df.write.mode("overwrite")
+            .bucketBy(int(buckets), keys[0], *keys[1:])
+            .sortBy(keys[0], *keys[1:])
+            .option("path", os.path.abspath(nxt))
+            .saveAsTable(tmp)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        meta = {**(meta or {}), "buckets": int(buckets)}
+    else:
+        df.write.mode("overwrite").parquet(nxt)
+        if meta and "buckets" in meta:
+            # an explicit unbucketed rewrite drops the layout claim —
+            # a stale "buckets" key would make read_state register
+            # bucket metadata over plain files (wrong answers, silently)
+            meta = {k: v for k, v in meta.items() if k != "buckets"}
     if meta is not None:
         # commit metadata travels INSIDE the swapped directory (underscore
         # files are invisible to the parquet reader), so "which batch is

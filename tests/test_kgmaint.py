@@ -226,6 +226,49 @@ def test_bucketed_state_merge_shuffles_only_the_delta(spark, kg, delta, tmp_path
 
 
 # --------------------------------------------------------------------------
+# batch-replay guard (optional last_batch_id column / merged_batch marker)
+# --------------------------------------------------------------------------
+
+def test_merge_triples_batch_id_replay_noop(kg, delta):
+    once = merge_triples(kg, delta, batch_id="b1")
+    assert "last_batch_id" in once.columns
+    # re-merging the SAME batch over the guarded result changes nothing —
+    # the crashed-driver-loop replay can no longer inflate support
+    twice = merge_triples(once, delta, batch_id="b1")
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    )
+    # the hazard the guard closes: unguarded replay doubles support
+    unguarded = merge_triples(merge_triples(kg, delta), delta)
+    sup = {(r.subject, r.object): r.support for r in unguarded.collect()}
+    assert sup[("a", "b")] == 3 + 2 + 2
+
+
+def test_merge_triples_new_batch_still_applies(kg, delta):
+    once = merge_triples(kg, delta, batch_id="b1")
+    again = merge_triples(once, delta, batch_id="b2")
+    got = {
+        (r.subject, r.object): (r.support, r.last_batch_id)
+        for r in again.collect()
+    }
+    assert got[("a", "b")] == (3 + 2 + 2, "b2")
+    assert got[("c", "d")] == (1, None)  # untouched rows keep NULL
+    assert got[("x", "why")] == (1 + 1, "b2")
+
+
+def test_unguarded_merge_nulls_the_guard_column(kg, delta):
+    # an unguarded merge over a guarded state NULLs last_batch_id on the
+    # rows it touches — a later replay of b1 must not mistake the
+    # unguarded change for its own and skip
+    once = merge_triples(kg, delta, batch_id="b1")
+    mixed = merge_triples(once, delta)
+    lb = {(r.subject, r.object): r.last_batch_id for r in mixed.collect()}
+    assert lb[("a", "b")] is None  # touched by the unguarded merge
+    assert lb[("x", "why")] is None
+    assert lb[("c", "d")] is None  # never touched, never guarded
+
+
+# --------------------------------------------------------------------------
 # swap-crash recovery + commit-marker merge semantics
 # --------------------------------------------------------------------------
 
@@ -350,3 +393,70 @@ def test_as_of_window_semantics(spark):
     # boundary days are inclusive on both ends
     assert {r["subject"] for r in as_of(state, "2024-02-15").collect()} == {"a", "c"}
     assert {r["subject"] for r in as_of(state, "2024-01-31").collect()} == {"a", "e"}
+
+
+# --------------------------------------------------------------------------
+# bucketed state lifecycle: sticky layout + whole-batch replay no-op
+# --------------------------------------------------------------------------
+
+def test_upsert_bucketed_state_sticky_and_replay_noop(spark, tmp_path):
+    import json
+    import os
+
+    from ontology_mapping_spark.operators.kgmaint import (
+        read_state,
+        upsert_observations,
+    )
+
+    state = str(tmp_path / "kg_state_bkt")
+    ts = dt.datetime
+    obs1 = _obs(spark, [
+        ("a", "p", "b", ts(2024, 1, 1)),
+        ("a", "p", "b", ts(2024, 1, 2)),
+        ("c", "p", "d", ts(2024, 1, 1)),
+    ])
+    n1 = upsert_observations(spark, state, obs1, batch_id="c1", buckets=8)
+    assert n1 == 2
+    # whole-batch replay: the marker short-circuit leaves the state alone
+    n1b = upsert_observations(spark, state, obs1, batch_id="c1", buckets=8)
+    assert n1b == 2
+    sup = {
+        (r.subject, r.object): r.support
+        for r in spark.read.parquet(state).collect()
+    }
+    assert sup == {("a", "b"): 2, ("c", "d"): 1}
+    # the bucketed layout is real: a merge against read_state's frame
+    # scans the state pre-partitioned (Bucketed: true) and shuffles ONLY
+    # the delta — exactly one Exchange in the whole plan
+    obs2 = _obs(spark, [("a", "p", "b", ts(2024, 2, 1))])
+    plan = (
+        merge_triples(read_state(spark, state), obs2, batch_id="c2")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Bucketed: true" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    # sticky: the second crawl does NOT pass buckets= and still inherits
+    # the layout from the commit marker
+    n2 = upsert_observations(spark, state, obs2, batch_id="c2")
+    assert n2 == 2
+    meta = json.load(open(os.path.join(state, "_commit.json")))
+    assert meta["buckets"] == 8
+    assert meta["merged_batch"] == "c2"
+    # (a bare scan hides bucket info when unused — autoBucketedScan —
+    # so the layout is asserted through a merge plan again)
+    obs3 = _obs(spark, [("c", "p", "d", ts(2024, 3, 1))])
+    plan2 = (
+        merge_triples(read_state(spark, state), obs3, batch_id="c3")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Bucketed: true" in plan2, plan2
+    assert plan2.count("Exchange") == 1, plan2
+    sup2 = {
+        (r.subject, r.object): r.support
+        for r in spark.read.parquet(state).collect()
+    }
+    assert sup2[("a", "b")] == 3

@@ -56,7 +56,9 @@ def build_zip() -> str:
     return out
 
 
-def update_kg_state(spark, state_path: str, triples, crawl_ts) -> int:
+def update_kg_state(
+    spark, state_path: str, triples, crawl_ts, buckets: int | None = None
+) -> int:
     """Merge one crawl's (subject, predicate, object) triples into the
     provenance-carrying KG state table at ``state_path``.
 
@@ -88,9 +90,19 @@ def update_kg_state(spark, state_path: str, triples, crawl_ts) -> int:
         ts_lit.alias("ts"),
     )
     # the crawl records itself in the state's atomic commit marker (the
-    # same _commit.json the streaming sink uses for its batch id)
+    # same _commit.json the streaming sink uses for its batch id), and
+    # the crawl timestamp IS the batch id: a crashed driver loop that
+    # re-runs the same crawl's merge is a no-op instead of silently
+    # doubling support. ``buckets`` hash-buckets the state by the triple
+    # key (sticky once set — later crawls inherit the layout from the
+    # marker), so only the crawl-sized delta shuffles on merge.
     return upsert_observations(
-        spark, state_path, delta, commit_meta={"crawl_ts": str(crawl_ts)}
+        spark,
+        state_path,
+        delta,
+        commit_meta={"crawl_ts": str(crawl_ts)},
+        batch_id=f"crawl:{crawl_ts}",
+        buckets=buckets,
     )
 
 
@@ -121,6 +133,14 @@ def main() -> None:
         default=None,
         help="observation timestamp for --kg-state (ISO); default: the "
         "input corpus's max warc_ts",
+    )
+    ap.add_argument(
+        "--kg-state-buckets",
+        type=int,
+        default=None,
+        help="hash-bucket the --kg-state table by (subject, predicate, "
+        "object) into N buckets so later merges shuffle only the delta; "
+        "sticky: once set, later runs inherit it from the commit marker",
     )
     ap.add_argument(
         "--entail",
@@ -224,7 +244,8 @@ def main() -> None:
                 )
             crawl_ts = str(max_ts)
         kg_state_rows = update_kg_state(
-            spark, args.kg_state, res.triples, crawl_ts
+            spark, args.kg_state, res.triples, crawl_ts,
+            buckets=args.kg_state_buckets,
         )
     entailed_rows = None
     if args.entail:
