@@ -15,8 +15,18 @@ from ontology_mapping_spark import queries as q
 # normalization_ops_suite + normalize_golden_hash stay the curated
 # primaries) to free slots for the link-graph family primaries, then
 # max_depth_per_side + union_sides (depth/union family variants) to free
-# slots for the KG-maintenance primaries.
+# slots for the KG-maintenance primaries. Round 5 rotates the KG-lifecycle
+# heavyweights (OWL saturation, DRed retraction, HITS, triangles, the SPARQL
+# text pair) into the curated 50, parking simhash16 (minhash family covers
+# near-dup) and mentions_join_scan (mention_detection_flagship is the
+# primary) per the round-4 verdict.
 REQUIRED = {
+    "kg_saturate_owl",
+    "kg_retract_entailment",
+    "hits_graph",
+    "triangle_clustering",
+    "kg_sparql_text",
+    "kg_sparql_update_text",
     "extract_links_resolved",
     "pagerank_graph",
     "pattern_relation_triples",
@@ -27,11 +37,9 @@ REQUIRED = {
     "normalization_ops_suite",
     "mentions_stream_parity",
     "mention_detection_flagship",
-    "mentions_join_scan",
     "blocking_token_join_capped",
     "ann_ivf_topk",
     "minhash_lsh_near_dups",
-    "simhash16",
     "ngram_jaccard_pairs",
     "embedding_lsh_near_dup",
     "winnow_fingerprints",
