@@ -260,8 +260,7 @@ def run_relations(spark) -> dict:
     from ontology_mapping_spark.operators.relations import (
         cooccurrence_edges,
         pattern_relations,
-        sentence_mentions,
-        split_sentences,
+        sentence_mention_groups,
     )
 
     cache = _ensure_pages_corpus(spark)
@@ -281,13 +280,13 @@ def run_relations(spark) -> dict:
     best = None
     for _ in range(reps):
         t0 = time.time()
-        m = sentence_mentions(split_sentences(pages), phrases).persist()
+        g = sentence_mention_groups(pages, phrases).persist()
         try:
-            n_mentions = m.count()
-            pattern_relations(m).write.format("noop").mode("overwrite").save()
-            cooccurrence_edges(m).write.format("noop").mode("overwrite").save()
+            n_mentions = g.select(_F.sum(_F.size("ms"))).first()[0] or 0
+            pattern_relations(g).write.format("noop").mode("overwrite").save()
+            cooccurrence_edges(g).write.format("noop").mode("overwrite").save()
         finally:
-            m.unpersist()
+            g.unpersist()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     pages.unpersist()

@@ -132,6 +132,24 @@ def load_acscan():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),       # per-page flags
         ]
+        lib.ac_scan_sentences.restype = ctypes.c_int32
+        lib.ac_scan_sentences.argtypes = [
+            ctypes.c_void_p,                      # AC
+            ctypes.c_void_p,                      # text buf (bytes or address)
+            ctypes.POINTER(ctypes.c_int64),       # text offs
+            ctypes.c_int32,                       # n_texts
+            ctypes.POINTER(ctypes.c_int64),       # pattern offs (lengths)
+            ctypes.c_int32,                       # pre_split
+            ctypes.POINTER(ctypes.c_int32),       # sent_out
+            ctypes.c_int64,                       # sent_cap
+            ctypes.POINTER(ctypes.c_uint8),       # fold_out
+            ctypes.c_int64,                       # fold_cap
+            ctypes.POINTER(ctypes.c_int64),       # fold_offs
+            ctypes.POINTER(ctypes.c_int32),       # hit_out
+            ctypes.c_int64,                       # hit_cap
+            ctypes.POINTER(ctypes.c_int64),       # counts[3]
+            ctypes.POINTER(ctypes.c_uint8),       # per-page flags
+        ]
         lib.extract_fold_debug.restype = ctypes.c_int64
         lib.extract_fold_debug.argtypes = [
             ctypes.c_void_p,
@@ -299,6 +317,7 @@ class NativeMatcher:
             pos += len(p)
             offs[i + 1] = pos
         self._buf = buf  # keep alive
+        self._offs = offs  # pattern byte offsets: lengths for ac_scan_sentences
         self._np = np
         self._ac = lib.ac_build(
             buf,
@@ -314,9 +333,14 @@ class NativeMatcher:
         # and re-scan (a measured full 2x on the bench corpus, which hits
         # ~10 unique pairs/page against the old 4/page guess)
         self._rate = 16.0
+        # adaptive per-page estimates for the sentence-scoped scan
+        self._sent_rate = 8.0   # hit-bearing sentences / page
+        self._hit_rate = 16.0   # first-occurrence hits / page
+        self._fold_rate = 512.0  # padded folded bytes / page
         # lazy flat key arrays for expand_hits (built on first use)
         self._flat_uris = None
         self._flat_phrases = None
+        self._flat_mlen = None
         self._key_counts = None
         self._key_offs = None
 
@@ -507,11 +531,8 @@ class NativeMatcher:
             counts = np.concatenate([counts, cnt2])
         return page_idx, pat_idx, counts
 
-    def expand_hits(self, page_idx, pat_idx, counts):
-        """Vectorized (uri, surface) fan-out of unique (page, pattern) hits:
-        returns (page_sel int64, uris pa.Array, surfaces pa.Array, n_hits
-        int64) with one row per (page, uri, surface) — no per-hit Python.
-        Patterns with multiple keys (same phrase, several uris) repeat."""
+    def _ensure_flat(self):
+        """Lazy flat key arrays shared by the fan-out expanders."""
         import pyarrow as pa
 
         np = self._np
@@ -528,6 +549,22 @@ class NativeMatcher:
             self._flat_phrases = pa.array(
                 [p for ks in self._keys for (_u, p) in ks], type=pa.string()
             )
+            # phrase length per flat key — folded text is pure ASCII, so
+            # the matched phrase is too and bytes == chars == F.length
+            self._flat_mlen = np.array(
+                [len(p) for ks in self._keys for (_u, p) in ks],
+                dtype=np.int32,
+            )
+
+    def expand_hits(self, page_idx, pat_idx, counts):
+        """Vectorized (uri, surface) fan-out of unique (page, pattern) hits:
+        returns (page_sel int64, uris pa.Array, surfaces pa.Array, n_hits
+        int64) with one row per (page, uri, surface) — no per-hit Python.
+        Patterns with multiple keys (same phrase, several uris) repeat."""
+        import pyarrow as pa
+
+        np = self._np
+        self._ensure_flat()
         rep = self._key_counts[pat_idx]
         total = int(rep.sum())
         page_sel = np.repeat(page_idx, rep)
@@ -536,6 +573,159 @@ class NativeMatcher:
         within = np.arange(total, dtype=np.int64) - grp_start
         idx = pa.array(np.repeat(self._key_offs[pat_idx], rep) + within)
         return page_sel, self._flat_uris.take(idx), self._flat_phrases.take(idx), n_hits
+
+    def _flat_bytes_input(self, texts):
+        """(buf_arg, offs int64, n) for list[bytes] OR a pyarrow
+        binary/string Array — Arrow data is consumed zero-copy from its
+        buffers (same shape as scan_batch_hits_html's fast path)."""
+        np = self._np
+        n = len(texts)
+        arr = None
+        if not isinstance(texts, (list, tuple)):
+            import pyarrow as pa
+
+            arr = texts
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if arr.null_count or arr.buffers()[2] is None:
+                texts = [t if t is not None else b"" for t in arr.to_pylist()]
+                texts = [t.encode("utf-8") if isinstance(t, str) else t for t in texts]
+                arr = None
+        if arr is not None:
+            import pyarrow as pa
+
+            bufs = arr.buffers()
+            if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type):
+                offs = np.frombuffer(
+                    bufs[1], dtype=np.int64, count=n + 1, offset=arr.offset * 8
+                ).copy()
+            else:
+                offs = np.frombuffer(
+                    bufs[1], dtype=np.int32, count=n + 1, offset=arr.offset * 4
+                ).astype(np.int64)
+            return ctypes.c_void_p(bufs[2].address), offs, n
+        parts = [t if t is not None else b"" for t in texts]
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(p) for p in parts], out=offs[1:])
+        return b"".join(parts), offs, n
+
+    def scan_sentences(self, texts, pre_split=False):
+        """Sentence-scoped scan (ac_scan_sentences): per sentence with >= 1
+        vocabulary hit, its padded folded text plus first-occurrence hits.
+
+        ``texts``: list of raw page-text bytes, or a pyarrow string/binary
+        Array consumed zero-copy. Returns (page_idx int64[ns], sent_id
+        int32[ns], nh int32[ns], padded pa.StringArray[ns], pat_idx
+        int64[nhits], pos int32[nhits], flags uint8[n_pages]); the hits of
+        sentence k occupy the contiguous slice sum(nh[:k]) .. +nh[k].
+        Pages with flags[t] = 1 hit an exotic-lower code point and emitted
+        nothing — re-run them with ``pre_split=True``, where each input is
+        ONE already-padded folded sentence (page_idx = input index,
+        sent_id = 0, flags unused)."""
+        import pyarrow as pa
+
+        np = self._np
+        n = len(texts)
+        empty = (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int32),
+            np.zeros(0, dtype=np.int32),
+            pa.array([], type=pa.string()),
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int32),
+            np.zeros(max(n, 1), dtype=np.uint8)[:n],
+        )
+        if self._n == 0 or n == 0:
+            return empty
+        buf_arg, offs, n = self._flat_bytes_input(texts)
+        sent_cap = max(int(self._sent_rate * n) + 64, 1024)
+        hit_cap = max(int(self._hit_rate * n) + 64, 1024)
+        fold_cap = max(int(self._fold_rate * n) + 1024, 1 << 16)
+        flags = np.zeros(n, dtype=np.uint8)
+        while True:
+            sent_out = np.empty(3 * sent_cap, dtype=np.int32)
+            fold_out = np.empty(fold_cap, dtype=np.uint8)
+            fold_offs = np.zeros(sent_cap + 1, dtype=np.int64)
+            hit_out = np.empty(2 * hit_cap, dtype=np.int32)
+            counts = np.zeros(3, dtype=np.int64)
+            flags[:] = 0
+            rc = self._lib.ac_scan_sentences(
+                self._ac,
+                buf_arg,
+                offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_int32(n),
+                self._offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_int32(1 if pre_split else 0),
+                sent_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_int64(sent_cap),
+                fold_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.c_int64(fold_cap),
+                fold_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                hit_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.c_int64(hit_cap),
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+            if rc < 0:
+                raise MemoryError("ac_scan_sentences scratch allocation failed")
+            ns, nh, nf = (int(x) for x in counts)
+            if ns <= sent_cap and nh <= hit_cap and nf <= fold_cap:
+                break
+            sent_cap = max(sent_cap, ns)
+            hit_cap = max(hit_cap, nh)
+            fold_cap = max(fold_cap, nf)
+        if n and not pre_split:
+            self._sent_rate = ns / n * 1.5 + 1.0
+            self._hit_rate = nh / n * 1.5 + 1.0
+            self._fold_rate = nf / n * 1.5 + 64.0
+        tri = sent_out[: 3 * ns].reshape(-1, 3)
+        padded = pa.Array.from_buffers(
+            pa.large_utf8(),
+            ns,
+            [None, pa.py_buffer(fold_offs[: ns + 1].tobytes()),
+             pa.py_buffer(fold_out[:nf].tobytes())],
+        ).cast(pa.string())
+        hits = hit_out[: 2 * nh].reshape(-1, 2)
+        return (
+            tri[:, 0].astype(np.int64),
+            tri[:, 1].copy(),
+            tri[:, 2].copy(),
+            padded,
+            hits[:, 0].astype(np.int64),
+            hits[:, 1].copy(),
+            flags,
+        )
+
+    def expand_sentence_hits(self, nh, pat_idx, pos):
+        """(per-sentence hit counts, flat pat_idx, flat pos) -> ``ms``
+        pa.ListArray<struct<pos int32, mlen int32, uri string>> with one
+        list per sentence — each (pattern, pos) hit fans out to every
+        (uri, phrase) key sharing that pattern, vectorized (no per-hit
+        Python), mirroring :meth:`expand_hits`."""
+        import pyarrow as pa
+
+        np = self._np
+        self._ensure_flat()
+        rep = self._key_counts[pat_idx]
+        total = int(rep.sum())
+        grp_start = np.repeat(np.cumsum(rep) - rep, rep)
+        within = np.arange(total, dtype=np.int64) - grp_start
+        idx = np.repeat(self._key_offs[pat_idx], rep) + within
+        values = pa.StructArray.from_arrays(
+            [
+                pa.array(np.repeat(pos.astype(np.int32), rep), type=pa.int32()),
+                pa.array(self._flat_mlen[idx], type=pa.int32()),
+                self._flat_uris.take(pa.array(idx)),
+            ],
+            names=["pos", "mlen", "uri"],
+        )
+        # list offsets: fanned hit count per sentence (hits are contiguous)
+        rep_cum = np.concatenate(([0], np.cumsum(rep))).astype(np.int64)
+        ends = np.concatenate(([0], np.cumsum(nh.astype(np.int64))))
+        offsets = rep_cum[ends]
+        return pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), type=pa.int32()), values
+        )
 
     def __del__(self):
         try:

@@ -902,6 +902,228 @@ int64_t ac_scan_multi_html_agg(const AC *ac, const EntTable *et,
     return n;
 }
 
+/* ================================================================== */
+/* Sentence-scoped scan for relation extraction (operators/relations.py).
+ *
+ * The relations lane needs, per SENTENCE (not per page): the padded
+ * folded sentence text plus (first-occurrence position, phrase length,
+ * pattern) for every vocabulary phrase it contains — the grouped shape
+ * operators/relations.grouped_mentions builds from a sentence-explode +
+ * token-explode + broadcast join + groupBy. This entry point produces it
+ * in ONE C pass per page: split, fold, match, group — no corpus shuffle.
+ *
+ * Contract (must equal the Catalyst path, pinned in tests/test_relations):
+ *   - sentence split = Spark split(text, "(?<=[.!?])\\s+") with Java
+ *     \s = [ \t\n\x0B\f\r]: a delimiter is a maximal ASCII-space run whose
+ *     first byte is directly preceded by '.', '!' or '?'; sent_id counts
+ *     ALL parts (posexplode), including empty/hitless ones.
+ *   - fold = lower + [^a-z0-9]+ -> ' ' + collapse + trim, then pad with
+ *     one space each side — byte-level fold is exact except U+0130/U+212A
+ *     (str.lower() emits ASCII alnums); pages containing either byte
+ *     sequence are FLAGGED (flags[t] = 1, output rewound) and the caller
+ *     re-runs them through the Python split+fold with pre_split = 1.
+ *   - pos = 1-based index of the FIRST " phrase " occurrence in the
+ *     padded sentence (== F.instr), valid because folded text is pure
+ *     ASCII so bytes == chars.
+ * Only sentences with >= 1 hit are emitted (join semantics). Outputs use
+ * the usual count-and-retry protocol: counts[] = {n_sents, n_hits,
+ * n_fold_bytes} totals; entries beyond the caps are counted, not written.
+ */
+
+static inline int java_space(uint8_t c) {
+    return c == 0x20 || (c >= 0x09 && c <= 0x0D);
+}
+
+typedef struct {
+    int32_t *sent_out;   /* 3 per sentence: page_idx, sent_id, n_hits */
+    int64_t  sent_cap, n_sents;
+    uint8_t *fold_out;   /* concatenated padded folded sentences */
+    int64_t  fold_cap, n_fold;
+    int64_t *fold_offs;  /* sent_cap + 1; [0] caller-zeroed */
+    int32_t *hit_out;    /* 2 per hit: pat_idx, pos(1-based) */
+    int64_t  hit_cap, n_hits;
+    int64_t *stamp;      /* n_patterns: scount of last emit, first-only */
+    int64_t  scount;
+    const int64_t *pat_offs;  /* pattern byte offsets (for lengths) */
+} SentEmit;
+
+static inline int sent_emit_hit(SentEmit *se, int32_t pat, int64_t end_i) {
+    if (se->stamp[pat] == se->scount) return 0; /* first occurrence only */
+    se->stamp[pat] = se->scount;
+    if (se->n_hits < se->hit_cap) {
+        int64_t plen = se->pat_offs[pat + 1] - se->pat_offs[pat];
+        se->hit_out[2 * se->n_hits] = pat;
+        /* match ends at byte end_i (0-based, the trailing pad space);
+         * 1-based start = end_i - plen + 2 */
+        se->hit_out[2 * se->n_hits + 1] = (int32_t)(end_i - plen + 2);
+    }
+    se->n_hits++;
+    return 1;
+}
+
+/* scan ONE padded folded sentence; returns hits emitted */
+static int32_t scan_sentence(const AC *ac, const uint8_t *s, int64_t L,
+                             SentEmit *se) {
+    int32_t nh = 0;
+    int32_t state = 0;
+    int64_t i = 0;
+    se->scount++;
+    while (i < L) {
+        if (state == 0) {
+            const uint8_t *p = memchr(s + i, ' ', (size_t)(L - i));
+            if (!p) break;
+            i = (p - s) + 1;
+            state = ac->s1;
+            continue;
+        }
+        uint8_t c = s[i];
+        int32_t g;
+        for (;;) {
+            g = (state == 0) ? (c == ' ' ? ac->s1 : 0)
+                : (state == ac->s1) ? ac->s1_next[c]
+                                    : ht_get(ac, state, c);
+            if (g > 0) { state = g; break; }
+            if (state == 0) break;
+            state = ac->fail[state];
+        }
+        i++;
+        if (g <= 0) continue;
+        int32_t u = state;
+        if (ac->out[u] >= 0) nh += sent_emit_hit(se, ac->out[u], i - 1);
+        u = ac->olink[u];
+        while (u >= 0) {
+            nh += sent_emit_hit(se, ac->out[u], i - 1);
+            u = ac->olink[u];
+        }
+    }
+    return nh;
+}
+
+static void sent_commit(SentEmit *se, int32_t page, int32_t sid, int32_t nh,
+                        const uint8_t *padded, int64_t L) {
+    if (se->n_sents < se->sent_cap) {
+        se->sent_out[3 * se->n_sents] = page;
+        se->sent_out[3 * se->n_sents + 1] = sid;
+        se->sent_out[3 * se->n_sents + 2] = nh;
+        if (se->n_fold + L <= se->fold_cap)
+            memcpy(se->fold_out + se->n_fold, padded, L);
+        se->fold_offs[se->n_sents + 1] = se->fold_offs[se->n_sents] + L;
+    }
+    se->n_fold += L;
+    se->n_sents++;
+}
+
+/* raw page text -> per-sentence fold + scan; returns 0, or 1 = page
+ * flagged (exotic-lower bytes: Python path decides) */
+static int scan_page_sentences(const AC *ac, const uint8_t *page, int64_t len,
+                               int32_t page_idx, uint8_t *scratch,
+                               SentEmit *se) {
+    int64_t i = 0;
+    int32_t sid = 0;
+    for (;;) {
+        /* current part = page[i .. sent_end); delimiter = java-space run
+         * whose first byte is preceded by [.!?] (the preceding byte at
+         * j == i is the previous delimiter's last space — never [.!?]) */
+        int64_t j = i, sent_end = len, delim_end = -1;
+        while (j < len) {
+            if (java_space(page[j]) && j > 0 &&
+                (page[j - 1] == '.' || page[j - 1] == '!' || page[j - 1] == '?')) {
+                sent_end = j;
+                delim_end = j + 1;
+                while (delim_end < len && java_space(page[delim_end])) delim_end++;
+                break;
+            }
+            j++;
+        }
+        /* fold page[i..sent_end) into padded scratch */
+        int64_t L = 0;
+        scratch[L++] = ' ';
+        int pending = 0, any = 0;
+        for (int64_t k = i; k < sent_end; k++) {
+            uint8_t c = page[k];
+            uint8_t f = fold_byte(c);
+            if (!f) {
+                if (c == 0xC4 && k + 1 < sent_end && page[k + 1] == 0xB0)
+                    return 1; /* U+0130 */
+                if (c == 0xE2 && k + 2 < sent_end && page[k + 1] == 0x84 &&
+                    page[k + 2] == 0xAA)
+                    return 1; /* U+212A */
+                pending = 1;
+                continue;
+            }
+            if (any && pending) scratch[L++] = ' ';
+            pending = 0;
+            scratch[L++] = f;
+            any = 1;
+        }
+        if (any) {
+            scratch[L++] = ' ';
+            int32_t nh = scan_sentence(ac, scratch, L, se);
+            if (nh > 0) sent_commit(se, page_idx, sid, nh, scratch, L);
+        }
+        sid++;
+        if (delim_end < 0) break;
+        i = delim_end;
+        if (i >= len) { /* trailing delimiter: one final empty part */
+            break;
+        }
+    }
+    return 0;
+}
+
+/* pre_split = 0: texts are raw page texts (split+fold here; exotic-lower
+ * pages get flags[t] = 1 and their output rewound). pre_split = 1: each
+ * text IS one padded folded sentence (page_idx = t, sent_id = 0) — the
+ * Python-fallback re-entry for flagged pages. Returns 0, -1 on alloc
+ * failure; caller retries when counts exceed caps. */
+int32_t ac_scan_sentences(const AC *ac, const uint8_t *buf,
+                          const int64_t *t_offs, int32_t n_texts,
+                          const int64_t *pat_offs, int32_t pre_split,
+                          int32_t *sent_out, int64_t sent_cap,
+                          uint8_t *fold_out, int64_t fold_cap,
+                          int64_t *fold_offs,
+                          int32_t *hit_out, int64_t hit_cap,
+                          int64_t *counts, uint8_t *flags) {
+    int32_t np = ac->n_patterns > 0 ? ac->n_patterns : 1;
+    int64_t *stamp = (int64_t *)calloc(np, sizeof(int64_t));
+    if (!stamp) return -1;
+    uint8_t *scratch = NULL;
+    if (!pre_split) {
+        int64_t maxlen = 0;
+        for (int32_t t = 0; t < n_texts; t++) {
+            int64_t l = t_offs[t + 1] - t_offs[t];
+            if (l > maxlen) maxlen = l;
+        }
+        scratch = (uint8_t *)malloc(maxlen + 3);
+        if (!scratch) { free(stamp); return -1; }
+    }
+    SentEmit se = {sent_out, sent_cap, 0, fold_out, fold_cap, 0,
+                   fold_offs, hit_out, hit_cap, 0, stamp, 0, pat_offs};
+    if (sent_cap > 0) fold_offs[0] = 0;
+    for (int32_t t = 0; t < n_texts; t++) {
+        const uint8_t *page = buf + t_offs[t];
+        int64_t len = t_offs[t + 1] - t_offs[t];
+        if (pre_split) {
+            int32_t nh = scan_sentence(ac, page, len, &se);
+            if (nh > 0) sent_commit(&se, t, 0, nh, page, len);
+            continue;
+        }
+        int64_t s0 = se.n_sents, h0 = se.n_hits, f0 = se.n_fold;
+        if (scan_page_sentences(ac, page, len, t, scratch, &se)) {
+            /* rewind the flagged page (stale stamps are harmless: scount
+             * only increases) */
+            flags[t] = 1;
+            se.n_sents = s0; se.n_hits = h0; se.n_fold = f0;
+        }
+    }
+    counts[0] = se.n_sents;
+    counts[1] = se.n_hits;
+    counts[2] = se.n_fold;
+    free(stamp);
+    free(scratch);
+    return 0;
+}
+
 /* Debug/equivalence entry: folded token stream ("tok1 tok2", no pads)
  * for ONE page — must equal ' '.join(tokens_from_html_py(html)) when not
  * flagged. out must hold >= len bytes (output never exceeds input: every

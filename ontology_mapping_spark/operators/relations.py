@@ -126,22 +126,229 @@ def sentence_mentions(sentences: DataFrame, phrases: DataFrame) -> DataFrame:
     )
 
 
+GROUPED_MENTIONS_SCHEMA = (
+    "url string, sent_id int, padded string, "
+    "ms array<struct<pos:int,mlen:int,uri:string>>"
+)
+
+# Python twin of the Catalyst sentence split + fold (and of the C kernel's
+# byte-level form): Java regex \s is exactly [ \t\n\x0B\f\r]
+_SENT_SPLIT = None
+
+
+def _py_sentence_parts(text: str) -> list[tuple[int, str]]:
+    """(sent_id, padded folded sentence) per NON-EMPTY-folding part —
+    the pure-Python twin of split_sentences + fold_sentence + padding,
+    used for C-flagged pages (exotic-lower code points) and compiler-less
+    hosts. sent_id counts ALL split parts, like posexplode."""
+    global _SENT_SPLIT
+    import re
+
+    if _SENT_SPLIT is None:
+        _SENT_SPLIT = re.compile(r"(?<=[.!?])[ \t\n\x0b\f\r]+")
+    out = []
+    for sid, part in enumerate(_SENT_SPLIT.split(text)):
+        folded = re.sub(r"[^a-z0-9]+", " ", part.lower()).strip(" ")
+        if folded:
+            out.append((sid, " " + folded + " "))
+    return out
+
+
+def _py_group_rows(vocab_rows, texts: list[str | None]):
+    """Compiler-less full fallback: (page_idx, sent_id, padded, ms-list)
+    tuples via the first-token blocked index + str.find — same contract,
+    interpreter-bound (the degradation path for heterogeneous hosts)."""
+    index: dict[str, list] = {}
+    for uri, phrase in vocab_rows:
+        toks = phrase.split()
+        if toks:
+            index.setdefault(toks[0], []).append(
+                (" " + phrase + " ", len(phrase), uri)
+            )
+    rows = []
+    for i, text in enumerate(texts):
+        if not text:
+            continue
+        for sid, padded in _py_sentence_parts(text):
+            cands = set(padded.split()).intersection(index)
+            ms = []
+            for t in sorted(cands):
+                for pp, mlen, uri in index[t]:
+                    at = padded.find(pp)
+                    if at >= 0:
+                        ms.append({"pos": at + 1, "mlen": mlen, "uri": uri})
+            if ms:
+                rows.append((i, sid, padded, ms))
+    return rows
+
+
+def sentence_mention_groups(
+    pages: DataFrame,
+    phrases: DataFrame,
+    impl: str = "auto",
+) -> DataFrame:
+    """(url, text) × (uri, phrase) -> the GROUPED mention table
+    (url, sent_id, padded, ms) of every mention-bearing sentence, ready
+    for the within-row pair consumers — the fused form of
+    ``group_mention_rows(sentence_mentions(split_sentences(pages), ...))``.
+
+    ``impl``:
+
+    * "auto" — "cnative" when the C scanner compiles on this host, else
+      the declarative "join" path.
+    * "cnative" — ONE C call per Arrow batch does sentence split, fold,
+      Aho-Corasick first-position match and per-sentence grouping
+      (native/acscan.c ac_scan_sentences), consuming the page bytes
+      zero-copy from the Arrow buffer. The ~30x sentence explode, the
+      token explode, the broadcast join AND the (url, sent_id) groupBy
+      exchange all disappear — the corpus never shuffles before the final
+      triple aggregate. Pages containing U+0130/U+212A (the two code
+      points whose str.lower() emits ASCII alnums — textnorm's
+      _EXOTIC_LOWER contract) are flagged by the C pass and re-run
+      through the Python split+fold, so results always equal the
+      Catalyst path (equivalence pinned in tests/test_relations.py).
+      Hosts without a compiler degrade to a pure-Python per-page scan,
+      same results.
+    * "join" — the Catalyst path (split_sentences -> sentence_mentions ->
+      group_mention_rows), always available, the reference the kernel is
+      tested against.
+
+    Page urls are the group key downstream; rows are grouped per page ROW
+    here, so duplicate urls in ``pages`` should be deduplicated first
+    (everywhere in this engine the url IS the page key). The vocabulary
+    rides a Spark broadcast — ontology-sized by contract, same as
+    mentions_via_trie (see mentions.py gazetteer notes for the crossover
+    to the blocking join when it is not)."""
+    from ontology_mapping_spark.operators.mentions import (
+        _cached_matcher,
+        _mint_scanner_key,
+        _native_available,
+        canonical_phrase_rows,
+    )
+
+    if impl == "auto":
+        impl = "cnative" if _native_available() else "join"
+    if impl == "join":
+        return group_mention_rows(
+            sentence_mentions(split_sentences(pages), phrases)
+        )
+    if impl != "cnative":
+        raise ValueError(f"unknown impl {impl!r}")
+    spark = pages.sparkSession
+    rows = canonical_phrase_rows(
+        [(r["uri"], r["phrase"]) for r in phrases.select("uri", "phrase").collect()]
+    )
+    bc = spark.sparkContext.broadcast(rows)
+    cache_key = _mint_scanner_key("cnative-sent")
+
+    def scan(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            url_col = b.column("url")
+            m = _cached_matcher(bc, cache_key)
+            if not hasattr(m, "scan_sentences"):
+                texts = b.column("text").to_pylist()
+                py_rows = _py_group_rows(bc.value, texts)
+                if py_rows:
+                    idx = pa.array([r[0] for r in py_rows], type=pa.int64())
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            url_col.take(idx),
+                            pa.array([r[1] for r in py_rows], type=pa.int32()),
+                            pa.array([r[2] for r in py_rows], type=pa.string()),
+                            pa.array(
+                                [r[3] for r in py_rows],
+                                type=pa.list_(
+                                    pa.struct(
+                                        [("pos", pa.int32()), ("mlen", pa.int32()),
+                                         ("uri", pa.string())]
+                                    )
+                                ),
+                            ),
+                        ],
+                        names=["url", "sent_id", "padded", "ms"],
+                    )
+                continue
+            page_idx, sent_id, nh, padded, pat_idx, pos, flags = m.scan_sentences(
+                b.column("text")
+            )
+            if len(page_idx):
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        url_col.take(pa.array(page_idx)),
+                        pa.array(sent_id, type=pa.int32()),
+                        padded,
+                        m.expand_sentence_hits(nh, pat_idx, pos),
+                    ],
+                    names=["url", "sent_id", "padded", "ms"],
+                )
+            flagged = np.nonzero(flags)[0]
+            if flagged.size:
+                text_col = b.column("text")
+                parts, fpage, fsid = [], [], []
+                for i in flagged:
+                    t = text_col[int(i)].as_py()
+                    for sid, pad in _py_sentence_parts(t or ""):
+                        parts.append(pad.encode("utf-8"))
+                        fpage.append(int(i))
+                        fsid.append(sid)
+                if parts:
+                    p2, _z, nh2, padded2, pat2, pos2, _f = m.scan_sentences(
+                        parts, pre_split=True
+                    )
+                    if len(p2):
+                        fpage = np.asarray(fpage, dtype=np.int64)
+                        fsid = np.asarray(fsid, dtype=np.int32)
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                url_col.take(pa.array(fpage[p2])),
+                                pa.array(fsid[p2], type=pa.int32()),
+                                padded2,
+                                m.expand_sentence_hits(nh2, pat2, pos2),
+                            ],
+                            names=["url", "sent_id", "padded", "ms"],
+                        )
+
+    return pages.select("url", "text").mapInArrow(
+        scan, schema=GROUPED_MENTIONS_SCHEMA
+    )
+
+
+def group_mention_rows(mentions: DataFrame) -> DataFrame:
+    """Per-hit mention rows -> (url, sent_id, padded, ms:
+    array<struct<pos,mlen,uri>>), one row per mention-bearing sentence
+    with NO minimum-size filter — the grouped shape every pair consumer
+    starts from, and the contract :func:`sentence_mention_groups`'s
+    native kernel produces without this exchange."""
+    return mentions.groupBy("url", "sent_id").agg(
+        F.max("padded").alias("padded"),
+        F.collect_list(F.struct("pos", "mlen", "uri")).alias("ms"),
+    )
+
+
+def _as_groups(m: DataFrame) -> DataFrame:
+    """Accept either per-hit mention rows or an already-grouped table
+    (anything carrying an ``ms`` column, e.g. the native kernel output)."""
+    return m if "ms" in m.columns else group_mention_rows(m)
+
+
 def grouped_mentions(
     mentions: DataFrame, max_mentions: int | None = None
 ) -> DataFrame:
     """(url, sent_id, padded, ms: array<struct<pos,mlen,uri>>) for
     sentences with >= 2 mentions — the ONE exchange both pair consumers
-    share; pair enumeration stays within-row after it.
+    share; pair enumeration stays within-row after it. Accepts per-hit
+    mention rows OR a pre-grouped table (see :func:`_as_groups`); with
+    the native sentence kernel upstream there is no exchange here at all.
 
     ``max_mentions`` is the df-cap analog for pathological rows (a page
     whose "sentence" is a 10^4-entity list would otherwise cost O(k^2)
     in-row): when set, keep the first ``max_mentions`` mentions in
     (pos, mlen, uri) order — deterministic, text-order, and the cap is
     loud in the plan (a slice), never silent truncation by Spark."""
-    g = mentions.groupBy("url", "sent_id").agg(
-        F.max("padded").alias("padded"),
-        F.collect_list(F.struct("pos", "mlen", "uri")).alias("ms"),
-    )
+    g = _as_groups(mentions)
     if max_mentions is not None:
         g = g.withColumn(
             "ms", F.slice(F.array_sort("ms"), 1, int(max_mentions))
@@ -312,18 +519,18 @@ def relation_confidence(mentions: DataFrame, max_mentions: int | None = None) ->
     Scale shape: per-entity sentence counts are one partial+final agg on
     uri (vocabulary-sized result, broadcast back onto the edge list); N
     rides in via a 1-row aggregate cross-joined broadcast — no driver
-    round-trip, no corpus re-scan."""
-    edges = cooccurrence_edges(mentions, max_mentions)
+    round-trip, no corpus re-scan. Input may be per-hit mention rows or
+    the grouped table (:func:`sentence_mention_groups`); the grouped form
+    derives ent/total WITHOUT the two distinct-shuffles the per-hit form
+    needed (a group row IS a distinct (url, sent_id))."""
+    g = _as_groups(mentions)
+    edges = cooccurrence_edges(g, max_mentions)
     ent = (
-        mentions.select("url", "sent_id", "uri")
-        .distinct()
+        g.select(F.explode(F.array_distinct("ms.uri")).alias("uri"))
         .groupBy("uri")
         .agg(F.count("*").alias("n_ent"))
     )
-    total = (
-        mentions.select("url", "sent_id").distinct()
-        .agg(F.count("*").alias("n_total"))
-    )
+    total = g.agg(F.count("*").alias("n_total"))
     p_so = F.col("n_sents") / F.col("n_total")
     p_s = F.col("n_subj") / F.col("n_total")
     p_o = F.col("n_obj") / F.col("n_total")
@@ -351,14 +558,16 @@ def extract_relations(
     phrases: DataFrame,
     patterns: dict[str, str] | None = None,
     max_mentions: int | None = None,
+    impl: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """pages × phrase vocabulary -> (cooccurrence_edges, pattern_triples).
 
-    One sentence-mention table feeds both consumers; callers running both
-    at corpus scale should persist it (session.materialize) so the scan +
-    broadcast join executes once."""
-    m = sentence_mentions(split_sentences(pages), phrases)
+    One grouped sentence-mention table (:func:`sentence_mention_groups`,
+    the fused C scan when available) feeds both consumers; callers running
+    both at corpus scale should persist it so the page scan executes
+    once."""
+    g = sentence_mention_groups(pages, phrases, impl=impl)
     return (
-        cooccurrence_edges(m, max_mentions),
-        pattern_relations(m, patterns, max_mentions),
+        cooccurrence_edges(g, max_mentions),
+        pattern_relations(g, patterns, max_mentions),
     )

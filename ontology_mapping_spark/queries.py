@@ -155,6 +155,10 @@ LOCAL_ONLY: frozenset = frozenset(
         "global_topn",
         # npmi weighting: same relation family as the two curated primaries
         "cooccurrence_npmi",
+        # declarative join-path variant of pattern_relation_triples: keeps
+        # the Catalyst sentence-mention path value-verified after the
+        # curated primaries moved to the fused C sentence scan (round 5)
+        "relation_triples_joinpath",
         # serialization sink: §2.1 family already holds a curated writer row
         "kg_ntriples_lines",
         # its named-graph twin (optional 4th term; NULL graph = 3-term
@@ -2793,13 +2797,34 @@ def q_pattern_relations(spark, sf):
     # the 'and' sentence must contribute nothing here
     from ontology_mapping_spark.operators.relations import (
         pattern_relations,
-        sentence_mentions,
-        split_sentences,
+        sentence_mention_groups,
     )
 
     pages, phrases = _relations_inputs(spark, sf)
-    m = sentence_mentions(split_sentences(pages), phrases)
-    out = pattern_relations(m)
+    out = pattern_relations(sentence_mention_groups(pages, phrases))
+    return out.select("subj", "pred", "obj", F.col("n").cast("long").alias("n"))
+
+
+@query(
+    "relation_triples_joinpath",
+    f"""WITH d AS ({_REL_D}), t AS (
+      SELECT 'uri:' || a AS subj, 'kg:isA' AS pred, 'uri:' || b AS obj FROM d
+      UNION ALL SELECT 'uri:' || c, 'kg:partOf', 'uri:' || dd FROM d)
+    SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY subj, pred, obj""",
+)
+def q_relation_triples_joinpath(spark, sf):
+    # the declarative Catalyst variant of pattern_relation_triples
+    # (sentence explode + broadcast first-token join): keeps the join path
+    # value-verified by the local gate while the driver primary exercises
+    # the fused C sentence scan; native==join parity is also pytest-pinned
+    from ontology_mapping_spark.operators.relations import (
+        pattern_relations,
+        sentence_mention_groups,
+    )
+
+    pages, phrases = _relations_inputs(spark, sf)
+    out = pattern_relations(sentence_mention_groups(pages, phrases, impl="join"))
     return out.select("subj", "pred", "obj", F.col("n").cast("long").alias("n"))
 
 
@@ -2817,12 +2842,11 @@ def q_sentence_cooccurrence(spark, sf):
     # counted over the corpus (distant-supervision co-occurrence signal)
     from ontology_mapping_spark.operators.relations import (
         cooccurrence_edges,
-        sentence_mentions,
-        split_sentences,
+        sentence_mention_groups,
     )
 
     pages, phrases = _relations_inputs(spark, sf)
-    out = cooccurrence_edges(sentence_mentions(split_sentences(pages), phrases))
+    out = cooccurrence_edges(sentence_mention_groups(pages, phrases))
     return out.select("subj", "obj", F.col("n_sents").cast("long").alias("n_sents"))
 
 
@@ -2858,12 +2882,11 @@ def q_cooccurrence_npmi(spark, sf):
     # planted doc_id arithmetic, independent of the engine's mention algebra
     from ontology_mapping_spark.operators.relations import (
         relation_confidence,
-        sentence_mentions,
-        split_sentences,
+        sentence_mention_groups,
     )
 
     pages, phrases = _relations_inputs(spark, sf)
-    out = relation_confidence(sentence_mentions(split_sentences(pages), phrases))
+    out = relation_confidence(sentence_mention_groups(pages, phrases))
     return out.select(
         "subj",
         "obj",

@@ -289,3 +289,163 @@ def test_sentence_split_ids(spark):
     s = split_sentences(pages).filter("url = 'p1'").orderBy("sent_id").collect()
     assert [r.sent_id for r in s] == [0, 1, 2]
     assert s[1].sentence.startswith("The long tail")
+
+
+# ------------------------------------------------- fused C sentence kernel
+
+# adversarial page set for the split/fold/first-pos contract: Java-\s
+# whitespace forms, unicode separators, the two exotic-lower code points
+# (C-flagged -> Python re-entry), empty/null text, trailing delimiters,
+# punctuation-only sentences, overlapping + nested phrases
+NASTY_PAGES = [
+    ("n1", "A cat is an animal. The long tail, part of the cat! Paris?"),
+    ("n2", "cat\tis a animal.\t cat is a\x0banimal.\r\ncat!"),
+    ("n3", ""),
+    ("n4", None),
+    ("n5", "no sentence punctuation at all cat is a animal"),
+    ("n6", "ends with a delimiter. "),
+    ("n7", "...!?. ?! . cat."),
+    ("n8", "İstanbul cat is a animal. KELVIN K cat is a long tail."),
+    ("n9", "héllo cät — cat is a animal; cat…is…a…animal. cat  is  a  animal."),
+    ("n10", "cat cat cat is a cat. long tail is a long tail!"),
+    ("n11", "x. y. z. cat is a animal. " * 3),
+    ("n12", "中文 cat is a animal。cat is a animal.  cat!"),
+]
+
+
+def _nasty_dfs(spark):
+    pages = spark.createDataFrame(NASTY_PAGES, "url string, text string")
+    phrases = spark.createDataFrame(
+        sorted(PHRASES.items()), "uri string, phrase string"
+    )
+    return pages, phrases
+
+
+def _norm_groups(df):
+    return [
+        (r.url, r.sent_id, r.padded, sorted(map(tuple, r.ms)))
+        for r in df.collect()
+    ]
+
+
+def _native_ready() -> bool:
+    from ontology_mapping_spark.operators.mentions import _native_available
+
+    return _native_available()
+
+
+def test_native_groups_match_join_path(spark):
+    """The C sentence kernel (split+fold+first-pos match+group in one
+    pass, exotic pages Python-re-entered) must equal the Catalyst path
+    row-for-row — padded text, sent_id numbering, positions, fan-out."""
+    import pytest
+
+    from ontology_mapping_spark.operators.relations import (
+        relation_confidence,
+        sentence_mention_groups,
+    )
+
+    if not _native_ready():
+        pytest.skip("no C compiler: native sentence kernel unavailable")
+    pages, phrases = _nasty_dfs(spark)
+    join = sorted(_norm_groups(sentence_mention_groups(pages, phrases, impl="join")))
+    nat = sorted(_norm_groups(sentence_mention_groups(pages, phrases, impl="cnative")))
+    assert nat == join
+    assert len(nat) >= 15  # the fixture actually produces mention groups
+    # the flagged exotic page is present and correct (not dropped)
+    assert any(u == "n8" for u, *_ in nat)
+    # consumers agree end-to-end on both shapes
+    for fn in (pattern_relations, cooccurrence_edges, relation_confidence):
+        a = sorted(
+            map(tuple, fn(sentence_mention_groups(pages, phrases, impl="join")).collect())
+        )
+        b = sorted(
+            map(tuple, fn(sentence_mention_groups(pages, phrases, impl="cnative")).collect())
+        )
+        assert a == b, fn.__name__
+
+
+def test_native_groups_random_corpus(spark):
+    """Seeded-random corpus (pattern words as entity tokens, overlap,
+    whitespace noise) through the C kernel vs the pure-Python twin."""
+    import pytest
+    import random
+
+    from ontology_mapping_spark.operators.relations import (
+        extract_relations,
+    )
+
+    if not _native_ready():
+        pytest.skip("no C compiler: native sentence kernel unavailable")
+    rng = random.Random(20260820)
+    toks = ["is", "a", "part", "of", "in", "cat", "dog", "x1", "located"]
+    phr = ["cat", "dog", "x1", "cat dog", "dog x1", "part", "in"]
+    phrases = {f"u{i}": p for i, p in enumerate(phr)}
+    pages = []
+    for i in range(60):
+        sents = []
+        for _ in range(rng.randint(1, 4)):
+            words = [rng.choice(toks) for _ in range(rng.randint(0, 10))]
+            punct = rng.choice([".", "!", "?", "", "?  ", ".\t"])
+            sents.append(" ".join(words) + punct)
+        pages.append((f"r{i}", " ".join(sents)))
+    pages_df = spark.createDataFrame(pages, "url string, text string")
+    phrases_df = spark.createDataFrame(
+        sorted(phrases.items()), "uri string, phrase string"
+    )
+    cooc_df, typed_df = extract_relations(pages_df, phrases_df, impl="cnative")
+    got_cooc = {(r.subj, r.obj): r.n_sents for r in cooc_df.collect()}
+    got_typed = {(r.subj, r.pred, r.obj): r.n for r in typed_df.collect()}
+    want_cooc, want_typed = relations_py(pages, phrases)
+    assert got_cooc == want_cooc
+    assert got_typed == want_typed
+
+
+def test_py_group_rows_degradation_twin(spark):
+    """The compiler-less executor fallback (_py_group_rows) must equal the
+    Catalyst join path — it is what heterogeneous hosts actually run."""
+    from ontology_mapping_spark.operators.mentions import canonical_phrase_rows
+    from ontology_mapping_spark.operators.relations import (
+        _py_group_rows,
+        group_mention_rows,
+    )
+
+    pages, phrases = _nasty_dfs(spark)
+    join = sorted(
+        _norm_groups(
+            group_mention_rows(sentence_mentions(split_sentences(pages), phrases))
+        )
+    )
+    vocab = canonical_phrase_rows(
+        [(r.uri, r.phrase) for r in phrases.collect()]
+    )
+    texts = [t for _u, t in NASTY_PAGES]
+    got = sorted(
+        (
+            NASTY_PAGES[i][0],
+            sid,
+            padded,
+            sorted((m["pos"], m["mlen"], m["uri"]) for m in ms),
+        )
+        for i, sid, padded, ms in _py_group_rows(vocab, texts)
+    )
+    assert got == join
+
+
+def test_native_plan_has_no_pre_agg_exchange(spark):
+    """The fused kernel's plan: pattern_relations over native groups has
+    exactly ONE exchange (the final triple agg) — the sentence-group
+    exchange of the join path is gone."""
+    import pytest
+
+    from ontology_mapping_spark.operators.relations import (
+        sentence_mention_groups,
+    )
+
+    if not _native_ready():
+        pytest.skip("no C compiler: native sentence kernel unavailable")
+    pages, phrases = _dfs(spark)
+    out = pattern_relations(sentence_mention_groups(pages, phrases, impl="cnative"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan, plan
