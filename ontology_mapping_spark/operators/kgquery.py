@@ -43,9 +43,12 @@ Scale notes (10^12-triple KG):
   layout — predicates are few, subjects/objects are many), a
   constant-predicate pattern prunes to a single partition.
 * Join order is greedy most-selective-first: patterns with more constant
-  terms bind first, and every subsequent pattern must share >=1 variable
-  with the already-bound set — a disconnected BGP would be a cartesian
-  product and raises unless ``allow_product=True``.
+  terms bind first — or, when per-predicate counts are supplied
+  (``stats=predicate_stats(triples)``), by estimated cardinality, which
+  at store scale correctly orders a huge-but-bound ``rdf:type`` pattern
+  AFTER a rare-predicate one. Every subsequent pattern must share >=1
+  variable with the already-bound set — a disconnected BGP would be a
+  cartesian product and raises unless ``allow_product=True``.
 * A pattern with >=2 constants is a node-neighborhood slice ((s,p,?o) /
   (?s,p,o)), bounded by one node's fan-out — dimension-sized by
   construction — so it gets a broadcast hint; single-constant patterns
@@ -150,6 +153,42 @@ def _pattern_df(
     return df.select(*cols), set(first_pos_of)
 
 
+def predicate_stats(triples: DataFrame) -> dict[str, int]:
+    """Per-predicate triple counts for statistics-driven BGP join ordering.
+
+    One partial+final groupBy collected to the driver: the predicate
+    domain is schema-sized by RDF nature (10^2-10^4 predicates even at
+    10^12 triples), so this is a bounded driver aggregate. Compute it
+    once per session — or once per crawl, persisted in the KG state
+    manifest next to the merge output — and pass it to ``bgp_match`` /
+    ``bgp_union`` as ``stats``. Worth it because the constants-count
+    heuristic inverts at scale: a bound-predicate pattern over
+    ``rdf:type`` can be the LARGEST relation in the store while another
+    1-constant pattern selects three rows."""
+    return {
+        r["predicate"]: r["count"]
+        for r in triples.groupBy("predicate").count().collect()
+    }
+
+
+def _estimate_pattern(pat: Pattern, stats, total: float) -> float:
+    """Crude-but-monotone cardinality estimate for join ordering: the
+    per-predicate count when the predicate is constant (0 for a predicate
+    absent from the stats — an empty scan), the table total for a
+    variable predicate; each OTHER constant term (subject/object/graph)
+    is assumed to keep ~10% of rows. Only the resulting ORDER matters,
+    so the damping constant is uncritical; constants-count stays the
+    tiebreak in the sort key."""
+    pred = pat[-2]
+    base = total if is_var(pred) else float(stats.get(_strip_iri(pred), 0))
+    n_other = sum(
+        0 if is_var(t) else 1
+        for k, t in enumerate(pat)
+        if k != len(pat) - 2
+    )
+    return base * (0.1 ** n_other)
+
+
 def _compile_bgp(
     triples: DataFrame,
     patterns: Sequence[Pattern],
@@ -157,6 +196,7 @@ def _compile_bgp(
     broadcast_min_constants: int,
     var_pred_source: DataFrame | None = None,
     sources: Sequence[DataFrame | None] | None = None,
+    stats=None,
 ) -> tuple[DataFrame, set[str]]:
     """Compile one conjunctive pattern group to (solution DataFrame with one
     column per bound variable, bound-variable set). Shared by the required
@@ -165,12 +205,29 @@ def _compile_bgp(
     ``sources`` optionally overrides the scanned table per pattern
     position (None entries fall back to ``triples``) — the hook
     semi-naive rule evaluation (operators/kginfer) uses to point exactly
-    one pattern at the delta relation."""
+    one pattern at the delta relation.
+
+    ``stats`` (per-predicate counts, see :func:`predicate_stats`) switches
+    the greedy join order from most-constants-first to estimated-
+    cardinality-first (:func:`_estimate_pattern`), with constants-count as
+    the tiebreak — without stats the legacy order is unchanged."""
     if not patterns:
         raise ValueError("BGP needs at least one pattern")
     if sources is not None and len(sources) != len(patterns):
         raise ValueError("sources must align 1:1 with patterns")
     n_const = [sum(0 if is_var(t) else 1 for t in p) for p in patterns]
+    est = None
+    if stats is not None:
+        total = float(max(sum(stats.values()), 1))
+        est = [_estimate_pattern(p, stats, total) for p in patterns]
+
+    def order_key(i: int):
+        # smaller = joined earlier. Legacy (no stats): most constants,
+        # input order on ties — identical selections to the old max().
+        if est is not None:
+            return (est[i], -n_const[i], i)
+        return (-n_const[i], i)
+
     var_sets: list[set[str]] = []
     dfs: list[DataFrame] = []
     for idx, p in enumerate(patterns):
@@ -184,11 +241,11 @@ def _compile_bgp(
         var_sets.append(vs)
 
     remaining = list(range(len(patterns)))
-    # seed with the most selective pattern (most constants); prefer one
-    # with variables so the connectivity walk can grow from it — ground
-    # patterns are pure existence checks and join in at any point
+    # seed with the most selective pattern; prefer one with variables so
+    # the connectivity walk can grow from it — ground patterns are pure
+    # existence checks and join in at any point
     with_vars = [i for i in remaining if var_sets[i]]
-    start = max(with_vars or remaining, key=lambda i: n_const[i])
+    start = min(with_vars or remaining, key=order_key)
     remaining.remove(start)
     out, bound = dfs[start], set(var_sets[start])
     while remaining:
@@ -197,9 +254,9 @@ def _compile_bgp(
         # exactly SPARQL bag semantics for an existence pattern
         connected = [i for i in remaining if (var_sets[i] & bound) or not var_sets[i]]
         if connected:
-            # among connected candidates keep the most-constant one: its
+            # among connected candidates keep the most selective one: its
             # scan is smallest, so the running join stays small
-            i = max(connected, key=lambda j: n_const[j])
+            i = min(connected, key=order_key)
             shared = sorted(var_sets[i] & bound)
             if shared:
                 # USING-column join (shared names, no aliases) — also
@@ -215,7 +272,7 @@ def _compile_bgp(
                     f"{sorted(bound)}); pass allow_product=True to allow the "
                     "cartesian product"
                 )
-            i = max(remaining, key=lambda j: n_const[j])
+            i = min(remaining, key=order_key)
             out = out.crossJoin(dfs[i])
         remaining.remove(i)
         bound |= var_sets[i]
@@ -255,6 +312,7 @@ def bgp_match(
     minus: Sequence[Sequence[Pattern]] = (),
     values: DataFrame | Sequence[dict] | None = None,
     subqueries: Sequence[DataFrame] = (),
+    stats: dict | None = None,
 ) -> DataFrame:
     """Match a conjunctive basic graph pattern against a triple table.
 
@@ -334,10 +392,16 @@ def bgp_match(
     equi-join NULL semantics, where SPARQL's unbound-compatibility would
     match everything — FILTER(bound(?v)) first when joining
     OPTIONAL-bound variables into a sub-SELECT.
+
+    ``stats``: optional per-predicate counts (:func:`predicate_stats`)
+    switching the greedy join order to estimated-cardinality-first —
+    compute once per session/crawl; at 10^12 triples a constant-predicate
+    pattern over ``rdf:type`` can be the largest relation, not the most
+    selective, and the constants-count heuristic orders it wrong.
     """
     out, bound = _compile_bgp(
         triples, patterns, allow_product, broadcast_min_constants,
-        var_pred_source,
+        var_pred_source, stats=stats,
     )
     # columns that can hold NULL (unbound) in some solution rows: vars
     # introduced by OPTIONAL null-padding, plus anything VALUES (UNDEF)
@@ -363,7 +427,7 @@ def bgp_match(
             gfilters = ()
         g, gvars = _compile_bgp(
             triples, grp, allow_product, broadcast_min_constants,
-            var_pred_source,
+            var_pred_source, stats=stats,
         )
         for e in gfilters:
             g = g.filter(F.expr(e))
@@ -411,7 +475,7 @@ def bgp_match(
         for grp in groups_:
             g, gvars = _compile_bgp(
                 triples, grp, allow_product, broadcast_min_constants,
-                var_pred_source,
+                var_pred_source, stats=stats,
             )
             shared = sorted(gvars & bound)
             if not shared:
@@ -470,6 +534,7 @@ def bgp_union(
     broadcast_min_constants: int = 2,
     paths: bool = False,
     max_iters: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SPARQL ``UNION``: the bag union of each group's solution set.
 
@@ -500,7 +565,7 @@ def bgp_union(
     for grp in groups:
         g, gvars = _compile_bgp(
             scan, grp, allow_product, broadcast_min_constants,
-            var_pred_source,
+            var_pred_source, stats=stats,
         )
         public = {v for v in gvars if not v.startswith("__path")}
         if not public:
@@ -804,6 +869,7 @@ def bgp_match_paths(
     minus: Sequence[Sequence[Pattern]] = (),
     values: DataFrame | Sequence[dict] | None = None,
     subqueries: Sequence[DataFrame] = (),
+    stats: dict | None = None,
 ) -> DataFrame:
     """``bgp_match`` with SPARQL 1.1 property-path predicates resolved:
 
@@ -852,6 +918,7 @@ def bgp_match_paths(
         minus=minus,
         values=values,
         subqueries=subqueries,
+        stats=stats,
     )
     # sequence rewrites bind reserved ?__pathN existentials; they are not
     # part of the query's projection
@@ -876,6 +943,7 @@ def bgp_construct(
     not_exists: Sequence[Sequence[Pattern]] = (),
     minus: Sequence[Sequence[Pattern]] = (),
     values: DataFrame | Sequence[dict] | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SPARQL ``CONSTRUCT``: materialize new triples from BGP solutions —
     the engine's rule-based inference primitive (e.g. derive
@@ -914,6 +982,7 @@ def bgp_construct(
         not_exists=not_exists,
         minus=minus,
         values=values,
+        stats=stats,
     )
     out = _instantiate_templates(sols, template)
     return out.distinct() if distinct else out
@@ -1001,6 +1070,7 @@ def bgp_ask(
     minus: Sequence[Sequence[Pattern]] = (),
     values: DataFrame | Sequence[dict] | None = None,
     subqueries: Sequence[DataFrame] = (),
+    stats: dict | None = None,
 ) -> DataFrame:
     """SPARQL ``ASK``: does at least one solution exist?
 
@@ -1024,6 +1094,7 @@ def bgp_ask(
         minus=minus,
         values=values,
         subqueries=subqueries,
+        stats=stats,
     )
     return ask_plan(sols)
 
@@ -1128,6 +1199,7 @@ def solution_modifiers(
     order_by: Sequence[str] | None = None,
     limit: int | None = None,
     offset: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SPARQL 1.1 solution modifiers over a solution DataFrame (one column
     per variable — the output of ``bgp_match`` / ``bgp_union`` /
@@ -1245,6 +1317,7 @@ def bgp_select(
     order_by: Sequence[str] | None = None,
     limit: int | None = None,
     offset: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SPARQL ``SELECT`` with the full modifier pipeline: match the BGP
     (``bgp_match``, or ``bgp_match_paths`` when ``paths=True``), then apply
@@ -1268,6 +1341,7 @@ def bgp_select(
         minus=minus,
         values=values,
         subqueries=subqueries,
+        stats=stats,
     )
     return solution_modifiers(
         sols,
@@ -1299,6 +1373,7 @@ def update_graph(
     values: DataFrame | Sequence[dict] | None = None,
     subqueries: Sequence[DataFrame] = (),
     bind: Sequence[tuple[str, str]] | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SPARQL UPDATE ``DELETE { } INSERT { } WHERE { }`` over the triple
     table: returns the post-update graph (the caller owns persistence —
@@ -1367,6 +1442,7 @@ def update_graph(
         minus=minus,
         values=values,
         subqueries=subqueries,
+        stats=stats,
     )
     if bind:
         for var, expr in bind:

@@ -62,6 +62,7 @@ tests/test_sparql_text.py twins).
 
 from __future__ import annotations
 
+import contextvars
 import re
 
 from pyspark.sql import DataFrame
@@ -683,11 +684,36 @@ def _finish_form(cur: _Cursor, prefixes, g: "_Group | None") -> None:
         )
 
 
-def sparql(triples: DataFrame, query: str) -> DataFrame:
+# per-predicate counts for statistics-driven BGP join ordering
+# (kgquery.predicate_stats), scoped to ONE plan construction: a
+# contextvar instead of threading a parameter through the recursive
+# parser (groups contain sub-SELECTs contain groups). Plans are built
+# eagerly inside sparql()/sparql_update(), so the reset in the wrapper
+# cannot race the (lazy) execution.
+_QUERY_STATS: contextvars.ContextVar = contextvars.ContextVar(
+    "sparql_query_stats", default=None
+)
+
+
+def sparql(triples: DataFrame, query: str, stats: dict | None = None) -> DataFrame:
     """Run a SPARQL query STRING against a triple (or quad) table; returns
     the same lazy DataFrame the equivalent kgquery algebra call builds
     (ASK returns the one-row boolean frame; CONSTRUCT returns new
-    triples). See the module docstring for the supported subset."""
+    triples). See the module docstring for the supported subset.
+
+    ``stats``: optional per-predicate counts
+    (``kgquery.predicate_stats``) switching every BGP in the query to
+    estimated-cardinality join ordering — compute once per
+    session/crawl; at 10^12 triples a bound ``rdf:type`` pattern can be
+    the largest relation, not the most selective."""
+    tok = _QUERY_STATS.set(stats)
+    try:
+        return _sparql_query(triples, query)
+    finally:
+        _QUERY_STATS.reset(tok)
+
+
+def _sparql_query(triples: DataFrame, query: str) -> DataFrame:
     cur = _Cursor(_tokenize(query))
     prefixes = _parse_prefixes(cur)
     form = cur.next().upper()
@@ -732,6 +758,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             values=g.values_rows or None,
             bind=g.binds or None,
             select=vars_,
+            stats=_QUERY_STATS.get(),
         )
         node_df = None
         for v in vars_:
@@ -759,6 +786,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
                 triples,
                 g.union_branches,
                 paths=_branches_any_path(g.union_branches),
+                stats=_QUERY_STATS.get(),
             )
             return ask_plan(sols)
         _finish_form(cur, prefixes, g)
@@ -766,6 +794,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             triples,
             g.patterns,
             paths=g.any_path(),
+            stats=_QUERY_STATS.get(),
             optional=_optional_arg(g),
             filter_expr=g.filters or None,
             exists=g.exists,
@@ -796,6 +825,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             return bgp_construct(
                 triples, g.patterns, g.patterns,
                 values=g.values_rows or None,
+                stats=_QUERY_STATS.get(),
             )
         cur.expect("{")
         template = _parse_triples_block(cur, prefixes, None)
@@ -818,6 +848,7 @@ def sparql(triples: DataFrame, query: str) -> DataFrame:
             g.patterns,
             template,
             paths=g.any_path(),
+            stats=_QUERY_STATS.get(),
             optional=_optional_arg(g),
             filter_expr=g.filters or None,
             exists=g.exists,
@@ -882,6 +913,7 @@ def _parse_select_query(
                 group_by=group_by or None,
                 aggregates=aggregates or None,
                 having=having,
+                stats=_QUERY_STATS.get(),
             )
             vdf = triples.sparkSession.createDataFrame(
                 list(postfix_values[1])
@@ -917,6 +949,7 @@ def _parse_select_query(
             triples,
             g.union_branches,
             paths=_branches_any_path(g.union_branches),
+            stats=_QUERY_STATS.get(),
         )
         return solution_modifiers(
             sols,
@@ -950,6 +983,7 @@ def _parse_select_query(
         order_by=order_by or None,
         limit=limit,
         offset=offset,
+        stats=_QUERY_STATS.get(),
     )
 
 
@@ -1029,6 +1063,7 @@ def _apply_where_update(
             triples,
             g.union_branches,
             paths=_branches_any_path(g.union_branches),
+            stats=_QUERY_STATS.get(),
         )
         return apply_update(triples, sols, delete=delete, insert=insert)
     kwargs = dict(
@@ -1043,6 +1078,7 @@ def _apply_where_update(
         values=g.values_rows or None,
         subqueries=g.subqueries,
         bind=g.binds or None,
+        stats=_QUERY_STATS.get(),
     )
     if graph is not None:
         return update_quads(triples, graph, g.patterns, **kwargs)
@@ -1141,7 +1177,9 @@ def _parse_one_update(triples: DataFrame, cur: _Cursor, prefixes) -> DataFrame:
     )
 
 
-def sparql_update(triples: DataFrame, update: str) -> DataFrame:
+def sparql_update(
+    triples: DataFrame, update: str, stats: dict | None = None
+) -> DataFrame:
     """Run a SPARQL UPDATE request STRING against the triple table and
     return the post-update graph (lazy; the caller owns persistence —
     write it back through kgmaint/StageRunner for the atomic-swap +
@@ -1153,7 +1191,17 @@ def sparql_update(triples: DataFrame, update: str) -> DataFrame:
     operation is set-semantics and idempotent (see update_graph /
     insert_data), so the composed plan is one scan of the base graph
     with a chain of broadcast anti-joins and driver-literal unions —
-    still shuffle-free at 10^12 triples."""
+    still shuffle-free at 10^12 triples.
+
+    ``stats`` as in :func:`sparql` (join ordering for the WHERE groups)."""
+    tok = _QUERY_STATS.set(stats)
+    try:
+        return _sparql_update_ops(triples, update)
+    finally:
+        _QUERY_STATS.reset(tok)
+
+
+def _sparql_update_ops(triples: DataFrame, update: str) -> DataFrame:
     cur = _Cursor(_tokenize(update))
     prefixes = _parse_prefixes(cur)
     out = triples

@@ -754,3 +754,35 @@ def test_ask_trailing_values_and_exhaustion(kg):
     ]:
         with pytest.raises(SparqlSyntaxError, match=msg):
             sparql(kg, bad)
+
+
+def test_sparql_text_stats_threading(spark):
+    """stats passed to the text front-end reaches every BGP: the rare
+    pattern seeds the join even when the huge one is written first, and
+    results are unchanged; the contextvar resets after the call."""
+    from ontology_mapping_spark.operators.kgquery import predicate_stats
+    from ontology_mapping_spark.operators.sparql_text import (
+        _QUERY_STATS,
+        sparql,
+        sparql_update,
+    )
+
+    rows = [(f"s{i}", "type", f"c{i % 3}") for i in range(300)]
+    rows += [(f"s{i}", "rare", f"o{i}") for i in range(3)]
+    kg = spark.createDataFrame(
+        rows, "subject string, predicate string, object string"
+    )
+    stats = predicate_stats(kg)
+    q = "SELECT ?s ?c ?o WHERE { ?s <type> ?c . ?s <rare> ?o }"
+    legacy = sparql(kg, q)
+    tuned = sparql(kg, q, stats=stats)
+    key = lambda r: (r["s"], r["c"], r["o"])  # noqa: E731
+    assert sorted(map(key, tuned.collect())) == sorted(map(key, legacy.collect()))
+    tuned_plan = tuned._jdf.queryExecution().optimizedPlan().toString()
+    assert tuned_plan.index("rare") < tuned_plan.index("type")
+    assert _QUERY_STATS.get() is None  # reset after plan construction
+    # UPDATE WHERE groups order by stats too, same results
+    u = "DELETE { ?s <type> ?c } WHERE { ?s <type> ?c . ?s <rare> ?o }"
+    a = sorted(map(tuple, sparql_update(kg, u).collect()))
+    b = sorted(map(tuple, sparql_update(kg, u, stats=stats).collect()))
+    assert a == b and len(a) == 300 + 3 - 3
