@@ -223,10 +223,14 @@ def _semi_naive_loop(
             if d_set.count() <= 4 * small_delta_rows:
                 # re-evaluating the (cheap, delta-anchored) derived plan
                 # per consumer beats one checkpoint of it; the count
-                # guards the broadcast against hot-key rule fan-out
-                known = materialize(
-                    total.join(F.broadcast(d_set), on=_KEY, how="left_semi")
-                )
+                # guards the broadcast against hot-key rule fan-out.
+                # `known` (graph ∩ derived) has exactly ONE consumer, so
+                # it stays a plan — a nested broadcast build inside the
+                # delta job — instead of its own materialization: same
+                # single scan of the graph, one Spark job per round
+                # fewer (the fixed job cost is what dominates
+                # crawl-cadence micro-batches)
+                known = total.join(F.broadcast(d_set), on=_KEY, how="left_semi")
                 delta = materialize(
                     d_set.join(F.broadcast(known), on=_KEY, how="left_anti")
                 )

@@ -4137,7 +4137,7 @@ def q_kg_graph_quads(spark, sf):
     "kg_entail_stream_parity",
     """WITH RECURSIVE sub AS (
       SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS c,
-             'p:' || CAST(p_partkey // 2 AS VARCHAR) AS d
+             'p:' || CAST(p_partkey // 16 AS VARCHAR) AS d
       FROM part WHERE p_partkey >= 2
     ), clo AS (
       SELECT c, d FROM sub
@@ -4171,11 +4171,17 @@ def q_kg_entail_stream_parity(spark, sf):
 
     part = _t(spark, sf, "part")
     pk = F.col("p_partkey")
+    # fan-out 16 tree (depth 2 at sf0.001) instead of the binary tree the
+    # batch row kg_saturate_rdfs climbs: THIS row's signal is the
+    # stream/batch parity of the incremental plumbing (cold saturate +
+    # fold + atomic swap + replay marker), not saturation depth — and the
+    # gate's wall time is micro-batches x saturation rounds x fixed job
+    # overhead (VERDICT r4 #7: was 24s of the sf0.001 gate)
     sub = part.filter(pk >= 2).select(
         F.concat(F.lit("p:"), pk.cast("string")).alias("subject"),
         F.lit("subClassOf").alias("predicate"),
         F.concat(
-            F.lit("p:"), F.floor(pk / 2).cast("bigint").cast("string")
+            F.lit("p:"), F.floor(pk / 16).cast("bigint").cast("string")
         ).alias("object"),
         F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
     )
@@ -4188,9 +4194,15 @@ def q_kg_entail_stream_parity(spark, sf):
     rules = rdfs_rules(sub_class="subClassOf", rdf_type="type")
     tmp = tempfile.mkdtemp(prefix="omsp_entail_stream_")
     try:
-        sub.unionByName(inst).repartition(6).write.mode("overwrite").parquet(
-            f"{tmp}/obs"
-        )
+        # 4 files / 2 per trigger = TWO micro-batches: one cold saturate +
+        # one incremental fold — the minimum that still exercises both
+        # sides of the stream_entail_kg_state state machine. Instances
+        # land FIRST (older mod time -> first trigger) so the cold batch
+        # converges in one round and the subclass tree arrives as the
+        # incremental fold; parity holds for ANY file-to-batch split —
+        # the ordering only trims gate wall time (VERDICT r4 #7)
+        inst.repartition(2).write.mode("overwrite").parquet(f"{tmp}/obs")
+        sub.repartition(2).write.mode("append").parquet(f"{tmp}/obs")
         q = stream_entail_kg_state(
             stream_observations(spark, f"{tmp}/obs", max_files_per_trigger=2),
             f"{tmp}/state",
