@@ -66,7 +66,9 @@ def phrase_token_table(phrases: DataFrame) -> DataFrame:
     )
 
 
-def mentions_via_join(pages_text: DataFrame, phrases: DataFrame) -> DataFrame:
+def mentions_via_join(
+    pages_text: DataFrame, phrases: DataFrame, broadcast_vocab: bool = True
+) -> DataFrame:
     """(url, text) × (uri, phrase) -> (url, uri, surface, n_hits).
 
     Blocking: a page can only contain a phrase if it contains the phrase's
@@ -74,6 +76,12 @@ def mentions_via_join(pages_text: DataFrame, phrases: DataFrame) -> DataFrame:
     tokens (broadcast — the ontology is the small side), then verify
     containment on the padded normalized text. Everything is JVM built-ins;
     the phrase list never leaves the JVM.
+
+    ``broadcast_vocab=False`` drops the broadcast hint for
+    gazetteer-scale vocabularies past even the JVM-broadcast budget
+    (~5M+ phrases): the join shuffles both sides on the first token and
+    AQE picks the strategy from runtime sizes. See
+    :func:`detect_mentions` for the crossover policy.
     """
     norm_pages = pages_text.select(
         "url", F.split(normalize_col("text"), " ").alias("toks")
@@ -81,13 +89,80 @@ def mentions_via_join(pages_text: DataFrame, phrases: DataFrame) -> DataFrame:
     page_tokens = norm_pages.select(
         "url", "toks", F.explode(F.array_distinct("toks")).alias("token")
     )
-    joined = page_tokens.join(F.broadcast(phrase_token_table(phrases)), "token")
+    vocab = phrase_token_table(phrases)
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    joined = page_tokens.join(vocab, "token")
     hits = joined.withColumn("n_hits", phrase_hit_count_expr()).filter(
         F.col("n_hits") > 0
     )
     return hits.select(
         "url", "uri", F.col("phrase").alias("surface"), "n_hits"
     ).distinct()
+
+
+# ---- gazetteer crossover -------------------------------------------------
+#
+# The broadcast-vocabulary C kernel (mentions_via_trie / mentions_from_html)
+# is the flagship for ONTOLOGY-sized vocabularies: phrase rows are collected
+# to the driver and rebuilt as a per-worker automaton, so its budget is
+# driver + worker memory, NOT data size. The automaton's open-addressing
+# goto table costs ~50-100 bytes per PATTERN BYTE (4x-slot power-of-two
+# hash at 12 B/slot plus fail/output arrays), so a 10M-phrase gazetteer
+# (~300 MB of pattern bytes) would want tens of GB in EVERY worker process
+# — the broadcast path must refuse it rather than OOM the fleet.
+#
+# Past the threshold the same mention semantics come from the declarative
+# first-token blocking join (mentions_via_join): the vocabulary stays a
+# DataFrame (never driver-side), joins as a JVM broadcast while it fits
+# the executor budget, and degrades to a shuffle join under AQE beyond
+# that — unbounded vocabulary size at the cost of the explode + join
+# instead of the fused C scan (~1.5-3x slower per page at bench shape,
+# still corpus-scan-shaped: the corpus is read once either way).
+
+#: phrases at or below this ride the broadcast C kernel; above, the
+#: blocking join. ~100k phrases ~= 3 MB of pattern bytes ~= a few hundred
+#: MB of automaton per worker process — conservative for local[32]'s 32
+#: worker processes; raise it on clusters with one fat executor per host.
+BROADCAST_MAX_PHRASES = 100_000
+
+#: above this even the JVM broadcast of the phrase table is dropped and
+#: the blocking join shuffles both sides (AQE re-plans from runtime sizes)
+JOIN_BROADCAST_MAX_PHRASES = 5_000_000
+
+
+def detect_mentions(
+    pages_text: DataFrame,
+    phrases: DataFrame,
+    kernel: str = "auto",
+    broadcast_max_phrases: int = BROADCAST_MAX_PHRASES,
+    join_broadcast_max_phrases: int = JOIN_BROADCAST_MAX_PHRASES,
+    n_phrases: int | None = None,
+) -> DataFrame:
+    """(url, text) × (uri, phrase) -> MENTIONS, choosing the
+    implementation by vocabulary size (the gazetteer crossover above):
+    the broadcast C kernel up to ``broadcast_max_phrases`` distinct
+    (uri, phrase) rows, the first-token blocking join beyond — with its
+    JVM broadcast hint kept while the vocabulary fits
+    ``join_broadcast_max_phrases`` and dropped (AQE decides) past that.
+    Both forms implement the identical matching contract
+    (equivalence-pinned in tests/test_mentions.py), so the switch changes
+    plan shape only, never output.
+
+    ``n_phrases``: pass the known distinct-row count to skip the count
+    job (pipelines that just built the vocabulary know it). For raw-HTML
+    scans (mentions_from_html) past the threshold, extract text first
+    (textnorm / pages stage) and route through this — the fused C path
+    is broadcast-only by construction."""
+    if n_phrases is None:
+        n_phrases = phrases.select("uri", "phrase").distinct().count()
+    if n_phrases <= broadcast_max_phrases:
+        return mentions_via_trie(pages_text, phrases, kernel=kernel)
+    return mentions_via_join(
+        pages_text,
+        phrases,
+        broadcast_vocab=n_phrases <= join_broadcast_max_phrases,
+    )
 
 
 try:  # optional C automaton (pyahocorasick); absent in this container

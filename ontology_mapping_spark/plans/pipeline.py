@@ -31,7 +31,7 @@ from ontology_mapping_spark.operators.labels import (
 from ontology_mapping_spark.operators.mentions import (
     label_phrases,
     mention_triples,
-    mentions_via_trie,
+    detect_mentions,
 )
 from ontology_mapping_spark.plans.stages import StageRunner
 from ontology_mapping_spark.sources.pages import extracted_pages
@@ -92,8 +92,13 @@ def run_pipeline(
 
     # --- S3: mentions + candidates ------------------------------------------
     phrases = run.materialize("phrases", lambda: label_phrases(labels), ["labels"])
+    # vocabulary-size crossover (mentions.detect_mentions): the broadcast
+    # C kernel for ontology-sized vocabularies, the blocking join past the
+    # per-worker automaton budget — the flagship degrades instead of OOMing
     mentions = run.materialize(
-        "mentions", lambda: mentions_via_trie(pages_text, phrases), ["pages_text", "phrases"]
+        "mentions",
+        lambda: detect_mentions(pages_text, phrases),
+        ["pages_text", "phrases"],
     )
     # the default side inference splits the URI curie prefix; real ontology
     # URIs (http://...) would silently collapse both sides into one and

@@ -655,3 +655,48 @@ def test_agg_scan_overflow_retry_path():
         want_html = snap(ample.scan_batch_hits_html(htmls))
         tight._rate = 0.0
         assert snap(tight.scan_batch_hits_html(htmls)) == want_html
+
+
+def test_gazetteer_crossover_both_sides_identical(spark):
+    """detect_mentions switches broadcast-kernel -> blocking-join on
+    vocabulary size; both sides of the switch (and the no-hint join past
+    the JVM-broadcast budget) must produce identical mention rows, and
+    the plan must actually switch (mapInArrow scan vs broadcast join vs
+    shuffle join)."""
+    from ontology_mapping_spark.operators.mentions import detect_mentions
+
+    pages = spark.createDataFrame(
+        [
+            ("p1", "the deep gland is near the deeper glands"),
+            ("p2", "sub sub sub and deep gland again; deep gland!"),
+            ("p3", "nothing relevant here"),
+            ("p4", None),
+        ],
+        "url string, text string",
+    )
+    phrases = spark.createDataFrame(
+        [("u:dg", "deep gland"), ("u:sub", "sub sub"), ("u:dg2", "deep gland")],
+        "uri string, phrase string",
+    )
+    norm = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    kernel = detect_mentions(pages, phrases, broadcast_max_phrases=10)
+    join_bc = detect_mentions(pages, phrases, broadcast_max_phrases=0)
+    join_shuffle = detect_mentions(
+        pages, phrases, broadcast_max_phrases=0, join_broadcast_max_phrases=0
+    )
+    want = norm(kernel)
+    assert want == norm(join_bc) == norm(join_shuffle)
+    assert ("p2", "u:sub", "sub sub", 2) in want  # overlap counting intact
+    assert {u for _p, u, _s, _n in want} >= {"u:dg", "u:dg2", "u:sub"}
+    # the switch is real: kernel side is an Arrow scan (no join); the two
+    # join sides differ exactly in the broadcast hint
+    kplan = kernel._jdf.queryExecution().executedPlan().toString()
+    bplan = join_bc._jdf.queryExecution().executedPlan().toString()
+    splan = join_shuffle._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in kplan and "Join" not in kplan
+    assert "BroadcastHashJoin" in bplan
+    assert "Exchange hashpartitioning(token" not in bplan
+    # no static hint: the vocabulary side shuffles on the join key and
+    # the strategy is AQE's to pick from runtime sizes (on this tiny
+    # fixture it rightly re-broadcasts; at 10M phrases it won't)
+    assert "Exchange hashpartitioning(token" in splan and "Join" in splan
