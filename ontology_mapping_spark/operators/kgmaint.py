@@ -247,6 +247,7 @@ def upsert_observations(
     return_count: bool = True,
     batch_id: str | None = None,
     buckets: int | None = None,
+    record_predicate_stats: bool = False,
 ) -> int | None:
     """Merge a batch of (subject, predicate, object, ts) observations into
     the provenance-carrying KG state table at ``state_path`` (parquet
@@ -321,7 +322,13 @@ def upsert_observations(
             .limit(0)
         )
     merged = merge_triples(existing, observations, batch_id=batch_id)
-    _swap_in(state_path, merged, meta, buckets=buckets)
+    _swap_in(
+        state_path,
+        merged,
+        meta,
+        buckets=buckets,
+        record_predicate_stats=record_predicate_stats,
+    )
     if not return_count:
         return None
     return spark.read.parquet(state_path).count()
@@ -387,6 +394,7 @@ def _swap_in(
     df: DataFrame,
     meta: dict | None,
     buckets: int | None = None,
+    record_predicate_stats: bool = False,
 ) -> None:
     """The atomic state swap: fully materialize ``df`` to ``<path>.next``
     (marker included), keep the old state at ``<path>.prev`` as rollback,
@@ -429,6 +437,25 @@ def _swap_in(
             # a stale "buckets" key would make read_state register
             # bucket metadata over plain files (wrong answers, silently)
             meta = {k: v for k, v in meta.items() if k != "buckets"}
+    if record_predicate_stats:
+        # per-predicate counts for statistics-driven BGP join ordering
+        # (kgquery.predicate_stats), recomputed from the JUST-WRITTEN
+        # files (one bounded partial+final aggregate over the new state;
+        # the predicate domain is schema-sized) and committed in the same
+        # marker — so the stats can never describe a different state than
+        # the directory they sit in
+        stats = {
+            r["predicate"]: r["count"]
+            for r in df.sparkSession.read.parquet(nxt)
+            .groupBy("predicate")
+            .count()
+            .collect()
+        }
+        meta = {**(meta or {}), "predicate_stats": stats}
+    elif meta and "predicate_stats" in meta:
+        # a rewrite that did not refresh the stats must not carry stale
+        # counts forward as if they described the new state
+        meta = {k: v for k, v in meta.items() if k != "predicate_stats"}
     if meta is not None:
         # commit metadata travels INSIDE the swapped directory (underscore
         # files are invisible to the parquet reader), so "which batch is
@@ -466,6 +493,7 @@ def swap_saturated_state(
     state_path: str,
     triples: DataFrame,
     commit_meta: dict | None = None,
+    record_predicate_stats: bool = False,
 ) -> None:
     """Replace the saturated-KG state (a plain distinct (subject,
     predicate, object) parquet dir) under the same swap + marker
@@ -475,4 +503,25 @@ def swap_saturated_state(
         state_path,
         triples.select(*TRIPLE_KEY),
         _merged_marker_meta(state_path, commit_meta),
+        record_predicate_stats=record_predicate_stats,
     )
+
+
+def state_predicate_stats(state_path: str) -> dict | None:
+    """The per-predicate counts recorded in the state's commit marker by
+    the last merge/swap that ran with ``record_predicate_stats=True``, or
+    None (never recorded, or invalidated by a stats-less rewrite). Feed
+    the result to ``kgquery.bgp_*``/``sparql_text.sparql`` as ``stats=``
+    for estimated-cardinality join ordering without re-scanning the
+    state — the "stored in the state manifest" half of the
+    predicate-stats contract (the other half is
+    ``kgquery.predicate_stats`` for ad-hoc tables)."""
+    import json
+    import os
+
+    recover_state(state_path)
+    marker = os.path.join(state_path, "_commit.json")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        return json.load(f).get("predicate_stats")

@@ -460,3 +460,53 @@ def test_upsert_bucketed_state_sticky_and_replay_noop(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert sup2[("a", "b")] == 3
+
+
+def test_predicate_stats_recorded_in_marker(spark, tmp_path):
+    """record_predicate_stats=True commits per-predicate counts of the
+    NEW state atomically with the data; state_predicate_stats reads them
+    back; a stats-less rewrite invalidates rather than carrying stale
+    counts; and the recorded dict equals kgquery.predicate_stats over
+    the same state."""
+    import datetime as _dt
+
+    from ontology_mapping_spark.operators.kgmaint import (
+        state_predicate_stats,
+        upsert_observations,
+    )
+    from ontology_mapping_spark.operators.kgquery import predicate_stats
+
+    def ts(*a):
+        return _dt.datetime(*a)
+
+    state = str(tmp_path / "state")
+    obs1 = _obs(
+        spark,
+        [
+            ("a", "type", "c", ts(2024, 1, 1)),
+            ("b", "type", "c", ts(2024, 1, 1)),
+            ("a", "rare", "x", ts(2024, 1, 1)),
+        ],
+    )
+    upsert_observations(
+        spark, state, obs1, batch_id="c1", record_predicate_stats=True
+    )
+    assert state_predicate_stats(state) == {"type": 2, "rare": 1}
+    # a second crawl refreshes the counts to describe the merged state
+    obs2 = _obs(
+        spark,
+        [
+            ("c", "type", "d", ts(2024, 2, 1)),
+            ("a", "type", "c", ts(2024, 2, 1)),  # existing: support only
+        ],
+    )
+    upsert_observations(
+        spark, state, obs2, batch_id="c2", record_predicate_stats=True
+    )
+    got = state_predicate_stats(state)
+    assert got == {"type": 3, "rare": 1}
+    assert got == predicate_stats(spark.read.parquet(state))
+    # a stats-less rewrite must drop the (now-unverifiable) counts
+    obs3 = _obs(spark, [("z", "other", "w", ts(2024, 3, 1))])
+    upsert_observations(spark, state, obs3, batch_id="c3")
+    assert state_predicate_stats(state) is None

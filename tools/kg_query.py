@@ -63,6 +63,16 @@ def main(argv: list[str] | None = None) -> None:
     )
     ap.add_argument("--limit", type=int, default=20, help="print at most N rows")
     ap.add_argument(
+        "--stats",
+        choices=["auto", "scan", "off"],
+        default="auto",
+        help="per-predicate counts for estimated-cardinality BGP join "
+        "ordering: auto = use the counts recorded in a --triples state's "
+        "commit marker when present (kgmaint.state_predicate_stats), "
+        "scan = compute them now with one bounded aggregate, off = "
+        "legacy most-constants-first ordering",
+    )
+    ap.add_argument(
         "--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     )
     args = ap.parse_args(argv)
@@ -97,16 +107,31 @@ def main(argv: list[str] | None = None) -> None:
     else:
         kg = read_ntriples(spark, args.ntriples)
 
+    stats = None
+    if args.stats == "scan":
+        from ontology_mapping_spark.operators.kgquery import predicate_stats
+
+        stats = predicate_stats(kg)
+    elif args.stats == "auto" and args.triples:
+        from ontology_mapping_spark.operators.kgmaint import (
+            state_predicate_stats,
+        )
+
+        try:
+            stats = state_predicate_stats(args.triples)
+        except OSError:
+            stats = None
+
     update_text = args.update or (
         open(args.update_file).read() if args.update_file else None
     )
     if update_text is not None:
         if not args.out:
             ap.error("--update returns the post-update graph; pass --out")
-        result = sparql_update(kg, update_text)
+        result = sparql_update(kg, update_text, stats=stats)
     else:
         query_text = args.query or open(args.query_file).read()
-        result = sparql(kg, query_text)
+        result = sparql(kg, query_text, stats=stats)
 
     if args.out:
         if args.format == "ntriples":

@@ -103,6 +103,11 @@ def update_kg_state(
         commit_meta={"crawl_ts": str(crawl_ts)},
         batch_id=f"crawl:{crawl_ts}",
         buckets=buckets,
+        # refresh the per-predicate counts in the commit marker each
+        # crawl (one bounded aggregate): kgquery/sparql readers pull
+        # them via kgmaint.state_predicate_stats for estimated-
+        # cardinality join ordering without re-scanning the state
+        record_predicate_stats=True,
     )
 
 
