@@ -483,34 +483,9 @@ class NativeMatcher:
         if self._n == 0 or n_pages == 0:
             z = np.zeros(0, dtype=np.int64)
             return z, z.copy(), z.copy()
-        arr = None
-        if not isinstance(htmls, (list, tuple)):
-            import pyarrow as pa
-
-            arr = htmls
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
-            if arr.null_count or arr.buffers()[2] is None:
-                htmls = arr.to_pylist()
-                arr = None
-        if arr is not None:
-            import pyarrow as pa
-
-            bufs = arr.buffers()
-            if pa.types.is_large_binary(arr.type) or pa.types.is_large_string(arr.type):
-                offs = np.frombuffer(
-                    bufs[1], dtype=np.int64, count=n_pages + 1, offset=arr.offset * 8
-                ).copy()
-            else:
-                offs = np.frombuffer(
-                    bufs[1], dtype=np.int32, count=n_pages + 1, offset=arr.offset * 4
-                ).astype(np.int64)
-            buf_arg = ctypes.c_void_p(bufs[2].address)
-        else:
-            parts = [h if h is not None else b"" for h in htmls]
-            offs = np.zeros(n_pages + 1, dtype=np.int64)
-            np.cumsum([len(p) for p in parts], out=offs[1:])
-            buf_arg = b"".join(parts)
+        # arr/items own the bytes behind buf_arg — keep both in scope
+        # through the C call and the flagged re-scan below
+        buf_arg, offs, n_pages, arr, items = self._flat_bytes_input(htmls)
         page_idx, pat_idx, counts, flags = self._scan_html_raw(
             buf_arg, offs, n_pages
         )
@@ -521,7 +496,7 @@ class NativeMatcher:
             if arr is not None:
                 get = lambda i: arr[int(i)].as_py()  # noqa: E731
             else:
-                get = lambda i: htmls[int(i)]  # noqa: E731
+                get = lambda i: items[int(i)]  # noqa: E731
             texts = [foldable_text_from_html_py(get(i)) for i in flagged]
             p2, pat2, cnt2 = self._scan_concat(
                 texts, self._lib.ac_scan_multi_fold_agg, update_rate=False
@@ -575,9 +550,14 @@ class NativeMatcher:
         return page_sel, self._flat_uris.take(idx), self._flat_phrases.take(idx), n_hits
 
     def _flat_bytes_input(self, texts):
-        """(buf_arg, offs int64, n) for list[bytes] OR a pyarrow
-        binary/string Array — Arrow data is consumed zero-copy from its
-        buffers (same shape as scan_batch_hits_html's fast path)."""
+        """(buf_arg, offs int64, n, arr, items) for list[bytes] OR a
+        pyarrow binary/string Array — Arrow data is consumed zero-copy
+        from its buffers. Exactly one of ``arr`` (the possibly freshly
+        combined pa.Array) / ``items`` (a normalized bytes list) is
+        non-None and OWNS the memory ``buf_arg`` points into: callers
+        MUST hold the full returned tuple alive for the duration of the
+        C call (a bare address from a combined ChunkedArray would
+        otherwise be freed at return)."""
         np = self._np
         n = len(texts)
         arr = None
@@ -603,11 +583,11 @@ class NativeMatcher:
                 offs = np.frombuffer(
                     bufs[1], dtype=np.int32, count=n + 1, offset=arr.offset * 4
                 ).astype(np.int64)
-            return ctypes.c_void_p(bufs[2].address), offs, n
+            return ctypes.c_void_p(bufs[2].address), offs, n, arr, None
         parts = [t if t is not None else b"" for t in texts]
         offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum([len(p) for p in parts], out=offs[1:])
-        return b"".join(parts), offs, n
+        return b"".join(parts), offs, n, None, parts
 
     def scan_sentences(self, texts, pre_split=False):
         """Sentence-scoped scan (ac_scan_sentences): per sentence with >= 1
@@ -637,7 +617,9 @@ class NativeMatcher:
         )
         if self._n == 0 or n == 0:
             return empty
-        buf_arg, offs, n = self._flat_bytes_input(texts)
+        # _keep owns the bytes behind buf_arg (combined ChunkedArray or
+        # normalized list) — it must outlive every ac_scan_sentences call
+        buf_arg, offs, n, _keep_arr, _keep_items = self._flat_bytes_input(texts)
         sent_cap = max(int(self._sent_rate * n) + 64, 1024)
         hit_cap = max(int(self._hit_rate * n) + 64, 1024)
         fold_cap = max(int(self._fold_rate * n) + 1024, 1 << 16)

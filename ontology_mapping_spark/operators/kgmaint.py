@@ -523,5 +523,11 @@ def state_predicate_stats(state_path: str) -> dict | None:
     marker = os.path.join(state_path, "_commit.json")
     if not os.path.exists(marker):
         return None
-    with open(marker) as f:
-        return json.load(f).get("predicate_stats")
+    try:
+        with open(marker) as f:
+            return json.load(f).get("predicate_stats")
+    except (OSError, ValueError):
+        # stats are advisory: an unreadable/corrupt marker (e.g. a
+        # half-written copy made outside the engine) degrades to the
+        # legacy constants-count ordering, never a query failure
+        return None

@@ -171,16 +171,63 @@ def predicate_stats(triples: DataFrame) -> dict[str, int]:
     }
 
 
+def _estimate_predicate(pred: str, stats, total: float) -> float:
+    """Estimated row count of the relation a constant predicate TERM
+    scans, mirroring the property-path mini-grammar the compilers use
+    (``with_path_closures`` / ``_pattern_df``): synthetic terms estimate
+    from their member predicates' base counts — a closure relation is AT
+    LEAST its base relation and must never be mistaken for the empty
+    scan a truly absent plain predicate is (est 0 would seed the join
+    order with the largest relation in the query). A plain predicate
+    absent from the stats really is an empty scan: 0.
+
+    * ``<iri>``        — opaque: exact per-predicate count
+    * ``^elt``         — inverse: same count as ``elt``
+    * ``p+``           — one-or-more closure: 4 × base (≥ base; only the
+                         ORDER matters, so the multiplier is uncritical)
+    * ``p*`` / ``p?``  — adds the identity pair per node: + ``total``
+    * ``a|b``          — alternation: sum of branch counts
+    * ``!p``/``!(…)``  — negated set: ``total`` minus member counts
+    """
+    if is_iri_ref(pred):
+        return float(stats.get(_strip_iri(pred), 0))
+    if pred.startswith("^"):
+        return _estimate_predicate(pred[1:], stats, total)
+    if pred.startswith("!"):
+        inner = pred[1:]
+        if inner.startswith("(") and inner.endswith(")"):
+            inner = inner[1:-1]
+        members = sum(
+            _estimate_predicate(m, stats, total)
+            for m in inner.split("|")
+            if m
+        )
+        return max(total - members, 0.0)
+    if len(pred) > 1 and pred[-1] in "+*?":
+        base = _estimate_predicate(pred[:-1], stats, total)
+        est = base if pred[-1] == "?" else base * 4.0
+        if pred[-1] in "*?":
+            est += total
+        return est
+    if "|" in pred:
+        return sum(
+            _estimate_predicate(b, stats, total)
+            for b in pred.split("|")
+            if b
+        )
+    return float(stats.get(pred, 0))
+
+
 def _estimate_pattern(pat: Pattern, stats, total: float) -> float:
     """Crude-but-monotone cardinality estimate for join ordering: the
-    per-predicate count when the predicate is constant (0 for a predicate
-    absent from the stats — an empty scan), the table total for a
-    variable predicate; each OTHER constant term (subject/object/graph)
-    is assumed to keep ~10% of rows. Only the resulting ORDER matters,
-    so the damping constant is uncritical; constants-count stays the
-    tiebreak in the sort key."""
+    per-predicate relation estimate when the predicate is constant
+    (``_estimate_predicate`` — path-grammar-aware), the table total for
+    a variable predicate; each OTHER constant term (subject/object/
+    graph) is assumed to keep ~10% of rows. Only the resulting ORDER
+    matters, so the damping constant is uncritical; constants-count
+    stays the tiebreak in the sort key."""
     pred = pat[-2]
-    base = total if is_var(pred) else float(stats.get(_strip_iri(pred), 0))
+    base = total if is_var(pred) else _estimate_predicate(pred, stats, total)
     n_other = sum(
         0 if is_var(t) else 1
         for k, t in enumerate(pat)
@@ -1199,7 +1246,6 @@ def solution_modifiers(
     order_by: Sequence[str] | None = None,
     limit: int | None = None,
     offset: int | None = None,
-    stats: dict | None = None,
 ) -> DataFrame:
     """SPARQL 1.1 solution modifiers over a solution DataFrame (one column
     per variable — the output of ``bgp_match`` / ``bgp_union`` /

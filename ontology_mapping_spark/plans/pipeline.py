@@ -94,10 +94,13 @@ def run_pipeline(
     phrases = run.materialize("phrases", lambda: label_phrases(labels), ["labels"])
     # vocabulary-size crossover (mentions.detect_mentions): the broadcast
     # C kernel for ontology-sized vocabularies, the blocking join past the
-    # per-worker automaton budget — the flagship degrades instead of OOMing
+    # per-worker automaton budget — the flagship degrades instead of OOMing.
+    # label_phrases output is distinct by construction and just hit parquet,
+    # so a plain footer-metadata count picks the kernel without the
+    # distinct+shuffle job detect_mentions would otherwise run
     mentions = run.materialize(
         "mentions",
-        lambda: detect_mentions(pages_text, phrases),
+        lambda: detect_mentions(pages_text, phrases, n_phrases=phrases.count()),
         ["pages_text", "phrases"],
     )
     # the default side inference splits the URI curie prefix; real ontology

@@ -510,3 +510,30 @@ def test_predicate_stats_recorded_in_marker(spark, tmp_path):
     obs3 = _obs(spark, [("z", "other", "w", ts(2024, 3, 1))])
     upsert_observations(spark, state, obs3, batch_id="c3")
     assert state_predicate_stats(state) is None
+
+
+def test_predicate_stats_corrupt_marker_degrades_to_none(spark, tmp_path):
+    """Stats are advisory: a corrupt/truncated _commit.json (e.g. a
+    half-written copy made outside the engine) must degrade to None —
+    legacy join ordering — never raise into the query path (the
+    kg_query --stats auto default reads it on every invocation)."""
+    import datetime as _dt
+    import os
+
+    from ontology_mapping_spark.operators.kgmaint import (
+        state_predicate_stats,
+        upsert_observations,
+    )
+
+    state = str(tmp_path / "state")
+    obs = _obs(
+        spark, [("a", "type", "c", _dt.datetime(2024, 1, 1))]
+    )
+    upsert_observations(
+        spark, state, obs, batch_id="c1", record_predicate_stats=True
+    )
+    assert state_predicate_stats(state) == {"type": 1}
+    marker = os.path.join(state, "_commit.json")
+    with open(marker, "w") as f:
+        f.write('{"predicate_stats": {"type"')  # truncated mid-write
+    assert state_predicate_stats(state) is None

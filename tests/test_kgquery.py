@@ -1378,3 +1378,62 @@ def test_stats_order_extra_constants_still_win(spark):
     assert sorted((r["s"], r["o"], r["l"]) for r in got) == [
         ("s1", "o1", "one")
     ]
+
+
+def test_estimate_predicate_path_terms_are_not_empty_scans():
+    """Synthetic path terms ('p+', 'p*', 'p?', '^p', 'a|b', '!(...)') must
+    estimate from their member predicates' base counts — est 0 (the
+    truly-absent-predicate case) would seed the join order with the
+    LARGEST relation in the query, the exact misordering the stats
+    feature exists to prevent."""
+    from ontology_mapping_spark.operators.kgquery import _estimate_predicate
+
+    stats = {"type": 300.0, "rare": 3.0}
+    total = 303.0
+    est = lambda p: _estimate_predicate(p, stats, total)  # noqa: E731
+    # closure >= base, identity variants add ~total, inverse == base
+    assert est("type+") >= est("type") == 300.0
+    assert est("type*") >= est("type+")
+    assert est("type?") >= est("type") + total - 1
+    assert est("^type") == est("type")
+    assert est("^type+") == est("type+")
+    # alternation sums branches; negated set complements
+    assert est("type|rare") == 303.0
+    assert est("!type") == 3.0
+    assert est("!(type|rare)") == 0.0
+    # a genuinely absent plain predicate IS an empty scan
+    assert est("absent") == 0.0
+    assert est("<http://x/absent>") == 0.0
+    # '<iri>'-wrapped terms are opaque: no path interpretation
+    assert est("<http://x/a+b>") == 0.0
+
+
+def test_stats_order_path_closure_joins_late(spark):
+    """With stats on, a 'broader+' closure pattern (over the dominant
+    predicate) must NOT seed the join ahead of a selective constant
+    pattern — the closure relation is estimated >= its base, never as
+    the empty scan its synthetic predicate name would suggest."""
+    from ontology_mapping_spark.operators.kgquery import (
+        bgp_match_paths,
+        predicate_stats,
+    )
+
+    # a 'broader' chain of 60 nodes (closure ~ 60*59/2 pairs under
+    # max_iters) + 2 'rare' rows
+    rows = [(f"n{i}", "broader", f"n{i + 1}") for i in range(60)]
+    rows += [("n0", "rare", "hit"), ("n999", "rare", "miss")]
+    kg = spark.createDataFrame(
+        rows, "subject string, predicate string, object string"
+    )
+    stats = predicate_stats(kg)
+    pats = [("?x", "broader+", "?a"), ("?x", "rare", "hit")]
+    tuned = bgp_match_paths(kg, pats, stats=stats, max_iters=8)
+    legacy = bgp_match_paths(kg, pats, max_iters=8)
+    key = lambda r: (r["x"], r["a"])  # noqa: E731
+    want = sorted(map(key, legacy.collect()))
+    assert sorted(map(key, tuned.collect())) == want
+    assert len(want) == 60  # n0 reaches every deeper node
+    # the 2-constant rare pattern estimates 3*0.1 < closure est; it must
+    # seed (left-most) in the stats plan
+    plan = tuned._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.index("rare") < plan.index("broader")

@@ -449,3 +449,70 @@ def test_native_plan_has_no_pre_agg_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SortMergeJoin" not in plan and "Cartesian" not in plan, plan
+
+
+def test_native_scan_chunked_array_input_parity():
+    """Arrow inputs to the zero-copy C scans may arrive as multi-chunk
+    ChunkedArrays; `_flat_bytes_input` combines chunks into a FRESH
+    buffer, which the caller must keep alive through the C call (a bare
+    address would be freed at helper return — the use-after-free class).
+    Pin: list / single Array / multi-chunk ChunkedArray inputs produce
+    identical scans, including the null-fallback path."""
+    import pytest
+
+    if not _native_ready():
+        pytest.skip("no C compiler: native kernel unavailable")
+    import numpy as np
+    import pyarrow as pa
+
+    from ontology_mapping_spark.native import NativeMatcher
+
+    nm = NativeMatcher([("u0", "cat"), ("u1", "dog"), ("u2", "cat dog")])
+    texts = [
+        ("the cat sat. a dog ran! cat dog here. " * 40).encode(),
+        b"",
+        ("no hits in this one at all. " * 60).encode(),
+        ("dog. cat? cat dog! " * 80).encode(),
+    ] * 8
+    def norm(out):
+        page_idx, sent_id, nh, padded, pat_idx, pos, flags = out
+        return (
+            [int(x) for x in page_idx],
+            [int(x) for x in sent_id],
+            [int(x) for x in nh],
+            padded.to_pylist(),
+            [int(x) for x in pat_idx],
+            [int(x) for x in pos],
+            [int(x) for x in flags],
+        )
+
+    want = norm(nm.scan_sentences(texts))
+    one = pa.array([t.decode() for t in texts], type=pa.string())
+    assert norm(nm.scan_sentences(one)) == want
+    # multi-chunk: combine_chunks allocates the fresh buffer at risk
+    chunked = pa.chunked_array(
+        [one.slice(0, 5), one.slice(5, 11), one.slice(16)]
+    )
+    assert chunked.num_chunks == 3
+    assert norm(nm.scan_sentences(chunked)) == want
+    # large_string exercises the int64-offset branch
+    assert norm(nm.scan_sentences(one.cast(pa.large_string()))) == want
+    # null fallback (list-normalized path) — null scans as empty page
+    with_null = pa.chunked_array(
+        [pa.array([texts[0].decode(), None]), pa.array([texts[3].decode()])]
+    )
+    got = norm(nm.scan_sentences(with_null))
+    ref = norm(nm.scan_sentences([texts[0], b"", texts[3]]))
+    assert got == ref
+
+    if nm.supports_html():
+        htmls = [b"<html><body><p>cat dog. dog!</p></body></html>"] * 6 + [None]
+        harr = pa.chunked_array(
+            [pa.array(htmls[:2], type=pa.binary()),
+             pa.array(htmls[2:], type=pa.binary())]
+        )
+        a = nm.scan_batch_hits_html([h if h is not None else b"" for h in htmls])
+        b = nm.scan_batch_hits_html(harr)
+        za = sorted(zip(*(np.asarray(x).tolist() for x in a)))
+        zb = sorted(zip(*(np.asarray(x).tolist() for x in b)))
+        assert za == zb and len(za) > 0

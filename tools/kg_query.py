@@ -119,7 +119,7 @@ def main(argv: list[str] | None = None) -> None:
 
         try:
             stats = state_predicate_stats(args.triples)
-        except OSError:
+        except (OSError, ValueError):
             stats = None
 
     update_text = args.update or (
