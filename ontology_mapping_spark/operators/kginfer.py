@@ -46,6 +46,7 @@ from ontology_mapping_spark.operators.kgquery import (
     Pattern,
     _compile_bgp,
     _instantiate_templates,
+    _strip_iri,
 )
 from ontology_mapping_spark.session import materialize
 
@@ -88,31 +89,43 @@ def saturate(
 
 _CP_CONF = "spark.sql.constraintPropagation.enabled"
 _cp_lock = threading.Lock()
-_cp_state: dict = {"count": 0, "prev": None}
+# keyed PER SparkSession (confs are per-session: a foreachBatch-cloned
+# session has its own conf, so one global refcount would leave a second
+# concurrent session unprotected — and restore the first session's saved
+# value onto the last exiter's session)
+_cp_state: dict[int, dict] = {}
 
 
 @contextlib.contextmanager
 def _constraint_propagation_off(spark):
     """Refcounted toggle of the session-global constraint-propagation
-    conf: Spark confs have no scoping, so two concurrent saturations (two
-    streaming-entailment queries on one session, a saturation beside
-    another job's thread) must not let the first `finally` restore the
-    conf while the second is mid-loop. The LAST exit restores the value
-    seen by the FIRST entry. Plans of unrelated queries planned during a
+    conf: Spark confs have no scoping WITHIN a session, so two concurrent
+    saturations on one session (two threads, a saturation beside another
+    job) must not let the first `finally` restore the conf while the
+    second is mid-loop. The refcount is per SparkSession — each session's
+    LAST exit restores the value seen by that session's FIRST entry.
+    Plans of unrelated queries planned on the same session during a
     saturation still lose inferred filters — that is inherent to a
     session-global conf and documented here rather than hidden."""
+    key = id(spark)
     with _cp_lock:
-        if _cp_state["count"] == 0:
-            _cp_state["prev"] = spark.conf.get(_CP_CONF, "true")
+        st = _cp_state.get(key)
+        if st is None:
+            st = _cp_state[key] = {
+                "count": 0,
+                "prev": spark.conf.get(_CP_CONF, "true"),
+            }
             spark.conf.set(_CP_CONF, "false")
-        _cp_state["count"] += 1
+        st["count"] += 1
     try:
         yield
     finally:
         with _cp_lock:
-            _cp_state["count"] -= 1
-            if _cp_state["count"] == 0:
-                spark.conf.set(_CP_CONF, _cp_state["prev"])
+            st = _cp_state[key]
+            st["count"] -= 1
+            if st["count"] == 0:
+                spark.conf.set(_CP_CONF, st["prev"])
+                del _cp_state[key]
 
 
 def _check_rules(rules: Sequence[Rule]) -> None:
@@ -181,6 +194,37 @@ def _semi_naive_rounds(
         )
 
 
+def _delta_round(
+    full: DataFrame,
+    delta: DataFrame,
+    rules: Sequence[Rule],
+    broadcast_min_constants: int,
+) -> DataFrame:
+    """One semi-naive rule round: for every rule and every body position,
+    evaluate the body with THAT position anchored on ``delta`` and the
+    rest on ``full``, instantiate the head templates, and union (bag —
+    callers dedup). Shared by the forward fixpoint
+    (:func:`_semi_naive_loop`) and overdeletion (:func:`_overdelete`) so
+    the delta-anchored evaluation strategy cannot drift between them."""
+    parts: list[DataFrame] = []
+    for patterns, template in rules:
+        for i in range(len(patterns)):
+            sources: list[DataFrame | None] = [None] * len(patterns)
+            sources[i] = delta
+            sols, _bound = _compile_bgp(
+                full,
+                patterns,
+                allow_product=False,
+                broadcast_min_constants=broadcast_min_constants,
+                sources=sources,
+            )
+            parts.append(_instantiate_templates(sols, template))
+    derived = parts[0]
+    for p_ in parts[1:]:
+        derived = derived.unionByName(p_)
+    return derived
+
+
 def _semi_naive_loop(
     total: DataFrame,
     delta: DataFrame,
@@ -191,22 +235,7 @@ def _semi_naive_loop(
     small_delta_rows: int,
 ) -> DataFrame:
     for _ in range(max_iters):
-        parts: list[DataFrame] = []
-        for patterns, template in rules:
-            for i in range(len(patterns)):
-                sources: list[DataFrame | None] = [None] * len(patterns)
-                sources[i] = delta
-                sols, _bound = _compile_bgp(
-                    total,
-                    patterns,
-                    allow_product=False,
-                    broadcast_min_constants=broadcast_min_constants,
-                    sources=sources,
-                )
-                parts.append(_instantiate_templates(sols, template))
-        derived = parts[0]
-        for p_ in parts[1:]:
-            derived = derived.unionByName(p_)
+        derived = _delta_round(total, delta, rules, broadcast_min_constants)
         # fresh = facts not already known; total and delta stay disjointly
         # built, so the union below needs no re-dedup
         if delta_rows is not None and delta_rows <= small_delta_rows:
@@ -297,9 +326,22 @@ def saturate_incremental(
         base = saturated.select(*_KEY)
     else:
         base = materialize(saturated.select(*_KEY).distinct())
-    fresh = materialize(
-        delta.select(*_KEY).distinct().join(base, on=_KEY, how="left_anti")
-    )
+    # fresh = delta − base. The naive left-anti would put the WHOLE
+    # accumulated graph through a sort-merge shuffle (anti-join build
+    # sides don't broadcast the probe); crawl-cadence deltas are tiny,
+    # so use the loop's own small-delta idiom instead: scan the graph
+    # ONCE against the broadcast delta (semi), then anti the delta
+    # against that intersection — both build sides delta-sized, the
+    # graph never shuffles. Past the broadcast cap, fall back.
+    d_set = materialize(delta.select(*_KEY).distinct())
+    n_d = d_set.count()
+    if n_d <= _BROADCAST_CAP_ROWS:
+        known = base.join(F.broadcast(d_set), on=_KEY, how="left_semi")
+        fresh = materialize(
+            d_set.join(F.broadcast(known), on=_KEY, how="left_anti")
+        )
+    else:
+        fresh = materialize(d_set.join(base, on=_KEY, how="left_anti"))
     n_fresh = fresh.count()
     if n_fresh == 0:
         return base
@@ -461,22 +503,7 @@ def _overdelete(
     n_suspects = removed0.count()
     delta = removed0
     for _ in range(max_iters):
-        parts: list[DataFrame] = []
-        for patterns, template in rules:
-            for i in range(len(patterns)):
-                sources: list[DataFrame | None] = [None] * len(patterns)
-                sources[i] = delta
-                sols, _bound = _compile_bgp(
-                    sat,
-                    patterns,
-                    allow_product=False,
-                    broadcast_min_constants=broadcast_min_constants,
-                    sources=sources,
-                )
-                parts.append(_instantiate_templates(sols, template))
-        derived = parts[0]
-        for p_ in parts[1:]:
-            derived = derived.unionByName(p_)
+        derived = _delta_round(sat, delta, rules, broadcast_min_constants)
         delta = materialize(
             derived.distinct().join(
                 _maybe_broadcast(suspects, n_suspects),
@@ -535,7 +562,11 @@ def _rederive_candidates(
             cand = suspects
             for col, term in zip(pos_cols, tmpl):
                 if not is_var(term) and not term.startswith("_:"):
-                    cand = cand.filter(F.col(col) == F.lit(term))
+                    # stored facts carry BARE iris (_instantiate_templates
+                    # strips '<...>'), so the suspect filter must too — a
+                    # verbatim '<iri>' constant would match zero suspects
+                    # and silently disable rederivation for the rule
+                    cand = cand.filter(F.col(col) == F.lit(_strip_iri(term)))
             for col, term in zip(pos_cols, tmpl):
                 if is_var(term):
                     name = term[1:]

@@ -614,7 +614,9 @@ def crawl_frontier(
             seen.select(F.col("url").alias("dst_url")), "dst_url", "left_anti"
         )
     if blocked is not None:
-        cand = filter_blocked_hosts(cand, blocked, url_col="dst_url")
+        # the host column two lines up is exactly what the suffix
+        # anti-join needs — reuse it instead of re-running the regex
+        cand = filter_blocked_hosts(cand, blocked, host_col="host")
     w = Window.partitionBy("host").orderBy(
         F.col("n_refs").desc(), F.col("dst_url")
     )
@@ -626,15 +628,25 @@ def crawl_frontier(
 
 
 def filter_blocked_hosts(
-    pages: DataFrame, blocked: DataFrame, url_col: str = "url"
+    pages: DataFrame, blocked: DataFrame, url_col: str = "url",
+    host_col: str | None = None,
 ) -> DataFrame:
     """Drop pages whose host is a blocked domain or any subdomain of one.
 
     ``blocked`` is a 1-column (domain) DataFrame, small by contract
     (curation blocklists are thousands of rows) — broadcast to every
-    executor so the anti-join never shuffles the page corpus."""
-    pages_h = pages.withColumn("_host", host_of(url_col))
-    cond = (F.col("_host") == F.col("domain")) | F.col("_host").endswith(
+    executor so the anti-join never shuffles the page corpus.
+
+    ``host_col``: name of an ALREADY-computed host column to compare
+    against, skipping the per-row ``host_of`` regex pass — callers that
+    just derived the host (crawl_frontier) must not pay it twice."""
+    if host_col is None:
+        pages = pages.withColumn("_host", host_of(url_col))
+        host_col, tmp = "_host", True
+    else:
+        tmp = False
+    cond = (F.col(host_col) == F.col("domain")) | F.col(host_col).endswith(
         F.concat(F.lit("."), F.col("domain"))
     )
-    return pages_h.join(F.broadcast(blocked), cond, "left_anti").drop("_host")
+    out = pages.join(F.broadcast(blocked), cond, "left_anti")
+    return out.drop("_host") if tmp else out

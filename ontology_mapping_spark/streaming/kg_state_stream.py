@@ -123,6 +123,12 @@ def stream_upsert_kg_state(
                 "batch_id": batch_id,
                 "checkpoint": os.path.realpath(checkpoint_dir),
             },
+            # second, per-ROW guard (merge_triples last_batch_id),
+            # lineage-scoped so batch 0 of a NEW checkpoint never
+            # collides with batch 0 of an old one: a state restored
+            # from a raw copy WITHOUT its marker still cannot
+            # double-count support on an immediate replay
+            batch_id=f"{os.path.realpath(checkpoint_dir)}#{batch_id}",
             return_count=False,  # per-batch full state re-scan, discarded
         )
 

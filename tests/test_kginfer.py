@@ -349,3 +349,31 @@ def test_retract_overdelete_overflow_raises(spark):
         retract_incremental(
             sat, asserted, removals, rdfs_rules(), max_iters=1
         )
+
+
+def test_retract_rederives_with_iri_ref_rule_constants(spark):
+    """Rules written with '<...>'-wrapped IRI constants store BARE iris
+    (template instantiation strips the brackets), so the rederive
+    stage's suspect filter must strip them too — a verbatim '<iri>'
+    comparison matches zero suspects and silently loses alternative
+    derivations (the diamond case) for bracketed rule sets."""
+    sub = "<http://www.w3.org/2000/01/rdf-schema#subClassOf>"
+    bare = sub[1:-1]
+    rules = [
+        (
+            [("?a", sub, "?b"), ("?b", sub, "?c")],
+            [("?a", sub, "?c")],
+        )
+    ]
+    # diamond: a->c via b AND via d; retracting a->b must rederive (a,c)
+    rows = [
+        ("a", bare, "b"),
+        ("b", bare, "c"),
+        ("a", bare, "d"),
+        ("d", bare, "c"),
+    ]
+    removals = [("a", bare, "b")]
+    got = tset(_retract(spark, rows, removals, rules))
+    assert ("a", bare, "c") in got  # rederived through d
+    assert ("a", bare, "b") not in got
+    assert got == tset(_resat(spark, rows, removals, rules))

@@ -354,3 +354,52 @@ def test_stream_entail_equals_one_shot_saturate(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert got2 == got
+
+
+def test_stream_upsert_per_row_guard_survives_marker_loss(spark, tmp_path):
+    """The streaming sink also passes a lineage-scoped batch_id down to
+    merge_triples' per-ROW guard, so a state restored from a raw copy
+    WITHOUT its _commit.json marker still cannot double-count support
+    when the last batch is re-merged (the marker is the first guard;
+    this is the second)."""
+    import datetime as dt
+    import os
+
+    from ontology_mapping_spark.operators.kgmaint import upsert_observations
+    from ontology_mapping_spark.streaming.kg_state_stream import (
+        stream_observations,
+        stream_upsert_kg_state,
+    )
+
+    TS = dt.datetime
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    obs_dir = str(tmp_path / "obs")
+    rows = [("a", "p", "b", TS(2024, 1, 1)), ("a", "p", "b", TS(2024, 1, 2))]
+    spark.createDataFrame(
+        rows, "subject string, predicate string, object string, ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{obs_dir}/f0")
+    q = stream_upsert_kg_state(
+        stream_observations(spark, f"{obs_dir}/f*", max_files_per_trigger=1),
+        state,
+        ckpt,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["subject"], r["object"]): (r["support"], r["last_batch_id"])
+        for r in spark.read.parquet(state).collect()
+    }
+    lineage_id = f"{os.path.realpath(ckpt)}#0"
+    assert got == {("a", "b"): (2, lineage_id)}
+    # lose the marker (raw-copy restore), replay the same batch through
+    # the same merge core with the sink's lineage-scoped id: no-op
+    os.remove(os.path.join(state, "_commit.json"))
+    batch = spark.createDataFrame(
+        rows, "subject string, predicate string, object string, ts timestamp"
+    )
+    upsert_observations(spark, state, batch, batch_id=lineage_id)
+    after = {
+        (r["subject"], r["object"]): r["support"]
+        for r in spark.read.parquet(state).collect()
+    }
+    assert after == {("a", "b"): 2}, "replayed batch double-counted support"
