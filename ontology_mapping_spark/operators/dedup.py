@@ -35,11 +35,16 @@ from ontology_mapping_spark.textnorm import normalize_col
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one row (min id) per exact text digest."""
+    """Keep one row (min id) per exact text digest.
+
+    Rows with NULL text pass through untouched: md5(NULL) is NULL, and a
+    window key of NULL would group EVERY missing-text row into one
+    partition and silently delete all but one of them — "text unknown"
+    is not "texts equal"."""
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter((F.col("__rn") == 1) | F.col(text_col).isNull())
         .drop("__rn")
     )
 
@@ -155,12 +160,20 @@ def lsh_candidates(
         # the slice width doubles as the divisibility guard: baked into
         # the expression Catalyst cannot prune it away (a detached
         # assert_true column would be column-pruned before evaluation)
+        # size > 0 matters too: 0 % bands == 0, and a zero-length
+        # signature would hash md5('') in EVERY band — all such rows
+        # pairwise-join into exactly the cross-product blowup this
+        # guard exists to prevent
         width = F.when(
-            F.size(sig) % bands == 0, (F.size(sig) / bands).cast("int")
+            (F.size(sig) > 0) & (F.size(sig) % bands == 0),
+            (F.size(sig) / bands).cast("int"),
         ).otherwise(
             F.raise_error(
                 F.concat(
-                    F.lit(f"bands ({bands}) must divide signature length, got "),
+                    F.lit(
+                        f"bands ({bands}) must divide a non-empty "
+                        "signature length, got "
+                    ),
                     F.size(sig).cast("string"),
                 )
             ).cast("int")
@@ -313,7 +326,7 @@ def near_dup_pairs_embedding(
         scored = b.crossJoin(F.broadcast(a)).filter(F.col("a") != F.col("b"))
         from ontology_mapping_spark.functions.vectors import dot_col
 
-        return (
+        out = (
             scored.withColumn(
                 "cos",
                 F.when(
@@ -322,6 +335,33 @@ def near_dup_pairs_embedding(
                 ).otherwise(0.0),
             )
             .filter(F.col("cos") >= threshold)
+            .select("a", "b", "cos")
+        )
+        # when the query batch OVERLAPS the corpus (incremental dedup
+        # after the batch was appended), a pair whose two ids are each on
+        # both sides comes out in both orientations; the drop-the-b-side
+        # consumer pattern would then delete BOTH copies. The mirror of
+        # (a, b) exists iff b is also a query id AND a is also a corpus
+        # id — only then keep the canonical a < b orientation; every
+        # other pair is kept as probed. Both membership frames are
+        # query-sized (the probe-shape contract) — broadcast.
+        qids = queries.select(
+            F.col(id_col).alias("b"), F.lit(True).alias("__bq")
+        ).distinct()
+        q_in_corpus = (
+            queries.select(F.col(id_col).alias("a"))
+            .join(corpus.select(F.col(id_col).alias("a")), "a", "left_semi")
+            .distinct()
+            .withColumn("__ac", F.lit(True))
+        )
+        return (
+            out.join(F.broadcast(qids), "b", "left")
+            .join(F.broadcast(q_in_corpus), "a", "left")
+            .filter(
+                F.col("__bq").isNull()
+                | F.col("__ac").isNull()
+                | (F.col("a") < F.col("b"))
+            )
             .select("a", "b", "cos")
         )
     else:
@@ -377,24 +417,48 @@ def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:
     """(id, simhash long): per-token ±1 votes per bit position, bit set when
-    the vote sum is positive."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(F.split(normalize_col(F.col(text_col)), " "))
-        ).alias("tok"),
-    ).filter(F.col("tok") != "")
+    the vote sum is positive.
+
+    Entirely within-row: ONE fold over the distinct-token array
+    accumulates all ``bits`` vote sums in a struct — zero shuffle (the
+    earlier explode + bits-wide groupBy paid a corpus-keyed exchange for
+    a per-row computation). Every input row gets a signature: a document
+    whose normalized text is empty or NULL votes nothing and fingerprints
+    as 0 — dropping the row instead (the old shape: explode emits nothing
+    to group) silently loses the document from any signature join."""
     if not 1 <= bits <= 63:
         # 63, not 64: bit 63 is the sign bit of the LongType value and
         # would change shiftright/ordering semantics for no dedup benefit
         raise ValueError(f"bits must be in 1..63, got {bits}")
-    votes = toks.groupBy(id_col).agg(
-        *[F.sum(simhash_bit(F.col("tok"), i)).alias(f"v{i}") for i in range(bits)]
+    toks = F.filter(
+        F.array_distinct(F.split(normalize_col(F.col(text_col)), " ")),
+        lambda t: t != "",
     )
-    expr = F.lit(0).cast("long")
-    for i in range(bits):
-        expr = expr + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(0).cast("long")
-    return votes.select(F.col(id_col), expr.alias("simhash"))
+
+    def _fingerprint(votes: Column) -> Column:
+        expr = F.lit(0).cast("long")
+        for i in range(bits):
+            expr = expr + F.when(votes[f"v{i}"] > 0, F.lit(1 << i)).otherwise(
+                0
+            ).cast("long")
+        return expr
+
+    def _sig(tk: Column) -> Column:
+        votes = F.aggregate(
+            tk,
+            F.struct(*[F.lit(0).alias(f"v{i}") for i in range(bits)]),
+            lambda acc, t: F.struct(
+                *[(acc[f"v{i}"] + simhash_bit(t, i)).alias(f"v{i}") for i in range(bits)]
+            ),
+        )
+        # bind the folded struct: _fingerprint references it 2*bits times
+        return _bind(votes, _fingerprint)
+
+    return df.select(
+        F.col(id_col),
+        # NULL text -> NULL token array -> NULL fold -> fingerprint 0
+        F.coalesce(_bind(toks, _sig), F.lit(0).cast("long")).alias("simhash"),
+    )
 
 
 def near_dup_pairs_simhash(
@@ -409,8 +473,26 @@ def near_dup_pairs_simhash(
     least one ``band_bits``-wide band (pigeonhole: any pair within
     max_hamming agrees on >= 1 of bits/band_bits bands when
     bands > max_hamming); verified with bit_count(xor)."""
-    sh = simhash(df, text_col, id_col, bits)
+    if band_bits < 1 or bits % band_bits != 0:
+        raise ValueError(
+            f"band_bits ({band_bits}) must divide bits ({bits}); a ragged "
+            "band would silently drop trailing bits from the bucketing"
+        )
     n_bands = bits // band_bits
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"bits/band_bits = {n_bands} bands must exceed max_hamming "
+            f"({max_hamming}) or the pigeonhole guarantee breaks: a pair "
+            "within threshold can differ in every band and is silently "
+            "never a candidate — lower band_bits or max_hamming"
+        )
+    from ontology_mapping_spark.session import materialize
+
+    # materialize the signature table before the banded self-join: its
+    # two sides are rename-aliased, so exchange reuse never fires and the
+    # full per-token vote fold would otherwise run twice over the corpus
+    # (the same rule lsh_candidates documents for the MinHash table)
+    sh = materialize(simhash(df, text_col, id_col, bits))
     band_structs = F.array(
         *[
             F.struct(
@@ -511,7 +593,9 @@ def url_dedup(
     return (
         df.withColumn("url_canon", canonical_url_col(F.col(url_col)))
         .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        # NULL urls pass through (same rule as exact_dedup: a NULL window
+        # key would fuse every url-less row into one keep-one group)
+        .filter((F.col("__rn") == 1) | F.col(url_col).isNull())
         .drop("__rn")
     )
 

@@ -20,7 +20,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ontology_mapping_spark.functions.vectors import cosine_col
+from ontology_mapping_spark.functions.vectors import cosine_col, dot_col, norm_col
 
 
 def _topk(scored: DataFrame, k: int, q: str = "q_id", score: str = "cos") -> DataFrame:
@@ -37,13 +37,30 @@ def cosine_topk_bruteforce(
     corpus: DataFrame,   # (c_id, vec)
     k: int = 10,
 ) -> DataFrame:
-    """Exact top-k by cosine: (q_id, c_id, cos, rank)."""
-    q = queries.select(F.col("q_id"), F.col("vec").alias("qv"))
-    c = corpus.select(F.col("c_id"), F.col("vec").alias("cv"))
+    """Exact top-k by cosine: (q_id, c_id, cos, rank).
+
+    Norms are precomputed per SIDE (|Q| + |C| array passes) instead of
+    per PAIR inside cosine_col (|Q| × |C|) — the dot product is the only
+    per-pair array pass left. Same 0.0-on-null/zero semantics as
+    cosine_col: a NULL vector's norm is NULL, so the positive-denominator
+    test fails and the pair scores 0.0."""
+    q = queries.select(
+        F.col("q_id"), F.col("vec").alias("qv"), norm_col(F.col("vec")).alias("nq")
+    )
+    c = corpus.select(
+        F.col("c_id"), F.col("vec").alias("cv"), norm_col(F.col("vec")).alias("nc")
+    )
     scored = F.broadcast(q).crossJoin(c).withColumn(
-        "cos", cosine_col(F.col("qv"), F.col("cv"))
+        "cos", _cos_from_norms("qv", "cv", "nq", "nc")
     )
     return _topk(scored, k)
+
+
+def _cos_from_norms(qv: str, cv: str, nq: str, nc: str):
+    """cosine from precomputed per-side norms; 0.0 on null/zero vectors
+    (cosine_col's reference semantics, one array pass per pair)."""
+    den = F.col(nq) * F.col(nc)
+    return F.when(den > 0, dot_col(F.col(qv), F.col(cv)) / den).otherwise(0.0)
 
 
 def _hyperplanes(dim: int, nbits: int, tables: int, seed: int) -> np.ndarray:
@@ -67,15 +84,35 @@ def sign_lsh_buckets(
     bucket) structs side by side and explodes them, instead of a
     plan-level union of per-table selects — the union form re-scanned
     (and re-projected the embedding column of) the input once per
-    table."""
+    table.
+
+    ``dim`` is validated IN-PLAN against each row's actual vector length:
+    a mismatch (the caller must pass dim manually, so an easy mistake)
+    would otherwise make zip_with pad with nulls, every dot NULL, every
+    bit '0' — ALL vectors in one bucket per table, silently collapsing
+    the candidate join to the full cross product. Better a loud error on
+    the first row than an O(n²) scale collapse with no symptom."""
     planes = _hyperplanes(dim, nbits, tables, seed)
+    vec_type = dict(df.dtypes)["vec"]
+    # a NULL vector keeps its legacy all-zero bucket (dots NULL -> bits
+    # '0'); only a present-but-wrong-length vector is an error
+    vec = F.when(
+        F.col("vec").isNull() | (F.size(F.col("vec")) == dim), F.col("vec")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"sign_lsh_buckets: dim={dim} but vector has length "),
+                F.size(F.col("vec")).cast("string"),
+            )
+        ).cast(vec_type)
+    )
     per_table = []
     for t in range(tables):
         bits = []
         for b in range(nbits):
             lit_vec = F.array(*[F.lit(float(x)) for x in planes[t, b]])
             dot = F.aggregate(
-                F.zip_with(F.col("vec"), lit_vec, lambda x, y: x.cast("double") * y),
+                F.zip_with(vec, lit_vec, lambda x, y: x.cast("double") * y),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
@@ -111,9 +148,25 @@ def ann_lsh_topk(
         .distinct()
     )
     scored = (
-        cands.join(queries.select("q_id", F.col("vec").alias("qv")), "q_id")
-        .join(corpus.select("c_id", F.col("vec").alias("cv")), "c_id")
-        .withColumn("cos", cosine_col(F.col("qv"), F.col("cv")))
+        cands.join(
+            queries.select(
+                "q_id",
+                F.col("vec").alias("qv"),
+                norm_col(F.col("vec")).alias("nq"),
+            ),
+            "q_id",
+        )
+        .join(
+            corpus.select(
+                "c_id",
+                F.col("vec").alias("cv"),
+                norm_col(F.col("vec")).alias("nc"),
+            ),
+            "c_id",
+        )
+        # per-side norms (computed on the join inputs, once per row), not
+        # per-pair inside cosine_col — same 0.0-on-null/zero semantics
+        .withColumn("cos", _cos_from_norms("qv", "cv", "nq", "nc"))
     )
     return _topk(scored, k)
 

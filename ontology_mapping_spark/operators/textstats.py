@@ -20,24 +20,47 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 
 def whitespace_token_count(text: Column) -> Column:
-    """Whitespace token count of normalized text (0 for empty)."""
+    """Whitespace token count of normalized text (0 for empty or NULL —
+    a NULL would otherwise poison count-threshold predicates into
+    three-valued logic, dropping rows from BOTH the kept and the
+    complement set)."""
     n = normalize_col(text)
-    return F.when(n == "", F.lit(0)).otherwise(F.size(F.split(n, " "))).cast("int")
+    return (
+        F.when(n.isNull() | (n == ""), F.lit(0))
+        .otherwise(F.size(F.split(n, " ")))
+        .cast("int")
+    )
 
 
 def regex_token_count(text: Column) -> Column:
     """BPE-ish subword proxy: count of [a-z]+ / digit-runs / single
-    non-alnum symbols (the classic pre-tokenizer regex)."""
-    return F.size(
-        F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    non-alnum symbols (the classic pre-tokenizer regex); 0 for NULL."""
+    return F.coalesce(
+        F.size(
+            F.regexp_extract_all(
+                F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+            )
+        ),
+        F.lit(0),
     ).cast("int")
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    toks = F.split(normalize_col(text), " ")
+    """Fraction of normalized tokens in the language's stopword profile
+    (0.0 for empty/NULL). The token array is lambda-bound so the
+    normalize regexes and the split run once per row, not once per
+    reference (the detect_lang trap)."""
+    from ontology_mapping_spark.functions.arrays import bind
+
     sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(0.0)
+
+    def _ratio(toks: Column) -> Column:
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        return F.when(
+            F.size(toks) > 0, hits.cast("double") / F.size(toks)
+        ).otherwise(0.0)
+
+    return bind(F.split(normalize_col(text), " "), _ratio)
 
 
 def detect_lang(text: Column, langs: list[str] | None = None) -> Column:
@@ -81,19 +104,33 @@ def detect_lang(text: Column, langs: list[str] | None = None) -> Column:
 def quality_features(text: Column) -> dict[str, Column]:
     """Length / punctuation / stopword / digit ratios — the standard
     web-text quality signals."""
+    from ontology_mapping_spark.functions.arrays import bind
+
     raw_len = F.length(text)
     n = normalize_col(text)
-    toks = F.split(n, " ")
-    n_toks = F.when(n == "", 0).otherwise(F.size(toks))
+    # per-entry lambda-binding: inside each returned column the
+    # normalized text is a bound variable evaluated once, so an entry
+    # referencing it several times (token count + char sum) costs one
+    # normalize pass, not one per reference
+    n_toks = bind(
+        n, lambda nn: F.when(nn == "", 0).otherwise(F.size(F.split(nn, " ")))
+    )
     # unicode-aware classes: accented/Greek letters are LETTERS, not
     # punctuation — [a-z]-only classes scored normal de/fr/es prose as
     # punctuation soup
     alpha = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
     digits = F.length(F.regexp_replace(text, r"[^\p{N}]", ""))
     punct = F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", ""))
-    mean_tok_len = F.when(
-        n_toks > 0, F.length(F.regexp_replace(n, " ", "")).cast("double") / n_toks
-    ).otherwise(0.0)
+    mean_tok_len = bind(
+        n,
+        lambda nn: bind(
+            F.when(nn == "", 0).otherwise(F.size(F.split(nn, " "))),
+            lambda nt: F.when(
+                nt > 0,
+                F.length(F.regexp_replace(nn, " ", "")).cast("double") / nt,
+            ).otherwise(0.0),
+        ),
+    )
     return {
         "n_chars": raw_len.cast("int"),
         "n_tokens": n_toks.cast("int"),

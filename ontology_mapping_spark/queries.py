@@ -941,17 +941,22 @@ def q_minhash_tokens(spark, sf):
 
 
 def _simhash_sql(bits: int = 16) -> str:
+    # per-bit vote sum over the distinct-token LIST (not an unnest/GROUP
+    # BY): votes = (#tokens voting 1) - (#others) = 2*hits - len. Every
+    # document keeps a row — an empty/NULL normalized text votes nothing
+    # and fingerprints as 0, matching the engine's within-row fold (the
+    # unnest form silently dropped empty docs from the output).
     votes = []
     for i in range(bits):
         votes.append(
-            f"CAST(sum(CASE WHEN substr(md5(tok), {i + 1}, 1) IN "
-            f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 AS INT) * {1 << i}"
+            f"CAST(2 * len(list_filter(tk, x -> substr(md5(x), {i + 1}, 1) IN "
+            f"('8','9','a','b','c','d','e','f'))) - len(tk) > 0 AS INT) * {1 << i}"
         )
     expr = " + ".join(votes)
-    return f"""WITH toks AS (
-         SELECT doc_id, unnest(list_distinct(string_split({normalize_sql('text', 'duckdb')}, ' '))) AS tok
+    return f"""WITH t AS (
+         SELECT doc_id, COALESCE(list_filter(list_distinct(string_split({normalize_sql('text', 'duckdb')}, ' ')), x -> x <> ''), []) AS tk
          FROM documents)
-       SELECT doc_id, CAST({expr} AS BIGINT) AS simhash FROM toks WHERE tok <> '' GROUP BY doc_id"""
+       SELECT doc_id, CAST({expr} AS BIGINT) AS simhash FROM t"""
 
 
 @query("simhash16", _simhash_sql(16))

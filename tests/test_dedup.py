@@ -394,3 +394,107 @@ def test_decontaminate_shared_13gram_and_short_exact_copy(spark):
     assert bad == [1, 3]
     clean = sorted(r["doc_id"] for r in decontaminate(train, evald).collect())
     assert clean == [2, 4]
+
+
+def test_dedup_null_keys_pass_through(spark):
+    """A NULL dedup key means "unknown", not "equal": NULL-text /
+    NULL-url rows must all survive (the NULL window partition would
+    otherwise keep one and silently delete the rest)."""
+    from ontology_mapping_spark.operators.dedup import url_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)],
+        "doc_id int, text string",
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [1, 3, 4, 5]
+
+    urls = spark.createDataFrame(
+        [
+            (1, "http://a.com/x"),
+            (2, "HTTP://A.com/x/"),
+            (3, None),
+            (4, None),
+        ],
+        "doc_id int, url string",
+    )
+    kept_u = sorted(r.doc_id for r in url_dedup(urls).collect())
+    assert kept_u == [1, 3, 4]
+
+
+def test_simhash_keeps_empty_and_null_docs(spark):
+    """Every input row gets a signature: empty/punctuation-only/NULL
+    text votes nothing and fingerprints as 0 — dropping the row would
+    lose the document from any signature join."""
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, ""), (2, "!!!"), (3, None)],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[1] == got[2] == got[3] == 0
+    assert got[0] != 0
+
+
+def test_simhash_band_pigeonhole_validation(spark):
+    """bits/band_bits must exceed max_hamming or the pigeonhole
+    guarantee silently breaks (a within-threshold pair sharing no band
+    is never a candidate); ragged bands are rejected too."""
+    import pytest
+
+    df = _docs_df(spark)
+    with pytest.raises(ValueError, match="exceed max_hamming"):
+        near_dup_pairs_simhash(df, bits=16, band_bits=8, max_hamming=2)
+    with pytest.raises(ValueError, match="must divide"):
+        near_dup_pairs_simhash(df, bits=16, band_bits=5)
+    with pytest.raises(ValueError, match="must divide"):
+        near_dup_pairs_simhash(df, bits=16, band_bits=32)  # non-divisor too
+    with pytest.raises(ValueError, match="exceed max_hamming"):
+        # divides, but 16/16 = 1 band <= max_hamming: zero-overlap pairs
+        near_dup_pairs_simhash(df, bits=16, band_bits=16, max_hamming=2)
+
+
+def test_lsh_candidates_rejects_empty_signatures(spark):
+    """size(sig)=0 passes the divisibility check (0 % bands == 0) but
+    every empty-sig row would hash md5('') in EVERY band — the exact
+    cross-product blowup the guard exists to prevent. Loud error."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    sigs = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, [])], "doc_id int, sig array<string>"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        lsh_candidates(sigs, bands=2).collect()
+
+
+def test_embedding_query_overlap_emits_each_pair_once(spark):
+    """When the query batch overlaps the corpus (incremental dedup after
+    append), a near-dup pair with both ids on both sides must come out
+    in ONE orientation (a < b), not both — the drop-the-b-side consumer
+    would otherwise delete both copies. Pairs whose mirror is not
+    produced keep their probe orientation."""
+    from ontology_mapping_spark.operators.dedup import near_dup_pairs_embedding
+
+    v = [1.0, 0.0, 0.0]
+    corpus = spark.createDataFrame(
+        [(1, v), (2, v), (9, [0.0, 1.0, 0.0])], "id int, vec array<float>"
+    )
+    # full overlap: queries == corpus
+    pairs = {
+        (r.a, r.b)
+        for r in near_dup_pairs_embedding(
+            corpus, queries=corpus, threshold=0.9
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
+    # query id NOT in the corpus: probe orientation kept even when a > b
+    q = spark.createDataFrame([(7, v)], "id int, vec array<float>")
+    pairs2 = {
+        (r.a, r.b)
+        for r in near_dup_pairs_embedding(
+            corpus, queries=q, threshold=0.9
+        ).collect()
+    }
+    assert pairs2 == {(7, 1), (7, 2)}

@@ -314,3 +314,56 @@ def test_corpus_filter_verdicts(spark):
     assert got[1] is True
     assert got[2] is False and got[3] is False
     assert got[4] is False and got[5] is False
+
+
+def test_token_counts_null_text_is_zero(spark):
+    """NULL text counts as 0 tokens (not NULL): a NULL count turns every
+    threshold predicate three-valued and rows vanish from both the kept
+    and the complement set."""
+    from ontology_mapping_spark.operators.textstats import (
+        regex_token_count,
+        whitespace_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, None), (3, "")], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["w"], r["b"])
+        for r in df.select(
+            "doc_id",
+            whitespace_token_count(F.col("text")).alias("w"),
+            regex_token_count(F.col("text")).alias("b"),
+        ).collect()
+    }
+    assert got == {1: (2, 2), 2: (0, 0), 3: (0, 0)}
+    # keep + reject partitions the corpus even with NULL rows present
+    kept = df.filter(whitespace_token_count(F.col("text")) >= 1).count()
+    rejected = df.filter(whitespace_token_count(F.col("text")) < 1).count()
+    assert kept + rejected == df.count()
+
+
+def test_sign_lsh_dim_mismatch_raises(spark):
+    """A wrong caller-supplied dim must fail loudly: NULL hyperplane dots
+    would put ALL vectors in one bucket per table, silently collapsing
+    the candidate join to the full cross product."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from ontology_mapping_spark.operators.similarity import sign_lsh_buckets
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id int, vec array<float>"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        sign_lsh_buckets(corpus, "id", 9999).collect()
+    # a NULL vector keeps the legacy all-zero bucket (no error)
+    withnull = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "id int, vec array<float>"
+    )
+    got = {
+        (r["id"], r["table"]): r["bucket"]
+        for r in sign_lsh_buckets(withnull, "id", 2, nbits=2, tables=1).collect()
+    }
+    assert got[(2, 0)] == "00"
