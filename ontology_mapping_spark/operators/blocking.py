@@ -11,7 +11,10 @@ Re-expresses thesis/generate_candidates.py as DataFrame dataflow:
   with per-source top-k (window group-limit).
 * generate_candidate_pairs_with_negatives_manual (:79-154) -> positives ∪
   IDF negatives (token-blocking join) ∪ neighbour negatives (2-hop sibling
-  self-join), exclusions as anti-joins, deterministic per-positive sampling.
+  self-join), exclusions as anti-joins, deterministic per-SOURCE sampling
+  (documented divergence: the reference samples per alignment row, so a
+  source with several true targets gets the cap once here, not once per
+  positive — the per-src rule is the canonical form the oracle pins).
 * label_candidate_pairs (:13-31), generate_all_possible_pairs (:216-220),
   select_training_pairs (:223-232).
 """
@@ -26,7 +29,6 @@ from ontology_mapping_spark.functions.fuzzy import partial_ratio_udf
 from ontology_mapping_spark.functions.vectors import cosine_pairs_udf
 from ontology_mapping_spark.operators.sampling import sample_per_group
 from ontology_mapping_spark.session import materialize
-from ontology_mapping_spark.textnorm import normalize_col
 
 
 def posting_lists(
@@ -46,7 +48,7 @@ def posting_lists(
         .filter(F.col("token") != "")
         .distinct()
     )
-    if max_token_df:
+    if max_token_df is not None:
         hot = (
             tok.groupBy("token")
             .agg(F.count("*").alias("df"))
@@ -357,14 +359,18 @@ def generate_candidates_with_negatives(
     positives (label 1)
     ∪ IDF negatives: targets sharing >=1 source-label token
       (inverted-index probe :118-124), minus the true match, minus any
-      reference pair (anti-join :130-131), <= idf_negatives per positive
+      reference pair (anti-join :130-131), <= idf_negatives per SOURCE
       (deterministic sample for :127).
     ∪ neighbour negatives: siblings of the true target (2-hop self-join
       :137-139), minus the target's ancestors (anti-join vs closure :141),
-      minus reference pairs (:147-148), <= neighbour_negatives per positive.
+      minus reference pairs (:147-148), <= neighbour_negatives per SOURCE.
 
-    Duplicates across samplers are dropped (the reference may append the
-    same negative twice; canonicalized to distinct — documented divergence).
+    Two documented divergences from the reference: duplicates across
+    samplers are dropped (the reference may append the same negative
+    twice; canonicalized to distinct), and the sampling caps are per
+    SOURCE, not per alignment row — a non-1:1 source with k true targets
+    gets each cap once, not k times (tests/oracle.py pins per-src as the
+    canonical rule; sizing-relevant only for non-1:1 references).
     """
     cfg = cfg or PipelineConfig()
     # only Score==1.0 rows are positives (thesis/main.py:54-56); an

@@ -46,12 +46,19 @@ def ancestor_pair_stats(pairs: DataFrame, closure: DataFrame) -> DataFrame:
     (the engine-side form of ``set(nx.ancestors(G,c1)) & set(...)``,
     thesis/process_data_features.py:152-154); union size derives from
     per-node ancestor counts: |A∪B| = |A|+|B|−|A∩B|.
+
+    The stat computation dedups the pair KEYS first (a duplicated input
+    row would otherwise count each shared ancestor once per duplicate —
+    inflated shared_anc — and the join-back would multiply rows
+    quadratically); duplicate input rows still each get their one stats
+    row back from the final left join.
     """
     per_node = closure.groupBy("node").agg(F.count("*").alias("n_anc"))
     a1 = closure.select(F.col("node").alias("src"), F.col("ancestor"))
     a2 = closure.select(F.col("node").alias("tgt"), F.col("ancestor"))
     shared = (
         pairs.select("src", "tgt")
+        .distinct()
         .join(a1, "src")
         .join(a2, ["tgt", "ancestor"])
         .groupBy("src", "tgt")

@@ -36,7 +36,12 @@ def _flag_join(pairs: DataFrame, flagged: DataFrame, name: str) -> DataFrame:
 
 def sibling_score(pairs: DataFrame, edges: DataFrame) -> DataFrame:
     """1 iff src and tgt share >= 1 parent (:270-273). Also the
-    Shared-Broader-Concept flag (:332) — identical definition."""
+    Shared-Broader-Concept flag (:332) — identical definition.
+
+    Same join shape as graph.siblings but deliberately separate: that
+    operator yields the unordered a != b pair SET, while this flag is
+    role-typed (src, tgt) and must also mark an identity pair that has a
+    parent — reusing it would silently zero the src == tgt case."""
     e1 = edges.select(F.col("child").alias("src"), "parent")
     e2 = edges.select(F.col("child").alias("tgt"), "parent")
     shared = e1.join(e2, "parent").select("src", "tgt").distinct()
@@ -132,7 +137,10 @@ def hierarchical_distance(
 ) -> DataFrame:
     """Shortest-path length src -> tgt following parent->child edges (the
     reference graph's orientation, :202-208) within ``max_hops``; NULL when
-    unreachable (the reference returns np.inf, :216-223).
+    unreachable (the reference returns np.inf, :216-223); 0 for an
+    identity pair src == tgt (the reference's shortest_path_length(v, v)
+    — BFS never emits the zero-length path, so it is patched in after
+    the join rather than mistaken for unreachable).
 
     The BFS walks child->parent, so the reference's downward distance
     src=>tgt equals the upward distance tgt=>src — the frontier is SEEDED
@@ -145,4 +153,9 @@ def hierarchical_distance(
         F.col("src").alias("tgt"),
         F.col("dist").alias("hierarchical_distance"),
     )
-    return pairs.join(dist, ["src", "tgt"], "left")
+    return pairs.join(dist, ["src", "tgt"], "left").withColumn(
+        "hierarchical_distance",
+        F.when(F.col("src") == F.col("tgt"), F.lit(0)).otherwise(
+            F.col("hierarchical_distance")
+        ),
+    )

@@ -155,3 +155,20 @@ def test_auto_hot_pairs_threshold(spark):
     assert auto_hot_pairs_threshold(stats, 8) == 4_000_000
     # floor: tiny corpora never salt
     assert auto_hot_pairs_threshold(stats.filter(F.col("fanout") < 0), 8) == 65536
+
+
+def test_posting_lists_df_cap_zero_drops_everything(spark):
+    """max_token_df=0 means 'drop tokens with document frequency above
+    0' — i.e. every token — not 'no cap' (the falsy-zero trap): a
+    silently skipped cap lets stop-word-hot tokens into the blocking
+    join, the exact skew hazard the cap exists for."""
+    from ontology_mapping_spark.operators.blocking import posting_lists
+
+    lt = spark.createDataFrame(
+        [("u1", "alpha beta"), ("u2", "beta gamma")], "uri string, text string"
+    )
+    assert posting_lists(lt, max_token_df=0).count() == 0
+    assert posting_lists(lt, max_token_df=None).count() == 4
+    # df cap 1 keeps only the df-1 tokens (beta has df 2)
+    kept = {r["token"] for r in posting_lists(lt, max_token_df=1).collect()}
+    assert kept == {"alpha", "gamma"}

@@ -178,3 +178,22 @@ def test_partial_ratio_rapidfuzz_seam_equivalence():
         assert abs(g - want) < 1e-9, (a, b)
         # lower-bound invariant on the exhaustive branch
         assert partial_ratio_py(a, b) <= want + 1e-9, (a, b)
+
+
+def test_ancestor_pair_stats_duplicate_pairs_not_inflated(spark):
+    """Duplicate (src, tgt) input rows must not inflate shared_anc (the
+    stat dedups pair keys first) and each input row still gets exactly
+    one stats row back."""
+    from ontology_mapping_spark.operators.features import ancestor_pair_stats
+
+    closure = spark.createDataFrame(
+        [("x", "r"), ("x", "m"), ("y", "r"), ("y", "m")],
+        "node string, ancestor string",
+    )
+    pairs = spark.createDataFrame(
+        [("x", "y"), ("x", "y"), ("x", "y")], "src string, tgt string"
+    )
+    rows = ancestor_pair_stats(pairs, closure).collect()
+    assert len(rows) == 3  # one output row per input row, no blowup
+    assert all(r["shared_anc"] == 2 for r in rows)
+    assert all(r["n_anc_src"] == 2 and r["n_anc_tgt"] == 2 for r in rows)

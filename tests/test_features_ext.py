@@ -127,3 +127,26 @@ def test_hierarchical_distance(spark, setup):
         except (nx.NetworkXNoPath, nx.NodeNotFound):
             want = None  # reference: np.inf
         assert got[(a, b)] == want, (a, b)
+
+
+def test_hierarchical_distance_identity_pair_is_zero(spark):
+    """src == tgt is distance 0 (the reference's shortest_path_length
+    (v, v)), not NULL/unreachable — BFS never emits the zero-length
+    path, so the operator patches it in after the join."""
+    from ontology_mapping_spark.operators.features_ext import (
+        hierarchical_distance,
+    )
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b")], "child string, parent string"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "c"), ("b", "b"), ("a", "zzz")], "src string, tgt string"
+    )
+    got = {
+        (r["src"], r["tgt"]): r["hierarchical_distance"]
+        for r in hierarchical_distance(pairs, edges).collect()
+    }
+    assert got[("a", "c")] == 2
+    assert got[("b", "b")] == 0          # identity: 0, not unreachable
+    assert got[("a", "zzz")] is None     # truly unreachable stays NULL
