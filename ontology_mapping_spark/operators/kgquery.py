@@ -78,12 +78,43 @@ def is_iri_ref(term: str) -> bool:
     syntax. The wrapper is the escape hatch that keeps real-world IRI
     predicates (which legally contain '/', and could contain '^'/'|'/'+')
     out of the property-path mini-grammar; the stored triple value is the
-    BARE iri — the brackets are stripped before matching."""
-    return len(term) >= 2 and term.startswith("<") and term.endswith(">")
+    BARE iri — the brackets are stripped before matching.
+
+    ONE iri only: '<' / '>' are illegal inside an IRI, so a composite
+    path term like '<a>|<b>' or '<a>/<b>' (internal brackets) is NOT an
+    iri-ref — treating it as one would filter on the literal composite
+    string and silently match nothing."""
+    return (
+        len(term) >= 2
+        and term.startswith("<")
+        and term.endswith(">")
+        and "<" not in term[1:-1]
+        and ">" not in term[1:-1]
+    )
 
 
 def _strip_iri(term: str) -> str:
     return term[1:-1] if is_iri_ref(term) else term
+
+
+def _split_outside_iri(p: str, sep: str) -> list[str]:
+    """Split a path term on ``sep`` at bracket depth 0 only — separators
+    inside a '<...>' iri wrapper (e.g. the '/' of 'http://') are data."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    for ch in p:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth = max(depth - 1, 0)
+        if ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return parts
 
 
 def _pattern_df(
@@ -169,6 +200,73 @@ def predicate_stats(triples: DataFrame) -> dict[str, int]:
         r["predicate"]: r["count"]
         for r in triples.groupBy("predicate").count().collect()
     }
+
+
+def values_frame(spark, rows: list[dict]) -> DataFrame:
+    """Inline-VALUES rows (dicts, UNDEF as None) -> DataFrame with an
+    explicit all-string schema. Schema inference would crash on a column
+    that is UNDEF in every row ('Some of types cannot be determined') —
+    a legal SPARQL inline table, not a user error."""
+    from pyspark.sql import types as T
+
+    if not rows:
+        raise ValueError(
+            "empty VALUES rows: pass a DataFrame with the declared "
+            "variable columns (zero rows) instead — a bare [] carries "
+            "no variable names"
+        )
+    cols: list[str] = []
+    for r in rows:
+        for k in r:
+            if k not in cols:
+                cols.append(k)
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
+    return spark.createDataFrame([tuple(r.get(c) for c in cols) for r in rows], schema)
+
+
+def _join_values(
+    out: DataFrame, vdf: DataFrame, bound: set[str], nullable: set[str]
+) -> tuple[DataFrame, set[str]]:
+    """Join an inline VALUES table into a solution frame with SPARQL
+    compatibility semantics: a row is compatible when every shared
+    variable is EQUAL or UNBOUND on either side — UNDEF (NULL) is a
+    wildcard, which a plain equi-join would silently drop (NULL never
+    equals anything). The fast broadcast-hash equi-join is kept whenever
+    no wildcard can occur (no NULL in the inline table's shared columns,
+    no OPTIONAL-nullable shared solution variable); otherwise the tiny
+    broadcast table joins on the compatibility condition and the merged
+    binding is coalesce(solution, row)."""
+    vshared = sorted(set(vdf.columns) & bound)
+    vnew = sorted(set(vdf.columns) - bound)
+    if not vshared:
+        return out.crossJoin(F.broadcast(vdf)), set(vdf.columns)
+    nullable_shared = [v for v in vshared if v in nullable]
+    undef_cond = None
+    for v in vshared:
+        c = F.col(v).isNull()
+        undef_cond = c if undef_cond is None else undef_cond | c
+    has_undef = bool(vdf.where(undef_cond).head(1))
+    if not has_undef and not nullable_shared:
+        return out.join(F.broadcast(vdf), on=vshared, how="inner"), set(vdf.columns)
+    ren = vdf
+    for v in vdf.columns:
+        ren = ren.withColumnRenamed(v, f"__v_{v}")
+    cond = None
+    for v in vshared:
+        c = F.col(f"__v_{v}").isNull() | (F.col(f"__v_{v}") == F.col(v))
+        if v in nullable:
+            c = c | F.col(v).isNull()
+        cond = c if cond is None else cond & c
+    joined = out.join(F.broadcast(ren), cond, "inner")
+    sel = []
+    for c in out.columns:
+        if c in vshared:
+            sel.append(F.coalesce(F.col(c), F.col(f"__v_{c}")).alias(c))
+        else:
+            sel.append(F.col(c))
+    for v in vnew:
+        sel.append(F.col(f"__v_{v}").alias(v))
+    return joined.select(*sel), set(vdf.columns)
 
 
 def _estimate_predicate(pred: str, stats, total: float) -> float:
@@ -282,7 +380,13 @@ def _compile_bgp(
         if sources is not None and sources[idx] is not None:
             src = sources[idx]
         df, vs = _pattern_df(src, p, idx, var_pred_source)
-        if n_const[idx] >= broadcast_min_constants:
+        # the broadcast hint counts subject/predicate/object constants
+        # ONLY: the ">=2 constants is a node-neighborhood slice" rationale
+        # does not extend to a 4-term pattern's graph constant — (g, ?s,
+        # <pred>, ?o) is an entire predicate relation within one graph,
+        # relation-sized, and force-broadcasting it OOMs the driver
+        n_spo_const = sum(0 if is_var(t) else 1 for t in p[-3:])
+        if n_spo_const >= broadcast_min_constants:
             df = F.broadcast(df)
         dfs.append(df)
         var_sets.append(vs)
@@ -432,13 +536,17 @@ def bgp_match(
     arbitrarily large, so AQE picks the strategy from runtime stats (the
     common aggregate-to-a-scalar idiom, e.g. ``(MAX(?d) AS ?m)`` with no
     shared variable, becomes a 1-row broadcast nested-loop extension).
-    Note the join-NULL caveat is scoped to SUBQUERY joins only (the
-    negation forms above implement SPARQL substitution semantics for
-    nullable shared variables): a sub-SELECT join on a shared variable
-    that is unbound (NULL via OPTIONAL) matches nothing under Spark's
-    equi-join NULL semantics, where SPARQL's unbound-compatibility would
-    match everything — FILTER(bound(?v)) first when joining
-    OPTIONAL-bound variables into a sub-SELECT.
+    Join-NULL caveat (honest scoping): the negation forms (EXISTS /
+    NOT EXISTS / MINUS) and VALUES implement SPARQL's unbound-
+    compatibility for nullable shared variables (substitution semantics
+    and the UNDEF-wildcard join respectively); SUBQUERY joins and
+    OPTIONAL-chained joins do NOT — a shared variable that is unbound
+    (NULL via an earlier OPTIONAL) matches nothing under Spark's
+    equi-join NULL semantics, where SPARQL's compatibility would match
+    everything. The equi-join is what keeps these joins hash-based at
+    10^12 rows (the compatibility condition is a nested-loop shape);
+    FILTER(bound(?v)) first when chaining OPTIONAL-bound variables into
+    a later OPTIONAL or sub-SELECT — documented divergence.
 
     ``stats``: optional per-predicate counts (:func:`predicate_stats`)
     switching the greedy join order to estimated-cardinality-first —
@@ -496,15 +604,11 @@ def bgp_match(
         vdf = (
             values
             if isinstance(values, DataFrame)
-            else triples.sparkSession.createDataFrame(list(values))
+            else values_frame(triples.sparkSession, list(values))
         )
-        vshared = sorted(set(vdf.columns) & bound)
-        if vshared:
-            out = out.join(F.broadcast(vdf), on=vshared, how="inner")
-        else:
-            out = out.crossJoin(F.broadcast(vdf))
-        nullable |= set(vdf.columns) - bound
-        bound |= set(vdf.columns)
+        out, vcols = _join_values(out, vdf, bound, nullable)
+        nullable |= vcols - bound
+        bound |= vcols
     for sq in subqueries:
         sshared = sorted(set(sq.columns) & bound)
         if sshared:
@@ -655,10 +759,19 @@ def expand_path_patterns(
         s, p, o = pat
         # '^<iri>' is inverse-of-opaque: check iri-ref-ness past the '^'
         core = p[1:] if (not is_var(p) and p.startswith("^")) else p
-        if is_var(p) or is_iri_ref(core) or "/" not in p:
+        # sequence detection is bracket-aware: '/' INSIDE a '<iri>' is
+        # part of the iri (http://...), only a top-level '/' is a hop
+        # separator — '<http://a>/<http://b>' is a two-hop sequence of
+        # opaque iris, not one giant predicate name
+        elems = (
+            None
+            if is_var(p) or is_iri_ref(core)
+            else _split_outside_iri(p, "/")
+        )
+        if elems is None or len(elems) == 1:
             steps = [(s, p, o)]
         else:
-            if "|" in p:
+            if len(_split_outside_iri(p, "|")) > 1:
                 # SPARQL precedence: '|' binds LOOSEST, so 'a|b/c' is
                 # a|(b/c) — not expressible by this flat splitter; make
                 # the ambiguity loud instead of guessing
@@ -666,7 +779,6 @@ def expand_path_patterns(
                     f"mixed alternation and sequence in one path ({p!r}) "
                     "is not supported; rewrite as a UNION of path groups"
                 )
-            elems = p.split("/")
             if any(not e for e in elems):
                 raise ValueError(
                     f"empty element in path {p!r}; write IRI predicates "
@@ -726,6 +838,23 @@ def with_path_closures(
         and p[-1] in "+*"
     }
     aug = triples
+    # the distinct node set feeds every '*' and '?' identity union; build
+    # ONE plan and share the object across predicates — the identical
+    # distinct subtrees then canonicalize to the same exchange and Spark's
+    # ReuseExchange evaluates the full-table union+distinct once per
+    # query instead of once per '*'/'?' predicate (plan stays lazy: no
+    # eager checkpoint at compile time)
+    _nodes_cache: list[DataFrame | None] = [None]
+
+    def _all_nodes() -> DataFrame:
+        if _nodes_cache[0] is None:
+            _nodes_cache[0] = (
+                triples.select(F.col("subject").alias("n"))
+                .unionByName(triples.select(F.col("object").alias("n")))
+                .distinct()
+            )
+        return _nodes_cache[0]
+
     for pp in sorted(path_preds):
         base = pp[:-1]
         if "|" in base and not is_iri_ref(base):
@@ -748,11 +877,7 @@ def with_path_closures(
             F.col("ancestor").alias("object"),
         )
         if pp.endswith("*"):
-            nodes = (
-                triples.select(F.col("subject").alias("n"))
-                .unionByName(triples.select(F.col("object").alias("n")))
-                .distinct()
-            )
+            nodes = _all_nodes()
             pairs = pairs.unionByName(
                 nodes.select(
                     F.col("n").alias("subject"),
@@ -827,11 +952,7 @@ def with_path_closures(
         scan = triples.filter(F.col("predicate") == _strip_iri(base)).select(
             "subject", F.lit(op_).alias("predicate"), "object"
         )
-        nodes = (
-            triples.select(F.col("subject").alias("n"))
-            .unionByName(triples.select(F.col("object").alias("n")))
-            .distinct()
-        )
+        nodes = _all_nodes()
         rows = scan.unionByName(
             nodes.select(
                 F.col("n").alias("subject"),

@@ -150,6 +150,17 @@ def _tokenize(text: str) -> list[str]:
         if m.lastgroup == "ws":
             continue
         tok = m.group()
+        if m.lastgroup == "string" and pos < len(text) and (
+            text[pos] == "@" or text.startswith("^^", pos)
+        ):
+            # a split '@en' / '^^xsd:int' word token would be silently
+            # consumed as a pattern TERM downstream — garbage patterns,
+            # empty results. Raise loudly per the parser contract.
+            raise SparqlSyntaxError(
+                f"language-tagged / datatyped literal at "
+                f"{text[m.start():pos + 12]!r}: the engine stores plain "
+                "strings — strip the @lang / ^^type suffix"
+            )
         if m.lastgroup == "word" and tok.endswith(".") and len(tok) > 1:
             out.extend([tok[:-1], "."])
         else:
@@ -206,23 +217,43 @@ def _capture_parens(cur: _Cursor) -> str:
     return " ".join(parts)
 
 
+_STRING_LIT_RE = re.compile(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"")
+
+
 def _translate_expr(expr: str) -> str:
-    """SPARQL spellings -> Spark SQL over variable columns."""
-    expr = re.sub(r"\?(\w+)", r"\1", expr)
-    expr = expr.replace("&&", " AND ").replace("||", " OR ")
-    # BOUND(?v) has no Spark twin function — it is the null test (the
-    # FILTER(BOUND(?v)) idiom the OPTIONAL-negation caveats prescribe)
-    expr = re.sub(
-        r"\bbound\s*\(\s*(\w+)\s*\)",
-        r"(\1 IS NOT NULL)",
-        expr,
-        flags=re.IGNORECASE,
-    )
-    for sparql_fn, spark_fn in _FUNC_MAP.items():
-        expr = re.sub(
-            rf"\b{sparql_fn}\s*\(", spark_fn + "(", expr, flags=re.IGNORECASE
+    """SPARQL spellings -> Spark SQL over variable columns.
+
+    Every rewrite is applied OUTSIDE quoted string literals only — the
+    naive whole-string substitutions turned ``"a?b"`` into ``"ab"``,
+    ``"x&&y"`` into ``"x AND y"``, and renamed function-looking text
+    inside literals, silently changing comparison values."""
+
+    def _outside(segment: str) -> str:
+        segment = re.sub(r"\?(\w+)", r"\1", segment)
+        segment = segment.replace("&&", " AND ").replace("||", " OR ")
+        # BOUND(?v) has no Spark twin function — it is the null test (the
+        # FILTER(BOUND(?v)) idiom the OPTIONAL-negation caveats prescribe)
+        segment = re.sub(
+            r"\bbound\s*\(\s*(\w+)\s*\)",
+            r"(\1 IS NOT NULL)",
+            segment,
+            flags=re.IGNORECASE,
         )
-    return expr
+        for sparql_fn, spark_fn in _FUNC_MAP.items():
+            segment = re.sub(
+                rf"\b{sparql_fn}\s*\(", spark_fn + "(", segment,
+                flags=re.IGNORECASE,
+            )
+        return segment
+
+    parts: list[str] = []
+    last = 0
+    for m in _STRING_LIT_RE.finditer(expr):
+        parts.append(_outside(expr[last:m.start()]))
+        parts.append(m.group(0))  # literal: byte-identical pass-through
+        last = m.end()
+    parts.append(_outside(expr[last:]))
+    return "".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -265,6 +296,11 @@ def _pred_term(cur: _Cursor, prefixes: dict[str, str]) -> str:
         if body.startswith("^"):
             return "!^" + _term(body[1:], prefixes)
         return "!" + _term(body, prefixes)
+    if tok == "a":
+        # SPARQL grammar: bare 'a' in verb position IS rdf:type — grammar,
+        # not a name, so it must not silently scan a predicate named 'a'.
+        # (Inside a negated property set the members stay verbatim.)
+        return "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
     return _term(tok, prefixes)
 
 
@@ -476,6 +512,13 @@ def _parse_group(
                     )
                 )
                 cur.expect("}")
+                if (cur.peek() or "").upper() == "UNION":
+                    # without this, UNION/'{' would be consumed as triple
+                    # TERMS — garbage patterns, silently empty results
+                    raise SparqlSyntaxError(
+                        "UNION over a '{ SELECT ... }' subquery is not "
+                        "supported; run the branches as separate queries"
+                    )
             else:
                 raise SparqlSyntaxError(
                     "nested groups are only supported as UNION branches, "
@@ -915,14 +958,19 @@ def _parse_select_query(
                 having=having,
                 stats=_QUERY_STATS.get(),
             )
-            vdf = triples.sparkSession.createDataFrame(
-                list(postfix_values[1])
+            from ontology_mapping_spark.operators.kgquery import (
+                _join_values,
+                values_frame,
             )
-            shared = sorted(set(vdf.columns) & set(sols.columns))
-            if shared:
-                sols = sols.join(F.broadcast(vdf), on=shared, how="inner")
-            else:
-                sols = sols.crossJoin(F.broadcast(vdf))
+
+            vdf = values_frame(
+                triples.sparkSession, list(postfix_values[1])
+            )
+            # aggregate outputs are never NULL-able bindings here, so
+            # nullable=∅; UNDEF wildcards in the inline table still match
+            sols, _vcols = _join_values(
+                sols, vdf, set(sols.columns), set()
+            )
             return solution_modifiers(
                 sols,
                 select=select,

@@ -1437,3 +1437,66 @@ def test_stats_order_path_closure_joins_late(spark):
     # seed (left-most) in the stats plan
     plan = tuned._jdf.queryExecution().optimizedPlan().toString()
     assert plan.index("rare") < plan.index("broader")
+
+
+def test_values_undef_is_wildcard(kg):
+    """UNDEF (None) in a shared VALUES variable is a compatibility
+    WILDCARD per SPARQL 18.2.4.3 — a plain equi-join would drop the row
+    (NULL never equals anything) and silently empty the result."""
+    got = bgp_match(
+        kg,
+        [("?x", "label", "?l")],
+        values=[{"x": None, "tag": "ANY"}, {"x": "b", "tag": "B"}],
+    ).collect()
+    rows = sorted((r["x"], r["l"], r["tag"]) for r in got)
+    # the UNDEF row extends EVERY solution; the bound row only x=b
+    assert ("a", "root", "ANY") in rows
+    assert ("b", "left", "ANY") in rows and ("b", "left", "B") in rows
+    assert ("c", "right", "ANY") in rows and ("d", "leaf", "ANY") in rows
+    assert len(rows) == 4 + 1  # 4 labelled nodes * wildcard + 1 bound
+
+
+def test_values_all_undef_column_and_empty_rows(kg, spark):
+    """A variable that is UNDEF in every row is legal SPARQL (schema
+    inference would crash); bare empty rows raise an informative error;
+    a 0-row DataFrame VALUES yields zero solutions."""
+    import pytest
+
+    from ontology_mapping_spark.operators.kgquery import values_frame
+
+    got = bgp_match(
+        kg,
+        [("?x", "label", "?l")],
+        values=[{"x": "b", "y": None}],
+    ).collect()
+    assert [(r["x"], r["y"]) for r in got] == [("b", None)]
+    with pytest.raises(ValueError, match="empty VALUES"):
+        values_frame(spark, [])
+    empty = spark.createDataFrame([], "x string")
+    assert bgp_match(kg, [("?x", "label", "?l")], values=empty).count() == 0
+
+
+def test_bracketed_iri_path_composites(spark):
+    """'<a>|<b>' / '<http://a>/<http://b>' are composite PATH terms, not
+    one opaque iri (brackets are illegal inside an IRI) — treating them
+    as one predicate constant silently matched nothing."""
+    kg2 = spark.createDataFrame(
+        [
+            ("s1", "http://x/p", "m"),
+            ("m", "http://x/q", "o1"),
+            ("s2", "http://x/q", "o2"),
+        ],
+        "subject string, predicate string, object string",
+    )
+    # alternation of bracketed iris (iris contain '/')
+    alt = bgp_match_paths(
+        kg2, [("?s", "<http://x/p>|<http://x/q>", "?o")]
+    ).collect()
+    assert sorted((r["s"], r["o"]) for r in alt) == [
+        ("m", "o1"), ("s1", "m"), ("s2", "o2"),
+    ]
+    # two-hop sequence of bracketed iris
+    seq = bgp_match_paths(
+        kg2, [("?s", "<http://x/p>/<http://x/q>", "?o")]
+    ).collect()
+    assert [(r["s"], r["o"]) for r in seq] == [("s1", "o1")]

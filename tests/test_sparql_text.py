@@ -212,7 +212,8 @@ def test_ask_over_union(kg):
     assert f.first()["ask"] is False
 
 
-def test_values_with_undef(kg):
+def test_values_inline_restricts(kg):
+    # (real UNDEF coverage lives in test_values_undef_wildcard_text)
     got = sparql(
         kg,
         """SELECT ?x ?l WHERE {
@@ -786,3 +787,82 @@ def test_sparql_text_stats_threading(spark):
     a = sorted(map(tuple, sparql_update(kg, u).collect()))
     b = sorted(map(tuple, sparql_update(kg, u, stats=stats).collect()))
     assert a == b and len(a) == 300 + 3 - 3
+
+
+def test_values_undef_wildcard_text(kg):
+    """A real UNDEF row: the wildcard binding extends every solution
+    (the earlier 'undef' test never actually used UNDEF)."""
+    got = sparql(
+        kg,
+        """SELECT ?x ?tag WHERE {
+            ?x label ?l . VALUES ( ?x ?tag ) { ( UNDEF "W" ) ( b "B" ) }
+        } ORDER BY ?x ?tag""",
+    ).collect()
+    rows_ = [(r["x"], r["tag"]) for r in got]
+    assert rows_.count(("b", "W")) == 1 and rows_.count(("b", "B")) == 1
+    assert ("a", "W") in rows_ and ("c", "W") in rows_ and ("d", "W") in rows_
+
+
+def test_filter_string_literals_not_rewritten(kg):
+    """Rewrites (?var strip, &&/||, builtin renames) must not touch the
+    INSIDE of quoted literals: "a?b" must stay "a?b"."""
+    # label 'left' does NOT contain 'le?ft' — a naive ?var strip would
+    # turn the literal into 'left' and wrongly match
+    got = sparql(
+        kg,
+        'SELECT ?x WHERE { ?x label ?l . FILTER(CONTAINS(?l, "le?ft")) }',
+    ).collect()
+    assert got == []
+    got2 = sparql(
+        kg,
+        'SELECT ?x WHERE { ?x label ?l . FILTER(?l = "x&&y" || ?l = "left") }',
+    ).collect()
+    assert [r["x"] for r in got2] == ["b"]
+    # function-name-looking text inside a literal survives
+    got3 = sparql(
+        kg,
+        'SELECT ?x WHERE { ?x label ?l . FILTER(?l != "strlen(z)") }',
+    ).count()
+    assert got3 == 4
+
+
+def test_lang_and_datatype_literals_raise(kg):
+    import pytest
+
+    from ontology_mapping_spark.operators.sparql_text import SparqlSyntaxError
+
+    with pytest.raises(SparqlSyntaxError, match="language-tagged"):
+        sparql(kg, 'SELECT ?s WHERE { ?s label "x"@en . }')
+    with pytest.raises(SparqlSyntaxError, match="language-tagged"):
+        sparql(kg, 'SELECT ?s WHERE { ?s label "5"^^xsd:int . }')
+
+
+def test_a_shorthand_is_rdf_type(spark):
+    """Bare 'a' in verb position is SPARQL grammar for rdf:type, not a
+    predicate named 'a'."""
+    kg2 = spark.createDataFrame(
+        [
+            ("x", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "C"),
+            ("y", "a", "D"),  # a literal predicate named 'a' is data
+        ],
+        "subject string, predicate string, object string",
+    )
+    got = sparql(kg2, "SELECT ?s WHERE { ?s a C . }").collect()
+    assert [r["s"] for r in got] == ["x"]
+    # the literal predicate is still reachable by quoting nothing special
+    got2 = sparql(kg2, 'SELECT ?s WHERE { ?s "a" D . }').collect()
+    assert [r["s"] for r in got2] == ["y"]
+
+
+def test_subquery_union_raises(kg):
+    import pytest
+
+    from ontology_mapping_spark.operators.sparql_text import SparqlSyntaxError
+
+    with pytest.raises(SparqlSyntaxError, match="UNION over a"):
+        sparql(
+            kg,
+            """SELECT ?x WHERE {
+                { SELECT ?x WHERE { ?x broader ?y } } UNION { ?x label ?l }
+            }""",
+        )
