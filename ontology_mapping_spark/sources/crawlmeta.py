@@ -33,6 +33,24 @@ LOC_RE = r"(?s)<loc>\s*([^<]*?)\s*</loc>"
 _PATH_RE = r"(?i)^[a-z][a-z0-9+.\-]*://[^/?#]*([^#]*)"
 
 
+def _xml_unescape(col: Column) -> Column:
+    """Undo the XML entity escaping the sitemap protocol REQUIRES for
+    ``<loc>`` values (a url with a query string is written
+    ``a?x=1&amp;y=2``). Without this, extracted urls carry the literal
+    ``&amp;`` and never join against the crawl's real urls. The five
+    predefined entities; ``&amp;`` resolves LAST so ``&amp;lt;`` decodes
+    to the literal text ``&lt;`` rather than ``<``."""
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
 def read_sitemaps(spark, path: str) -> DataFrame:
     """Sitemap / sitemap-index files -> (sitemap, url) rows.
 
@@ -49,6 +67,7 @@ def read_sitemaps(spark, path: str) -> DataFrame:
                 F.regexp_extract_all("value", F.lit(LOC_RE), 1)
             ).alias("url"),
         )
+        .select("sitemap", _xml_unescape(F.col("url")).alias("url"))
         .filter(F.col("url") != "")
     )
 
@@ -74,7 +93,7 @@ def sitemap_entries(spark, path: str) -> DataFrame:
         .select(F.input_file_name().alias("sitemap"), F.explode(blocks).alias("b"))
         .select(
             "sitemap",
-            F.trim(F.regexp_extract(b, LOC_RE, 1)).alias("url"),
+            _xml_unescape(F.trim(F.regexp_extract(b, LOC_RE, 1))).alias("url"),
             F.to_timestamp(
                 F.nullif(F.regexp_extract(b, LASTMOD_RE, 1), F.lit(""))
             ).alias("lastmod"),
@@ -210,6 +229,33 @@ def robots_rules(robots: DataFrame, agent: str = "*") -> DataFrame:
         .select(
             "host", F.col("r.rule").alias("rule"), F.col("r.prefix").alias("prefix")
         )
+    )
+
+
+def robots_sitemaps(robots: DataFrame) -> DataFrame:
+    """(host, body) robots.txt table -> (host, sitemap) rows from the
+    ``Sitemap:`` records (RFC 9309 §2.2.4 "other records"; the de-facto
+    sitemap-discovery channel — crawlers learn sitemap urls HERE, then
+    :func:`read_sitemaps`/:func:`sitemap_entries` parse the fetched
+    files, closing the robots → sitemap → frontier loop).
+
+    Per the sitemaps protocol the record is GROUP-INDEPENDENT (valid
+    anywhere in the file, regardless of user-agent sections), so this is
+    a flat line scan, not a fold: one regexp_extract_all over the body —
+    pure Catalyst, zero Python, zero shuffle. The token compares
+    case-insensitively; values are absolute urls by spec and pass
+    through verbatim (trailing comments stripped)."""
+    body = F.col("body")
+    if dict(robots.dtypes).get("body") == "binary":
+        body = F.decode(body, "UTF-8")
+    urls = F.regexp_extract_all(
+        body, F.lit(r"(?im)^[ \t]*sitemap:[ \t]*([^#\r\n]*)"), 1
+    )
+    return (
+        robots.select("host", urls.alias("u"))
+        .select("host", F.explode("u").alias("sitemap"))
+        .select("host", F.trim("sitemap").alias("sitemap"))
+        .filter(F.col("sitemap") != "")
     )
 
 

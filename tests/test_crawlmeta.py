@@ -47,6 +47,27 @@ def test_read_sitemaps_plain_and_gz(spark, tmp_path):
     assert by_file["http://a.example/page1"].endswith("m.xml")
 
 
+def test_sitemap_loc_xml_entities_unescaped(spark, tmp_path):
+    # the protocol REQUIRES entity-escaping loc values; extraction must
+    # undo it or query-string urls never join the crawl's real urls —
+    # and a double-escaped &amp;lt; decodes to the literal text &lt;
+    sm = (
+        b"<urlset><url><loc>http://a.example/q?x=1&amp;y=2</loc></url>"
+        b"<url><loc>http://a.example/odd?t=&amp;lt;b&amp;gt;&apos;</loc></url>"
+        b"</urlset>"
+    )
+    (tmp_path / "e.xml").write_bytes(sm)
+    urls = sorted(r.url for r in read_sitemaps(spark, str(tmp_path)).collect())
+    assert urls == [
+        "http://a.example/odd?t=&lt;b&gt;'",
+        "http://a.example/q?x=1&y=2",
+    ]
+    from ontology_mapping_spark.sources.crawlmeta import sitemap_entries
+
+    got = {r.url for r in sitemap_entries(spark, str(tmp_path)).collect()}
+    assert "http://a.example/q?x=1&y=2" in got
+
+
 _ROBOTS = """# comment line
 User-agent: googlebot
 Disallow: /google-only
@@ -60,6 +81,36 @@ allow: /lowercase-directive
 User-agent: otherbot
 Disallow: /other
 """
+
+
+def test_robots_sitemap_records(spark):
+    # Sitemap: records are group-independent (valid anywhere in the
+    # file), case-insensitive on the token, comment-stripped, and absent
+    # bodies contribute nothing; binary bodies decode like robots_rules
+    from ontology_mapping_spark.sources.crawlmeta import robots_sitemaps
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Sitemap: http://a.example/sitemap.xml\n"
+        "sitemap:http://a.example/sitemap2.xml.gz  # news feed\n"
+        "User-agent: otherbot\n"
+        "SITEMAP: http://a.example/deep/sm.xml\n"
+    )
+    df = spark.createDataFrame(
+        [("a.example", body), ("b.example", "User-agent: *\nDisallow:\n")],
+        "host string, body string",
+    )
+    got = sorted((r.host, r.sitemap) for r in robots_sitemaps(df).collect())
+    assert got == [
+        ("a.example", "http://a.example/deep/sm.xml"),
+        ("a.example", "http://a.example/sitemap.xml"),
+        ("a.example", "http://a.example/sitemap2.xml.gz"),
+    ]
+    bdf = spark.createDataFrame(
+        [("c.example", body.encode())], "host string, body binary"
+    )
+    assert robots_sitemaps(bdf).count() == 3
 
 
 def test_robots_rules_group_scoping(spark):
