@@ -145,6 +145,9 @@ LOCAL_ONLY: frozenset = frozenset(
         "robots_disallow_filter",
         # sitemap-lastmod recrawl scheduling vs capture history
         "recrawl_stale_urls",
+        # robots Sitemap: record extraction (group-independent line scan
+        # vs a plain-arithmetic oracle that never runs the regex)
+        "robots_sitemap_records",
         # parked round 4 for the relation-extraction primaries: the
         # membership-filter family keeps anti_join_exclusion curated (semi
         # join is its mirror — same broadcast-join shape, opposite keep
@@ -2402,6 +2405,59 @@ def q_robots_filter(spark, sf):
         "host string, rule string, prefix string",
     )
     return filter_disallowed(urls, rules).select("url")
+
+
+@query(
+    "robots_sitemap_records",
+    """WITH hosts AS (SELECT DISTINCT p_partkey % 10 AS k FROM part)
+    SELECT 'h' || k || '.example' AS host,
+           'http://h' || k || '.example/sm1.xml' AS sitemap
+    FROM hosts WHERE k % 5 <> 0
+    UNION ALL
+    SELECT 'h' || k || '.example',
+           'http://h' || k || '.example/sm2.xml.gz'
+    FROM hosts WHERE k % 2 = 0
+    UNION ALL
+    SELECT 'h' || k || '.example',
+           'http://h' || k || '.example/deep/sm.xml'
+    FROM hosts WHERE k % 3 = 0""",
+)
+def q_robots_sitemaps(spark, sf):
+    # sitemap-discovery records planted arithmetically into synthesized
+    # robots bodies (10 hosts; every non-multiple-of-5 gets a canonical
+    # 'Sitemap:' line, evens a lowercase no-space comment-bearing one,
+    # multiples of 3 an upper-case one) — the engine runs the real line
+    # scan over the bodies; the oracle re-derives the rows from the same
+    # key arithmetic and never sees a robots body at all.
+    from ontology_mapping_spark.sources.crawlmeta import robots_sitemaps
+
+    k = F.col("k")
+    hosts = (
+        _t(spark, sf, "part")
+        .select((F.col("p_partkey") % 10).alias("k"))
+        .distinct()
+    )
+    host = F.concat(F.lit("h"), k.cast("string"), F.lit(".example"))
+    origin = F.concat(F.lit("http://"), host)
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.when(
+            k % 5 != 0,
+            F.concat(F.lit("Sitemap: "), origin, F.lit("/sm1.xml\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 2 == 0,
+            F.concat(
+                F.lit("sitemap:"), origin, F.lit("/sm2.xml.gz  # news\n")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit("SITEMAP: "), origin, F.lit("/deep/sm.xml\n")),
+        ).otherwise(F.lit("")),
+    )
+    robots = hosts.select(host.alias("host"), body.alias("body"))
+    return robots_sitemaps(robots)
 
 
 @query(
