@@ -277,6 +277,47 @@ def test_robots_binary_body_and_frontier_composition(spark):
     assert [r.url for r in kept.collect()] == ["http://h1.example/ok"]
 
 
+def test_sitemap_discovery_loop_composition(spark, tmp_path):
+    # the full discovery loop: robots bodies yield sitemap urls
+    # (robots_sitemaps), the fetched files yield entries with lastmod
+    # (sitemap_entries), and stale_urls schedules the recrawl — each
+    # stage's output is the next stage's input shape, no glue needed
+    from datetime import datetime, timezone
+
+    from ontology_mapping_spark.sources.crawlmeta import (
+        robots_sitemaps,
+        sitemap_entries,
+        stale_urls,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /no\nSitemap: http://a.example/sm.xml\n")],
+        "host string, body string",
+    )
+    sm_urls = {r.sitemap for r in robots_sitemaps(robots).collect()}
+    assert sm_urls == {"http://a.example/sm.xml"}
+    # "fetch" the discovered sitemap: write the file a crawler would GET
+    (tmp_path / "sm.xml").write_bytes(
+        b"<urlset>"
+        b"<url><loc>http://a.example/fresh</loc><lastmod>2026-03-02</lastmod></url>"
+        b"<url><loc>http://a.example/stale</loc><lastmod>2026-01-02</lastmod></url>"
+        b"<url><loc>http://a.example/new</loc></url>"
+        b"</urlset>"
+    )
+    entries = sitemap_entries(spark, str(tmp_path))
+    captures = spark.createDataFrame(
+        [
+            ("http://a.example/fresh", datetime(2026, 2, 1, tzinfo=timezone.utc)),
+            ("http://a.example/stale", datetime(2026, 2, 1, tzinfo=timezone.utc)),
+        ],
+        "url string, warc_ts timestamp",
+    )
+    got = sorted(r.url for r in stale_urls(entries, captures).collect())
+    # fresh: lastmod after capture; new: never captured; stale: captured
+    # after its lastmod -> not scheduled
+    assert got == ["http://a.example/fresh", "http://a.example/new"]
+
+
 def test_sitemap_entries_lastmod_pairing(spark, tmp_path):
     from ontology_mapping_spark.sources.crawlmeta import sitemap_entries
 
