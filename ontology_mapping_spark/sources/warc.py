@@ -28,6 +28,13 @@ The record iterator (:func:`iter_warc_records`) and the HTTP splitter
 (:func:`split_http_response`) are pure Python on bytes, so the pytest
 suite exercises them directly against hand-built shards — including
 multi-member gzip, truncation, and non-response record filtering.
+
+The crawl-format trio is covered end to end: WARC responses via
+:func:`read_warc` (the pages), WET conversions via
+``record_types=("conversion",)`` (pre-extracted text), and WAT metadata
+via :func:`read_wat` / :func:`wat_links` (pre-extracted links + head
+metadata, parsed with pure Catalyst JSON algebra and emitted in the
+``extract_links`` shape the link-graph family consumes).
 """
 
 from __future__ import annotations
@@ -226,6 +233,77 @@ def warc_to_pages(
         .withColumn("text", extract_text_udf(F.col("html")))
         .withColumn("lang", detect_lang(F.col("text")))
     )
+
+
+#: the WAT JSON paths this reader understands (Common Crawl layout)
+_WAT_META = "$.Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata"
+
+
+def read_wat(spark, path: str, strict: bool = True) -> DataFrame:
+    """Read Common-Crawl-style WAT metadata shards ->
+    ``(url, warc_ts, title, links array<struct<url,text>>)`` — one row per
+    described page.
+
+    WAT is the third member of the crawl-format trio (WARC responses =
+    the pages, WET conversions = pre-extracted text, WAT metadata =
+    pre-extracted LINKS + head metadata as one JSON document per page).
+    The shards themselves are WARC files whose ``metadata`` records carry
+    the JSON, so shard handling (one task per file, multi-member gzip,
+    strict/lax) is :func:`read_warc` verbatim; everything after is pure
+    Catalyst JSON algebra — ``get_json_object`` prunes to the two
+    subtrees, ``from_json`` types the link array — zero extra Python
+    beyond the shared record parser.
+
+    ``url`` is the record's ``WARC-Target-URI`` (the described page).
+    Pages whose metadata carries no HTML-Metadata (non-HTML responses)
+    come back with NULL title and NULL links — present, not dropped, so
+    counts still match the crawl. Link ``url`` values are AS WRITTEN in
+    the page (often relative): resolve them against ``url`` with
+    :func:`ontology_mapping_spark.operators.linkgraph.resolve_href` —
+    :func:`wat_links` does exactly that and emits the
+    ``extract_links``-shaped rows the whole link-graph family consumes,
+    making the HTML scan optional when WAT shards exist."""
+    recs = read_warc(spark, path, record_types=("metadata",), strict=strict)
+    doc = F.decode(F.col("html"), "UTF-8")
+    html_meta = F.get_json_object(doc, _WAT_META)
+    return recs.select(
+        "url",
+        "warc_ts",
+        F.get_json_object(html_meta, "$.Head.Title").alias("title"),
+        F.from_json(
+            F.get_json_object(html_meta, "$.Links"),
+            "array<struct<url:string,text:string>>",
+        ).alias("links"),
+    )
+
+
+def wat_links(wat: DataFrame) -> DataFrame:
+    """WAT page rows -> one row per resolvable link, in the EXACT shape of
+    ``linkgraph.extract_links`` (``url, href, anchor, dst_url``) — so
+    ``link_graph`` / ``degrees`` / ``pagerank`` / ``crawl_frontier`` /
+    ``anchor_aliases`` consume WAT shards directly, no HTML ever parsed.
+    Same resolution contract as the HTML path (fragments stripped,
+    non-http(s) schemes dropped, relative hrefs joined against the page
+    url) and the same anchor cleaning, via the shared helpers."""
+    from ontology_mapping_spark.operators.linkgraph import (
+        clean_anchor,
+        resolve_href,
+    )
+
+    out = (
+        wat.filter(F.col("links").isNotNull())
+        .select("url", F.explode("links").alias("l"))
+        .select(
+            "url",
+            F.col("l.url").alias("href"),
+            clean_anchor(F.coalesce(F.col("l.text"), F.lit(""))).alias(
+                "anchor"
+            ),
+        )
+        .filter(F.col("href").isNotNull())
+        .withColumn("dst_url", resolve_href(F.col("url"), F.col("href")))
+    )
+    return out.filter(F.col("dst_url").isNotNull())
 
 
 def ingest_warc(

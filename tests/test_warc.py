@@ -300,3 +300,90 @@ def test_iter_warc_records_adversarial_payloads():
     got = list(iter_warc_records(buf))
     assert [h["warc-type"] for h, _ in got] == ["resource", "response"]
     assert got[0][1] == tricky
+
+
+def _wat_json(links=None, title=None) -> bytes:
+    import json
+
+    html_meta = {}
+    if title is not None:
+        html_meta["Head"] = {"Title": title}
+    if links is not None:
+        html_meta["Links"] = links
+    payload = {
+        "Envelope": {
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": (
+                    {"HTML-Metadata": html_meta} if html_meta else {}
+                )
+            }
+        }
+    }
+    return json.dumps(payload).encode()
+
+
+def test_read_wat_and_links(spark, tmp_path):
+    # WAT = WARC metadata records carrying pre-extracted link JSON; the
+    # reader types the link array and wat_links resolves hrefs with the
+    # SAME contract as the HTML extract_links path
+    import gzip as _gz
+
+    from ontology_mapping_spark.sources.warc import read_wat, wat_links
+
+    a = _record(
+        "metadata",
+        _wat_json(
+            links=[
+                {"url": "http://b.example/x", "text": "  to <b>B</b>  "},
+                {"url": "/rel", "text": "rel"},
+                {"url": "//c.example/p", "text": "proto-rel"},
+                {"url": "javascript:void(0)", "text": "drop"},
+                {"url": "#frag", "text": "drop too"},
+            ],
+            title="Page A",
+        ),
+        uri="http://a.example/dir/page",
+    )
+    # non-HTML response: metadata without HTML-Metadata -> NULL title/links
+    b = _record("metadata", _wat_json(), uri="http://img.example/x.png")
+    (tmp_path / "s.wat.gz").write_bytes(_gz.compress(a + b))
+    wat = read_wat(spark, str(tmp_path))
+    rows = {r.url: r for r in wat.collect()}
+    assert rows["http://a.example/dir/page"].title == "Page A"
+    assert len(rows["http://a.example/dir/page"].links) == 5
+    assert rows["http://img.example/x.png"].links is None
+    assert rows["http://img.example/x.png"].title is None
+
+    got = {
+        (r.dst_url, r.anchor) for r in wat_links(wat).collect()
+    }
+    # fragment-only and javascript: drop; relative joins the base DIR,
+    # protocol-relative inherits the scheme; anchors tag-strip + collapse
+    assert got == {
+        ("http://b.example/x", "to B"),
+        ("http://a.example/rel", "rel"),
+        ("http://c.example/p", "proto-rel"),
+    }
+
+
+def test_wat_links_feed_link_graph(spark, tmp_path):
+    # the WAT rows ARE extract_links-shaped: the host graph aggregates
+    # them with no HTML ever parsed
+    from ontology_mapping_spark.operators.linkgraph import link_graph
+    from ontology_mapping_spark.sources.warc import read_wat, wat_links
+
+    rec = _record(
+        "metadata",
+        _wat_json(
+            links=[
+                {"url": "http://b.example/1", "text": "x"},
+                {"url": "http://b.example/2", "text": "y"},
+            ]
+        ),
+        uri="http://a.example/",
+    )
+    (tmp_path / "s.wat").write_bytes(rec)
+    e = link_graph(wat_links(read_wat(spark, str(tmp_path)))).collect()
+    assert [(r.src_host, r.dst_host, r.n_links) for r in e] == [
+        ("a.example", "b.example", 2)
+    ]
