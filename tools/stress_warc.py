@@ -7,7 +7,10 @@ text so the language-ID has something to chew), then times:
 * ``parse`` — ``read_warc(...).count()``: shard bytes -> record rows
   (the mapInPandas parse cost, no extraction);
 * ``ingest`` — ``ingest_warc``: the whole S0 pass (parse -> filter ->
-  golden extract -> langid -> (lang, p_date)-partitioned write).
+  golden extract -> langid -> (lang, p_date)-partitioned write);
+* ``wat`` — WAT metadata shards (same record counts, JSON payloads with
+  ~8 links each) through ``read_wat`` -> ``wat_links`` ->
+  ``link_graph``: the no-HTML link-graph lane end to end.
 
 Parallelism unit is the shard file (binaryFile is non-splittable), so
 ``--shards`` should be >= cpus to keep every core busy — the same
@@ -48,6 +51,33 @@ def _record(uri: str, date: str, body: bytes) -> bytes:
     ).encode() + body
     head = (
         "WARC/1.0\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: {uri}\r\nWARC-Date: {date}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    )
+    return head.encode() + payload + b"\r\n\r\n"
+
+
+def _wat_record(uri: str, date: str, i: int, n_links: int = 8) -> bytes:
+    links = [
+        {"url": f"http://h{(i * 31 + j) % 997}.example/p/{j}", "text": f"link {j}"}
+        for j in range(n_links)
+    ]
+    payload = json.dumps(
+        {
+            "Envelope": {
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Head": {"Title": f"page {i}"},
+                            "Links": links,
+                        }
+                    }
+                }
+            }
+        }
+    ).encode()
+    head = (
+        "WARC/1.0\r\nWARC-Type: metadata\r\n"
         f"WARC-Target-URI: {uri}\r\nWARC-Date: {date}\r\n"
         f"Content-Length: {len(payload)}\r\n\r\n"
     )
@@ -141,6 +171,40 @@ def main() -> None:
             "partitions": len(
                 [p for p in os.listdir(pages_dir) if p.startswith("lang=")]
             ),
+        }
+        # WAT lane: same shard/record counts, JSON metadata payloads
+        wat_dir = os.path.join(tmp, "wat")
+        os.makedirs(wat_dir)
+        for s in range(args.shards):
+            parts = []
+            for r in range(args.records):
+                i = s * args.records + r
+                day = 1 + (i % 27)
+                parts.append(
+                    gzip.compress(
+                        _wat_record(
+                            f"http://h{i % 997}.example/p/{i}",
+                            f"2026-03-{day:02d}T0{i % 10}:00:00Z",
+                            i,
+                        ),
+                        compresslevel=1,
+                    )
+                )
+            with open(
+                os.path.join(wat_dir, f"s{s:05d}.wat.gz"), "wb"
+            ) as f:
+                f.write(b"".join(parts))
+        from ontology_mapping_spark.operators.linkgraph import link_graph
+        from ontology_mapping_spark.sources.warc import read_wat, wat_links
+
+        t0 = time.time()
+        hosts = link_graph(wat_links(read_wat(spark, wat_dir))).count()
+        sec = time.time() - t0
+        out["wat"] = {
+            "pages": total,
+            "host_edges": hosts,
+            "sec": round(sec, 2),
+            "pages_per_sec": round(total / sec, 1),
         }
         out["py_burn_sec_end"] = burn()
         print(json.dumps(out))
