@@ -17,6 +17,13 @@ Examples::
         --record-types conversion --no-status-filter --no-type-filter \\
         --lax
 
+    python tools/ingest_warc.py --warc wat/ --out out/links --wat
+
+``--wat`` switches to the metadata lane: shards are read through
+``read_wat`` and the RESOLVED link rows (``url, href, anchor,
+dst_url`` — exactly ``extract_links``'s shape) land as plain parquet,
+ready for the link-graph family; the page-filter knobs don't apply.
+
 Everything here is argument plumbing — the work is the same
 scan → parse → filter → extract → langid → partitioned-write pass a
 library caller gets from ``ingest_warc``.
@@ -74,6 +81,11 @@ def main() -> None:
         "--cpus", type=int,
         default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
     )
+    ap.add_argument(
+        "--wat", action="store_true",
+        help="ingest WAT metadata shards instead: resolved link rows "
+        "(url, href, anchor, dst_url) -> plain parquet at --out",
+    )
     args = ap.parse_args()
 
     from ontology_mapping_spark.session import get_spark
@@ -82,6 +94,15 @@ def main() -> None:
     spark = get_spark(
         "ingest_warc", parallelism=args.cpus, shuffle_partitions=args.cpus
     )
+    if args.wat:
+        from ontology_mapping_spark.sources.warc import read_wat, wat_links
+
+        links = wat_links(read_wat(spark, args.warc, strict=not args.lax))
+        links.write.mode(args.mode).parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"wrote {n} links to {args.out}")
+        spark.stop()
+        return
     ingest_warc(
         spark,
         args.warc,
