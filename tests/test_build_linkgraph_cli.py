@@ -84,6 +84,49 @@ def test_cli_from_links_with_frontier(spark, tmp_path, capsys):
     )
     assert out["host_edges"] == 2  # a->b, c->b
     assert out["iterations"] >= 1  # converged form reports its rounds
+    # analytics stages: triangle of hosts a-b-c closes via the triangle
+    # flags below; here the undirected graph is a path (a-b-c), so
+    # triangles count 0 but every host has a row, and the 1-core is all 3
+    out_an = _run(
+        [
+            "--links", links, "--workdir", wd,
+            "--hits", "--triangles", "--k-core", "1",
+            "--frontier", "--per-host", "1",
+            "--pagerank-tol", "1e-6",
+        ],
+        capsys,
+    )
+    assert out_an["hits"] == 3
+    assert out_an["triangles"] == 3
+    assert out_an["kcore"] == 3
+    # adding analytics knobs CHANGES the config hash, so the whole chain
+    # rebuilt (the StageRunner contract: any knob change invalidates);
+    # an identical re-run then resumes everything including the new stages
+    assert out_an["resumed_stages"] == []
+    out_re = _run(
+        [
+            "--links", links, "--workdir", wd,
+            "--hits", "--triangles", "--k-core", "1",
+            "--frontier", "--per-host", "1",
+            "--pagerank-tol", "1e-6",
+        ],
+        capsys,
+    )
+    assert {"host_edges", "hits", "triangles", "kcore", "frontier"} <= set(
+        out_re["resumed_stages"]
+    )
+    tri = {
+        (r.node, r.triangles)
+        for r in spark.read.parquet(f"{wd}/triangles").collect()
+    }
+    assert tri == {("a.example", 0), ("b.example", 0), ("c.example", 0)}
+    hub = {
+        r.node: (r.hub, r.authority)
+        for r in spark.read.parquet(f"{wd}/hits").collect()
+    }
+    # only b is linked TO: all authority concentrates there
+    assert hub["b.example"][1] > 0.99
+    assert hub["a.example"][0] > 0.5 and hub["c.example"][0] > 0.5
     # per-host budget 1: b.example contributes its most-referenced url
     fr = spark.read.parquet(f"{wd}/frontier").collect()
     assert [(r.host, r.url, r.n_refs) for r in fr] == [

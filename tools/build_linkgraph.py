@@ -16,7 +16,10 @@ resumes at the last completed stage and a re-run skips everything:
   switches to the converged form (iterations reported);
 * ``aliases``    — anchor-text alias mining (``--min-alias-count``);
 * ``frontier``   — only with ``--frontier``: per-host budgeted next-crawl
-  list, minus ``--seen`` urls and ``--blocked`` hosts.
+  list, minus ``--seen`` urls and ``--blocked`` hosts;
+* ``hits`` / ``triangles`` / ``kcore`` — opt-in analytics stages
+  (``--hits``, ``--triangles``, ``--k-core K``): hub/authority scores,
+  per-host triangle counts + clustering, and the k-core node set.
 
 Prints ONE JSON line: per-stage row counts + resumed stages. Usage::
 
@@ -50,6 +53,8 @@ class LinkGraphConfig:
     min_alias_count: int = 1
     per_host: int = 100
     self_loops: bool = False
+    hits_iters: int = 5
+    k_core: int | None = None
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -73,6 +78,16 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--damping", type=float, default=0.85)
     ap.add_argument("--min-alias-count", type=int, default=1)
     ap.add_argument("--frontier", action="store_true", help="also build the frontier")
+    ap.add_argument("--hits", action="store_true", help="also build hub/authority")
+    ap.add_argument("--hits-iters", type=int, default=5)
+    ap.add_argument(
+        "--triangles", action="store_true",
+        help="also build per-host triangle counts + clustering",
+    )
+    ap.add_argument(
+        "--k-core", type=int, default=None,
+        help="also build the k-core node set at this k",
+    )
     ap.add_argument("--per-host", type=int, default=100, help="frontier host budget")
     ap.add_argument("--seen", default=None, help="parquet of already-crawled urls")
     ap.add_argument("--blocked", default=None, help="parquet blocklist (domain)")
@@ -94,6 +109,8 @@ def main(argv: list[str] | None = None) -> None:
         damping=args.damping,
         min_alias_count=args.min_alias_count,
         per_host=args.per_host,
+        hits_iters=args.hits_iters,
+        k_core=args.k_core,
     )
     # an in-process caller (tests) already has a session: use it untouched
     # and don't stop it (the kg_query CLI's convention)
@@ -158,6 +175,23 @@ def main(argv: list[str] | None = None) -> None:
         "aliases": aliases.count(),
         **pr_iters,
     }
+    if args.hits:
+        hits = run.materialize(
+            "hits",
+            lambda: L.hits(edges, iters=cfg.hits_iters),
+            ["host_edges"],
+        )
+        out["hits"] = hits.count()
+    if args.triangles:
+        tri = run.materialize(
+            "triangles", lambda: L.triangles(edges), ["host_edges"]
+        )
+        out["triangles"] = tri.count()
+    if cfg.k_core is not None:
+        kc = run.materialize(
+            "kcore", lambda: L.k_core(edges, cfg.k_core), ["host_edges"]
+        )
+        out["kcore"] = kc.count()
     if args.frontier:
         seen = spark.read.parquet(args.seen) if args.seen else None
         blocked = spark.read.parquet(args.blocked) if args.blocked else None
