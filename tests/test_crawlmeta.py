@@ -83,6 +83,32 @@ Disallow: /other
 """
 
 
+def test_xml_unescape_matches_stdlib_reference(spark):
+    # the 5-entity unescape must agree with xml.sax.saxutils.unescape
+    # (the stdlib reference for exactly this contract) on adversarial
+    # inputs — double escapes, bare '&', unknown entities, truncated
+    # entities; one Spark job scores the whole corpus
+    from xml.sax.saxutils import unescape
+
+    from pyspark.sql import functions as F
+
+    from ontology_mapping_spark.sources.crawlmeta import _xml_unescape
+
+    cases = [
+        "a&amp;b", "&amp;amp;", "&amp;lt;", "&lt;&gt;&quot;&apos;&amp;",
+        "x&unknown;y", "&", "&&amp;", "&amp", "q?x=1&amp;y=2&amp;z=%26",
+        "", "plain", "&apos;&apos;", "&amp;&amp;", "a&gt;&amp;lt;b",
+        "&quot;q&quot;&amp;r", "%26amp%3B", "&AMP;",  # entities are case-sensitive
+    ]
+    want = {c: unescape(c, {"&quot;": '"', "&apos;": "'"}) for c in cases}
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {
+        r.s: r.u
+        for r in df.select("s", _xml_unescape(F.col("s")).alias("u")).collect()
+    }
+    assert got == want
+
+
 def test_robots_sitemap_records(spark):
     # Sitemap: records are group-independent (valid anywhere in the
     # file), case-insensitive on the token, comment-stripped, and absent
