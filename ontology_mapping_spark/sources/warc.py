@@ -263,7 +263,22 @@ def read_wat(spark, path: str, strict: bool = True) -> DataFrame:
     :func:`wat_links` does exactly that and emits the
     ``extract_links``-shaped rows the whole link-graph family consumes,
     making the HTML scan optional when WAT shards exist."""
-    recs = read_warc(spark, path, record_types=("metadata",), strict=strict)
+    return _project_wat(
+        read_warc(spark, path, record_types=("metadata",), strict=strict)
+    )
+
+
+def stream_wat(spark, path: str, strict: bool = True) -> DataFrame:
+    """Streaming twin of :func:`read_wat` (the ``stream_warc`` pattern):
+    WAT shards landing in ``path`` become (url, warc_ts, title, links)
+    rows as they arrive. The JSON projection is stateless, so it rides
+    the stream unchanged; compose with :func:`wat_links` (also
+    stateless) and a windowed aggregate for a continuous link graph."""
+    return _project_wat(stream_warc(spark, path, ("metadata",), strict))
+
+
+def _project_wat(recs: DataFrame) -> DataFrame:
+    """The shared WAT JSON projection (batch + streaming twins)."""
     doc = F.decode(F.col("html"), "UTF-8")
     html_meta = F.get_json_object(doc, _WAT_META)
     return recs.select(

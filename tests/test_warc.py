@@ -366,6 +366,38 @@ def test_read_wat_and_links(spark, tmp_path):
     }
 
 
+def test_stream_wat_parity_with_batch(spark, tmp_path):
+    # the streaming twin must yield exactly the batch reader's rows —
+    # same shared JSON projection, availableNow catch-up
+    from ontology_mapping_spark.sources.warc import read_wat, stream_wat
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rec = _record(
+        "metadata",
+        _wat_json(
+            links=[{"url": "http://b.example/x", "text": "b"}], title="T"
+        ),
+        uri="http://a.example/",
+    )
+    (src / "s.wat").write_bytes(rec)
+    q = (
+        stream_wat(spark, str(src))
+        .writeStream.format("memory")
+        .queryName("wat_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select url, title, links from wat_stream_t"
+    ).collect()
+    want = read_wat(spark, str(src)).select("url", "title", "links").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert got[0].links[0].url == "http://b.example/x"
+
+
 def test_wat_links_feed_link_graph(spark, tmp_path):
     # the WAT rows ARE extract_links-shaped: the host graph aggregates
     # them with no HTML ever parsed
